@@ -1,0 +1,51 @@
+"""Tiny decorator framework shared by operator modules.
+
+Usage inside an operator module::
+
+    QUERIES, ORACLE, q = make_registry()
+
+    @q("join_inner", sql="SELECT ...")
+    def join_inner(spark, sf_dir): ...
+
+Cross-engine determinism rules every query here follows (so the driver's
+order-insensitive value-hash matches DuckDB exactly):
+
+- **Additive aggregates over doubles are banned.** Double summation order
+  differs between engines (and between Spark runs — partial aggregation).
+  Money-like 2-decimal doubles are summed as ``SUM(CAST(x AS
+  DECIMAL(18,2)))`` (exact, order-independent) or as integer cents
+  ``SUM(CAST(ROUND(x*100) AS BIGINT))``.
+- **Averages** are expressed as ``CAST(sum_cents AS DOUBLE)/100.0/cnt`` —
+  exact integers followed by IEEE divisions, which are deterministic and
+  identical in both engines.
+- **Row-wise double arithmetic is fine** (same IEEE ops on identical
+  inputs ⇒ bit-identical).
+- Every ORDER-dependent op (limit, top-k, lag) carries a total-order
+  tiebreaker key.
+- Computed columns are aliased identically in Spark and SQL (driver
+  compares columns sorted by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def make_registry():
+    queries: dict[str, QueryFn] = {}
+    oracle: dict[str, str] = {}
+
+    def q(name: str, sql: str | None = None):
+        def deco(fn: QueryFn) -> QueryFn:
+            queries[name] = fn
+            if sql is not None:
+                oracle[name] = sql
+            return fn
+
+        return deco
+
+    return queries, oracle, q

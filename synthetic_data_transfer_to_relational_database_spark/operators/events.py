@@ -1,0 +1,171 @@
+"""Time-window operators over the ``events`` table: tumbling, sliding,
+session (SURVEY.md §2.3 ``events_*`` rows).
+
+Batch-first so each has a DuckDB oracle; streaming/events_stream.py reuses
+the identical aggregation expressions behind ``readStream`` +
+``withWatermark`` (same logical plan, incremental execution).
+
+Window arithmetic is done in epoch seconds (timezone-free), so results are
+stable regardless of session TZ. Value sums use integer cents (see
+operators/_registry.py).
+
+Scale notes: tumbling/sliding are plain hash aggregations keyed by
+(window, ...) — partial-agg friendly, no shuffle beyond the final groupBy.
+Session windows shuffle once on user_id; Spark's session_window merges
+per-key sorted runs (same cost shape as the SQL gap-and-islands oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import table
+from ._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+
+def _cents(c):
+    return F.round(F.col(c) * 100).cast("long")
+
+
+@q(
+    "events_tumbling",
+    sql="""
+    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "value_cents")
+    )
+
+
+@q(
+    "events_sliding",
+    sql="""
+    WITH base AS (
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS b, ts, value
+      FROM events
+    ), assigned AS (
+      SELECT b AS win_start, ts, value FROM base
+      UNION ALL
+      SELECT b - INTERVAL 30 MINUTE, ts, value FROM base
+    )
+    SELECT win_start,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM assigned
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 60 MINUTE
+    GROUP BY win_start
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1h windows sliding every 30min: each event lands in exactly 2 windows.
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "value_cents")
+    )
+
+
+@q(
+    "events_session",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), grouped AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM grouped
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark session semantics: window is [start, last_ts + gap); an event at
+    # exactly prev_ts + gap starts a NEW session — the oracle's `>=` matches.
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@q(
+    "events_gap_islands",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    )
+    SELECT user_id, event_type,
+           rn - rn_t AS island,
+           COUNT(*) AS run_len,
+           MIN(ts) AS run_start
+    FROM ordered
+    GROUP BY user_id, event_type, rn - rn_t
+    """,
+)
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Consecutive-run detection (classic gaps-and-islands) as a window
+    # composition — no UDF, no state.
+    e = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.row_number().over(w_all).alias("rn"),
+            F.row_number().over(w_typ).alias("rn_t"),
+        )
+        .withColumn("island", (F.col("rn") - F.col("rn_t")).cast("long"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"))
+    )
