@@ -1,0 +1,234 @@
+"""Deduplication operators over ``documents`` (BASELINE.json LLM-pipeline
+surface): exact, normalized-key, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Exact and key-based dedup are oracle-checked; the n-gram Jaccard pair
+scorer is oracle-checked too (set sizes + one IEEE division). MinHash-LSH
+and SimHash are rows-only (they hinge on xxhash64, which DuckDB lacks),
+but fully deterministic — seeds are explicit column inputs to the hash.
+
+Scale notes (the whole point of these algorithms):
+- exact dedup = one hash aggregation on the full text — at 100 TB you'd
+  group on a digest instead; `dedup_exact_digest` does exactly that.
+- MinHash-LSH: cost is O(docs × shingles × K) map-side + a shuffle keyed
+  by (band, band-signature). Candidate verification happens only within
+  LSH buckets — never all-pairs. This is the standard web-scale near-dup
+  pipeline (shingle → minhash → band → bucket-join).
+- SimHash: one 64-bit signature per doc, candidate pairs via prefix
+  banding, Hamming distance via xor+bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from ._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+_K_MINHASH = 16  # minhash functions
+_N_BANDS = 4  # LSH bands (rows per band = K / bands = 4)
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+@q(
+    "dedup_exact",
+    sql="""
+    SELECT text AS text_key, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup with a deterministic survivor (min doc_id) — the
+    # groupBy-form of dropDuplicates, which keeps an arbitrary row.
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.col("text").alias("text_key")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@q(
+    "dedup_exact_digest",
+    sql="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB variant: shuffle a 32-byte digest, not the document.
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@q(
+    "dedup_key_norm",
+    sql=r"""
+    SELECT array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ') AS norm_key,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_key_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Normalized-key dedup (first 5 lowercased tokens) — the cheap
+    # "same-prefix" near-dup filter used before expensive similarity.
+    d = table(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5))
+    return d.groupBy(key.alias("norm_key")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    sql="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS n_common,
+           len(list_distinct(list_concat(a.grams, b.grams))) AS n_union,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Character-trigram Jaccard on adjacent doc pairs: the exact-similarity
+    # verifier that LSH candidates feed into (here on a fixed pairing so
+    # the oracle stays O(n)).
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))").alias(
+            "grams"
+        ),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    n_union = F.size(F.array_distinct(F.concat(F.col("a.grams"), F.col("b.grams"))))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_common.cast("long").alias("n_common"),
+            n_union.cast("long").alias("n_union"),
+            (n_common.cast("double") / n_union).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: K independent min-hashes over 3-word
+    shingles. Seeded via the hash input itself (xxhash64(seed, shingle)) —
+    deterministic across runs and partitionings."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}") for k in range(_K_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band signatures → bucket join →
+    estimated Jaccard = fraction of matching minhashes. Rows-only (driver
+    checks shape; tests/test_dedup.py checks the semantics)."""
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(d).cache()
+    rows_per_band = _K_MINHASH // _N_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(_N_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(bands).alias("band", "band_sig"), *[F.col(f"mh{k}") for k in range(_K_MINHASH)]
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0) for k in range(_K_MINHASH)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / F.lit(float(_K_MINHASH))).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
+QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup: per-token hash votes per bit → signature →
+    16-bit prefix banding → Hamming distance via xor + bit_count.
+    Rows-only (xxhash64 has no DuckDB twin)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    h = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    votes = h.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63), j -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias("v"),
+    )
+    summed = votes.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("v"),
+            F.expr("transform(sequence(0, 63), j -> cast(0 as int))"),
+            lambda acc, x: F.zip_with(acc, x, lambda p, c: p + c),
+        ).alias("sums")
+    )
+    sig = summed.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 63), cast(0 as bigint),"
+            " (acc, j) -> acc | (CASE WHEN element_at(sums, j + 1) > 0"
+            "  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END))"
+        ).alias("simhash"),
+    )
+    banded = sig.select("doc_id", "simhash", F.expr("shiftrightunsigned(simhash, 48)").alias("prefix"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 16)
+    )
+
+
+QUERIES["dedup_simhash"] = dedup_simhash

@@ -1,0 +1,179 @@
+"""Similarity search over ``embeddings`` (BASELINE.json LLM-pipeline
+surface): brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+Float discipline for the oracle pair: cosine = dot / (sqrt(na) * sqrt(nb))
+where dot/na/nb are sequential left-fold double sums over the same 64
+elements in the same order in both engines, and +,*,/,sqrt are all
+IEEE-exactly-rounded — so scores are bit-identical (verified by the
+parity suite). Transcendentals (exp/ln) would NOT be safe; sqrt is.
+
+Scale notes:
+- brute force is the correctness baseline: queries × corpus partial
+  top-k per partition (window rank prunes early under AQE).
+- the LSH variant is the 100 TB path: random-hyperplane signatures →
+  bucket join → exact rescoring only within buckets. Hyperplane signs
+  come from xxhash64(plane, dim) — deterministic, no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import table
+from ._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+_N_PLANES = 8
+
+
+def _fold_sum(arr_expr: str) -> str:
+    """Sequential left-fold double sum (deterministic order)."""
+    return f"aggregate({arr_expr}, cast(0.0 as double), (acc, x) -> acc + x)"
+
+
+_DOT = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
+_NQ = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
+_NC = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
+
+
+@q(
+    "sim_search",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, vec_id,
+             list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv[i] * cv[i])))) AS cosine
+      FROM q JOIN c ON vec_id <> query_id
+    )
+    SELECT query_id, vec_id, cosine, rn
+    FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = e.select(F.col("vec_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.expr(_DOT) / (F.sqrt(F.expr(_NQ)) * F.sqrt(F.expr(_NC)))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _TOP_K
+    )
+
+
+@q(
+    "vector_norms",
+    sql="""
+    SELECT vec_id, label,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS l2_norm,
+           list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sq = _fold_sum("transform(embedding, x -> cast(x as double) * cast(x as double))")
+    ab = _fold_sum("transform(embedding, x -> abs(cast(x as double)))")
+    return e.select(
+        "vec_id",
+        "label",
+        F.sqrt(F.expr(sq)).alias("l2_norm"),
+        F.expr(ab).alias("l1_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+@q(
+    "sim_centroid_by_label",
+    sql="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           list_sum(list_transform(list(embedding[1]::DOUBLE ORDER BY vec_id), x -> x))
+             / COUNT(*) AS centroid_d1
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-label centroid of dimension 1, demonstrating order-controlled
+    # float aggregation: both engines fold the values in vec_id order.
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(vec_id, cast(element_at(embedding, 1) as double) as d1))),"
+                    " cast(0.0 as double), (acc, x) -> acc + x.d1)"
+                )
+                / F.count(F.lit(1))
+            ).alias("centroid_d1"),
+        )
+    )
+
+
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 8-bit signatures from pseudo-random
+    hyperplanes (sign of xxhash64(plane, dim)), exact cosine rescoring
+    inside buckets only. Rows-only: recall < 1 by design; the test suite
+    checks bucket containment + determinism, the bench measures speed."""
+    e = table(spark, sf_dir, "embeddings")
+
+    # signature bit p = sign(sum_d plane[p][d] * v[d]), plane[p][d] = ±1
+    # derived from xxhash64(p, d) — deterministic, nothing stored.
+    def signature(vcol: str) -> F.Column:
+        return F.expr(
+            "aggregate(sequence(0, 7), cast(0 as int), (acc, p) -> acc | "
+            " (CASE WHEN aggregate(sequence(1, 64), cast(0.0 as double),"
+            "   (s, d) -> s + (CASE WHEN pmod(xxhash64(p, d), 2) = 0 THEN 1.0 ELSE -1.0 END)"
+            f"            * cast(element_at({vcol}, d) as double)) > 0"
+            "   THEN shiftleft(1, p) ELSE 0 END))"
+        )
+
+    sigs = e.select("vec_id", "embedding", signature("embedding").alias("bucket"))
+    queries = sigs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("bucket")
+    )
+    corpus = sigs.select("vec_id", F.col("embedding").alias("cv"), "bucket")
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, ["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.expr(_DOT) / (F.sqrt(F.expr(_NQ)) * F.sqrt(F.expr(_NC)))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _TOP_K
+    )
+
+
+QUERIES["sim_search_lsh"] = sim_search_lsh

@@ -1,0 +1,200 @@
+"""Text-analysis operators over ``documents`` (BASELINE.json LLM-pipeline
+surface): token stats, term frequencies, language-ID heuristic, quality
+scoring, document fingerprinting, and the vectorized-UDF demonstration.
+
+All deterministic and SQL-expressible, so every query here is
+oracle-checked. The fingerprint is an order-independent modular
+polynomial hash (exact 64-bit integer arithmetic — no float, no libm).
+
+Scale notes: everything is a projection + one hash aggregation; the
+token-frequency op is the classic word-count shape (explode → partial
+map-side count → final). No Python in the hot path except the single
+``pandas_udf`` demo, which is Arrow-vectorized.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..sources.tables import table
+from ._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+# Modular polynomial hash parameters (shared by Spark expr and oracle SQL).
+_P = 2147483647  # 2^31 - 1
+_POW31 = [pow(31, i, _P) for i in range(64)]
+_POW31_SQL = "[" + ", ".join(str(v) for v in _POW31) + "]"
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+@q(
+    "text_stats",
+    sql=r"""
+    SELECT doc_id, lang, source, n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).cast("long").alias("n_spaces"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+@q(
+    "text_term_freq",
+    sql=r"""
+    SELECT token,
+           COUNT(*) AS freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents)
+    GROUP BY token
+    """,
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Word count: explode → map-side partial count → final aggregation.
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+    )
+
+
+@q(
+    "text_lang_id",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS en_hits,
+           CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+             / len(toks) AS en_ratio,
+           CASE WHEN CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # N-gram/stopword language-ID heuristic. The testdata's `lang` labels
+    # are random over a shared vocabulary, so this predicts from content
+    # only; the oracle recomputes the identical formula.
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    ratio = hits.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        hits.cast("long").alias("en_hits"),
+        ratio.alias("en_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+@q(
+    "text_quality",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             length(replace(text, ' ', '')) AS n_alpha,
+             length(text) AS n_chars_t
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_alpha AS DOUBLE) / n_chars_t AS alpha_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1 ELSE 0 END AS len_ok,
+           (CAST(n_alpha AS DOUBLE) / n_chars_t)
+             * (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality scoring: length window + alphanumeric density (the classic
+    # pre-training heuristics), combined in a fixed-order IEEE expression.
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", ""))
+    alpha_ratio = n_alpha.cast("double") / F.length("text")
+    len_ok = F.when(n_tokens.between(20, 200), F.lit(1)).otherwise(F.lit(0))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        len_ok.cast("long").alias("len_ok"),
+        (alpha_ratio * F.when(n_tokens.between(20, 200), F.lit(1.0)).otherwise(F.lit(0.5))).alias(
+            "quality"
+        ),
+    )
+
+
+@q(
+    "text_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(1, least(length(text), 64)),
+                    i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) * ({_POW31_SQL})[i]) % {_P}
+           )) % {_P} AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Polynomial rolling hash of the 64-char prefix, in exact modular
+    # arithmetic: sum_i cp(text[i]) * 31^i mod (2^31-1). Order-independent
+    # integer sum ⇒ engine-portable; no UDF.
+    d = table(spark, sf_dir, "documents")
+    pow_arr = "array(" + ", ".join(f"{v}L" for v in _POW31) + ")"
+    fp = F.expr(
+        "aggregate("
+        "  transform(sequence(1, least(length(text), 64)),"
+        f"   i -> (cast(ascii(substr(text, i, 1)) as bigint) * element_at({pow_arr}, i)) % {_P}),"
+        "  cast(0 as bigint), (acc, x) -> (acc + x) % " + str(_P) + ") % " + str(_P)
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@q(
+    "udf_surface",
+    sql=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens_udf
+    FROM documents
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The UDF escape hatch the reference's Faker providers would use
+    # (SURVEY.md §2.1 G8-G10): Arrow-vectorized pandas_udf, never
+    # row-at-a-time Python. Here it computes a value the oracle can check.
+    @F.pandas_udf(LongType())
+    def n_tokens_udf(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.split(r"\s+", regex=True).str.len().astype("int64")
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens_udf("text").alias("n_tokens_udf"))

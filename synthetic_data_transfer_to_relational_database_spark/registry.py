@@ -8,9 +8,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import events, relational, scalars
+from .operators import dedup, events, multimodal, relational, scalars, similarity, text
 
-_MODULES = [relational, scalars, events]
+_MODULES = [relational, scalars, events, text, dedup, similarity, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

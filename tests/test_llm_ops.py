@@ -1,0 +1,78 @@
+"""Semantic tests for the rows-only LLM-pipeline operators (no DuckDB
+oracle exists for xxhash64-based sketches / mapInPandas): determinism,
+value-range invariants, and cross-operator consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from synthetic_data_transfer_to_relational_database_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+def test_minhash_lsh_deterministic_and_bounded(spark, sf_dir):
+    p1 = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    p2 = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))
+    for r in p1:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_simhash_hamming_bounds(spark, sf_dir):
+    rows = dedup.dedup_simhash(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 16
+
+
+def test_lsh_scores_match_exact_recompute(spark, sf_dir):
+    """Every LSH candidate's cosine must equal the exact cosine for the
+    same pair (bucketing changes recall, never scores). Recomputed
+    pair-by-pair with the same fold expressions."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.similarity import (
+        _DOT,
+        _NC,
+        _NQ,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    lsh = similarity.sim_search_lsh(spark, sf_dir)
+    recomputed = (
+        lsh.join(e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")), "query_id")
+        .join(e.select("vec_id", F.col("embedding").alias("cv")), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            (F.expr(_DOT) / (F.sqrt(F.expr(_NQ)) * F.sqrt(F.expr(_NC)))).alias("exact"),
+        )
+        .collect()
+    )
+    assert len(recomputed) > 0
+    for r in recomputed:
+        assert r.cosine == r.exact
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_multimodal_features_stub_plumbing(spark, sf_dir):
+    feats = multimodal.multimodal_features(spark, sf_dir)
+    rows = feats.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.media_type == "image"
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert r.n_bytes > 0
+        assert 0 <= r.checksum < 2147483647
+
+
+def test_multimodal_frame_sample(spark, sf_dir):
+    rows = multimodal.multimodal_frame_sample(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.frame_no % 4 == 0
+        assert 1 <= r.frame_len <= 32
