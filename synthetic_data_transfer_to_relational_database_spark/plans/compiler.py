@@ -1,0 +1,133 @@
+"""Rule compiler: ``"provider[:args]"`` strings → seeded Column expressions.
+
+This is the executor the reference never built for its own rule grammar
+(data_rules.json is written by generate_config_v2.py:100-101 but consumed
+by nothing — SURVEY.md §0). Each rule compiles to a pure expression over
+the ``__id`` row-number column; the table's whole row is then one
+``spark.range(n).select(*exprs)`` projection (SURVEY.md §4: generation as
+projection, replacing the reference's Python row loop A2).
+
+``foreign_key:`` rules are NOT compiled here — they need parent-table
+context and are planned by plans/executor.py (J1 sampling join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions import generators as G
+from .model import ColumnSpec
+
+
+def _parse_kv_args(argstr: str) -> dict[str, str]:
+    out = {}
+    for part in argstr.split(","):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+_INT_MAX = {"short": 32000, "int": 2_000_000_000, "long": 4_000_000_000_000}
+
+
+def _clamp_int_range(dtype: str, lo: int, hi: int) -> tuple[int, int]:
+    """Keep generated integers inside the target type (the reference's
+    type-tiered bounds, run_engine.py:180-182: tinyint 255 / smallint
+    32000 / int 100000)."""
+    cap = _INT_MAX.get(dtype, 2_000_000_000)
+    return min(lo, cap), min(hi, cap)
+
+
+def compile_rule(rule: str, col: ColumnSpec, id_col: Column, seed: int) -> Column:
+    """Compile one rule for one column. `salt` is the column name, so two
+    columns with the same rule get independent streams."""
+    salt = col.name
+    name, _, args = rule.partition(":")
+
+    if name == "uuid4":
+        expr = G.gen_uuid(id_col, seed, salt)
+    elif name == "random_int":
+        lo, hi = (int(x) for x in args.split(",")) if args else (0, 100000)
+        lo, hi = _clamp_int_range(col.dtype, lo, hi)
+        if col.dtype == "long":
+            expr = G.gen_long(id_col, seed, salt, lo, hi)
+        else:
+            expr = G.gen_int(id_col, seed, salt, lo, hi)
+        if col.dtype == "short":
+            expr = expr.cast("short")
+    elif name == "boolean":
+        expr = G.gen_bool(id_col, seed, salt)
+    elif name == "decimal":
+        p, s = (int(x) for x in args.split(",")) if args else (col.precision or 18, col.scale or 2)
+        expr = G.gen_decimal(id_col, seed, salt, p, s)
+    elif name == "pyfloat":
+        kv = _parse_kv_args(args)
+        lo = float(kv.get("min_value", 10))
+        hi = float(kv.get("max_value", 50000))
+        digits = int(kv.get("right_digits", 2))
+        expr = G.gen_double(id_col, seed, salt, lo, hi, digits)
+        if col.dtype.startswith("decimal"):
+            expr = expr.cast(col.dtype)
+    elif name == "date_this_decade":
+        expr = G.gen_date(id_col, seed, salt)
+    elif name == "datetime_this_year":
+        expr = G.gen_timestamp(id_col, seed, salt)
+    elif name == "time_hms":
+        expr = F.format_string(
+            "%02d:%02d:%02d",
+            F.pmod(F.xxhash64(id_col, F.lit(seed), F.lit(salt), F.lit(1)), F.lit(24)).cast("int"),
+            F.pmod(F.xxhash64(id_col, F.lit(seed), F.lit(salt), F.lit(2)), F.lit(60)).cast("int"),
+            F.pmod(F.xxhash64(id_col, F.lit(seed), F.lit(salt), F.lit(3)), F.lit(60)).cast("int"),
+        )
+    elif name == "numerify":
+        n = int(args) if args and args.isdigit() else len(args) if args else 10
+        expr = G.gen_numerify(id_col, seed, salt, n)
+        # numeric coercion (run_engine.py:171-174): digit string into a
+        # numeric column becomes a number, clamped to the target type.
+        if col.dtype in ("int", "short"):
+            _, hi = _clamp_int_range(col.dtype, 1, 10 ** min(n, 9) - 1)
+            expr = G.gen_int(id_col, seed, salt, 1, hi)
+        elif col.dtype == "long":
+            expr = G.gen_long(id_col, seed, salt, 1, 10 ** min(n, 18) - 1)
+    elif name == "lexify":
+        expr = G.gen_lexify(id_col, seed, salt, min(col.length or 4, 4))
+    elif name == "word":
+        expr = G.gen_word(id_col, seed, salt)
+    elif name == "sentence":
+        n_words = int(args) if args else 10
+        expr = G.gen_sentence(id_col, seed, salt, n_words)
+    elif name == "first_name":
+        expr = G.gen_first_name(id_col, seed, salt)
+    elif name == "last_name":
+        expr = G.gen_last_name(id_col, seed, salt)
+    elif name == "name":
+        expr = G.gen_full_name(id_col, seed, salt)
+    elif name == "company":
+        expr = G.gen_company(id_col, seed, salt)
+    elif name == "email":
+        expr = G.gen_email(id_col, seed, salt)
+    elif name == "phone_number":
+        expr = G.gen_phone(id_col, seed, salt)
+    elif name == "iban":
+        expr = G.gen_iban(id_col, seed, salt)
+    elif name == "address":
+        expr = G.gen_address(id_col, seed, salt)
+    elif name == "city":
+        expr = G.gen_city(id_col, seed, salt)
+    elif name == "country":
+        expr = G.gen_country(id_col, seed, salt)
+    elif name == "url":
+        expr = G.gen_url(id_col, seed, salt)
+    elif name == "product_name":
+        expr = G.gen_product_name(id_col, seed, salt)
+    elif name == "code":
+        expr = G.gen_code(id_col, seed, salt, args or "AUTO")
+    else:
+        expr = G.gen_word(id_col, seed, salt)
+
+    # string truncation to declared length (P7; run_engine.py:251-253)
+    if col.dtype in ("string", "uuid") and col.length and col.length > 0:
+        expr = F.substring(expr.cast("string"), 1, col.length)
+    return expr.cast(col.spark_type()).alias(col.name)

@@ -1,0 +1,266 @@
+"""Generation executor: TableSpecs → referentially-consistent DataFrames.
+
+The Spark-native re-expression of the reference's engines
+(run_engine.py main loop :205-270, fill_db.py fill_tables :122-176):
+
+- table build order = Kahn toposort of the FK graph (O1, fill_db.py:39-61)
+  with the v2 incremental sequencing (O2, run_engine.py:265-266): each
+  table is materialized before dependents sample its keys.
+- row generation = ONE projection: ``spark.range(n).select(*compiled
+  exprs)`` — whole-stage codegen, no Python row loop (SURVEY.md §4).
+- **FK sampling join (J1, run_engine.py:156-162)**: each child row gets a
+  uniformly-random EXISTING parent key. Two physical strategies:
+    * parents ≤ `broadcast_threshold`: collected key array broadcast into
+      an ``element_at(keys, pmod(hash, n)+1)`` expression — zero shuffle,
+      mirroring the reference's 1000-key ID cache but complete;
+    * larger parents: deterministic random index on the child + equi-join
+      against ``parent.zipWithIndex`` — shuffle-based, scales to any
+      parent cardinality, AQE handles skew.
+- **FK fallback (J2, run_engine.py:160-162)**: empty parent ⇒ fabricated
+  key by type (the reference tolerates the violation because constraints
+  are disabled; we reproduce the semantics and flag it).
+- **self-referencing FKs** (CariHesap, script.sql:4043-4049): sampled
+  within the same generated batch by *recomputing the PK expression at a
+  sampled row index* — pure function composition, no second pass.
+- **shared-PK subtypes** (FK_SatisBelge_BelgeBaslik_Id,
+  script.sql:4256-4257): child PK sampled from parent PKs WITHOUT
+  replacement via an affine permutation of the parent index space —
+  collision-free and deterministic (the reference gets this wrong-ish;
+  SURVEY.md §7 hard-part 2).
+
+Determinism: same (specs, row_counts, seed) ⇒ byte-identical output,
+independent of partitioning — all randomness is xxhash64(id, seed, salt).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import generators as G
+from .compiler import compile_rule
+from .model import ColumnSpec, TableSpec
+from .rules import infer_table_rules
+from .toposort import toposort_tables
+
+DEFAULT_ROW_COUNT = 1000
+
+
+def _coprime_step(n: int, seed: int) -> int:
+    """Smallest step ≥ some seed-derived start that is coprime with n —
+    defines the affine permutation i -> (a*i + b) mod n."""
+    if n <= 1:
+        return 1
+    a = (seed % (n - 1)) + 1
+    while math.gcd(a, n) != 1:
+        a = a % (n - 1) + 1
+    return a
+
+
+@dataclass
+class GenerationPlan:
+    spark: SparkSession
+    tables: dict[str, TableSpec]
+    seed: int = 42
+    row_counts: dict[str, int] = field(default_factory=dict)
+    default_rows: int = DEFAULT_ROW_COUNT
+    broadcast_threshold: int = 1_000_000
+    num_partitions: int | None = None
+
+    # populated during run()
+    _built: dict[str, DataFrame] = field(default_factory=dict)
+    _pk_expr_fns: dict[str, object] = field(default_factory=dict)
+    _row_count_of: dict[str, int] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    def rows_for(self, name: str) -> int:
+        return self.row_counts.get(name, self.default_rows)
+
+    def _id_frame(self, n: int) -> DataFrame:
+        parts = self.num_partitions or self.spark.sparkContext.defaultParallelism
+        return self.spark.range(0, n, 1, min(parts, max(1, n))).withColumnRenamed("id", "__id")
+
+    # ------------------------------------------------------------------
+    # PK expressions as pure functions of the row index, so self-refs and
+    # subtype FKs can be computed by composition.
+    def _pk_expr_fn(self, table: TableSpec):
+        fns = {}
+        for pk_col in table.pk:
+            try:
+                spec = table.column(pk_col)
+            except KeyError:
+                continue
+            if spec.identity:
+                # IDENTITY(1,1): values are 1..n by construction. The
+                # reference reads them back after insert
+                # (run_engine.py:265-266 fetch_ids); generating into files
+                # we know them up front — children sample idx+1 directly.
+                def make_ident(spec=spec):
+                    return lambda idx: (idx + 1).cast(spec.spark_type())
+
+                fns[pk_col] = make_ident()
+                continue
+            if spec.computed:
+                continue
+            rule = spec.rule or "uuid4"
+            if rule.startswith("foreign_key:"):
+                continue  # subtype PK — resolved via parent sampling
+
+            def make(spec=spec, rule=rule):
+                return lambda idx: compile_rule(rule, spec, idx, self.seed + _stable_hash(table.name))
+
+            fns[pk_col] = make()
+        return fns
+
+    # ------------------------------------------------------------------
+    def _fk_value(self, table: TableSpec, col: ColumnSpec, id_col: Column) -> Column:
+        """J1/J2: deterministic sample of an existing parent key."""
+        parent_name, _, parent_col = col.fk_parent.partition(".")
+        salt = f"{table.name}.{col.name}"
+
+        # self-reference: recompute this table's own PK expression at a
+        # sampled index in [0, n) — same batch, always valid.
+        if parent_name == table.name:
+            n = self._row_count_of.get(table.name, self.rows_for(table.name))
+            pk_fns = self._pk_expr_fns.get(table.name, {})
+            fn = pk_fns.get(parent_col)
+            if fn is not None:
+                sampled = F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n))
+                return fn(sampled)
+            return F.lit(None)
+
+        parent_df = self._built.get(parent_name)
+        if parent_df is None:
+            return self._fk_fallback(col, id_col, salt)
+        n_parent = self._row_count_of.get(parent_name)
+        if n_parent is None:
+            n_parent = parent_df.count()
+        if n_parent == 0:
+            return self._fk_fallback(col, id_col, salt)
+
+        # expression-computable parent PK ⇒ function composition, no join
+        fn = self._pk_expr_fns.get(parent_name, {}).get(parent_col)
+        if fn is not None:
+            sampled = F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n_parent))
+            return fn(sampled)
+
+        if n_parent <= self.broadcast_threshold:
+            keys = [r[0] for r in parent_df.select(parent_col).collect()]
+            arr = F.array(*[F.lit(k) for k in keys])
+            idx = (F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(len(keys))) + 1).cast("int")
+            return F.element_at(arr, idx)
+
+        # large-parent path is planned in _build_table via an equi-join
+        raise _NeedsJoin(parent_name, parent_col)
+
+    def _fk_fallback(self, col: ColumnSpec, id_col: Column, salt: str) -> Column:
+        """J2 semantics (run_engine.py:160-162): fabricate by type."""
+        if col.dtype == "uuid":
+            return G.gen_uuid(id_col, self.seed, salt + ".fallback")
+        if col.dtype in ("int", "short", "long"):
+            return G.gen_int(id_col, self.seed, salt + ".fallback", 1, 10).cast(col.dtype)
+        return G.gen_lexify(id_col, self.seed, salt + ".fallback", min(col.length or 3, 4))
+
+    # ------------------------------------------------------------------
+    def _build_table(self, table: TableSpec) -> DataFrame:
+        n = self.rows_for(table.name)
+        self._row_count_of[table.name] = n
+        infer_table_rules(table)
+        self._pk_expr_fns[table.name] = self._pk_expr_fn(table)
+
+        df = self._id_frame(n)
+        id_col = F.col("__id")
+        table_seed = self.seed + _stable_hash(table.name)
+
+        # shared-PK subtype: PK sampled from parent WITHOUT replacement
+        subtype_fk = table.shared_pk_fk()
+        subtype_pk_exprs: dict[str, Column] = {}
+        if subtype_fk is not None:
+            parent = self.tables.get(subtype_fk.parent_table)
+            n_parent = self._row_count_of.get(subtype_fk.parent_table, 0)
+            if parent is not None and n_parent >= n:
+                a = _coprime_step(n_parent, table_seed)
+                b = table_seed % max(n_parent, 1)
+                perm_idx = F.pmod(id_col * F.lit(a) + F.lit(b), F.lit(n_parent))
+                for pk_col, ppk_col in zip(subtype_fk.columns, subtype_fk.parent_columns):
+                    fn = self._pk_expr_fns.get(subtype_fk.parent_table, {}).get(ppk_col)
+                    if fn is not None:
+                        subtype_pk_exprs[pk_col] = fn(perm_idx)
+
+        exprs: list[Column] = []
+        join_requests: list[tuple[ColumnSpec, str, str]] = []
+        for col in table.generated_columns:
+            if col.name in subtype_pk_exprs:
+                exprs.append(subtype_pk_exprs[col.name].cast(col.spark_type()).alias(col.name))
+                continue
+            if col.fk_parent:
+                try:
+                    expr = self._fk_value(table, col, id_col)
+                except _NeedsJoin as nj:
+                    join_requests.append((col, nj.parent, nj.parent_col))
+                    continue
+                # nullable FK columns get a deterministic null fraction,
+                # exercising the null-extension path like the reference's
+                # nullable handling (fill_db.py:162-163)
+                if col.nullable:
+                    is_null = F.pmod(F.xxhash64(id_col, F.lit(table_seed), F.lit(col.name + ".null")), F.lit(10)) == 0
+                    expr = F.when(is_null, F.lit(None)).otherwise(expr)
+                exprs.append(expr.cast(col.spark_type()).alias(col.name))
+                continue
+            exprs.append(compile_rule(col.rule or "word", col, id_col, table_seed))
+
+        out = df.select(id_col, *exprs)
+
+        # large-parent FK values via index-equi-join (scale path of J1)
+        for col, parent_name, parent_col in join_requests:
+            parent_df = self._built[parent_name]
+            n_parent = self._row_count_of.get(parent_name) or parent_df.count()
+            from pyspark.sql.window import Window
+
+            parent_idx = parent_df.select(
+                F.col(parent_col).alias(f"__pk_{col.name}"),
+                (F.row_number().over(Window.orderBy(parent_col)) - 1).alias("__pidx"),
+            )
+            pick = F.pmod(
+                F.xxhash64(F.col("__id"), F.lit(self.seed), F.lit(f"{table.name}.{col.name}")),
+                F.lit(n_parent),
+            ).alias("__pick")
+            out = (
+                out.withColumn("__pick", pick)
+                .join(parent_idx, F.col("__pick") == F.col("__pidx"), "left")
+                .withColumn(col.name, F.col(f"__pk_{col.name}").cast(col.spark_type()))
+                .drop("__pick", "__pidx", f"__pk_{col.name}")
+            )
+
+        return out.drop("__id")
+
+    # ------------------------------------------------------------------
+    def run(self, materialize: bool = True) -> dict[str, DataFrame]:
+        """Build every table in dependency order. With materialize=True
+        each table is cached+counted before dependents reference it
+        (the O2 sequencing; at scale this would be a write to storage)."""
+        order = toposort_tables(self.tables)
+        for name in order:
+            df = self._build_table(self.tables[name])
+            if materialize:
+                df = df.cache()
+                df.count()
+            self._built[name] = df
+        return dict(self._built)
+
+
+class _NeedsJoin(Exception):
+    def __init__(self, parent: str, parent_col: str):
+        self.parent = parent
+        self.parent_col = parent_col
+
+
+def _stable_hash(s: str) -> int:
+    """Deterministic small int from a name (Python hash() is salted)."""
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1_000_003
+    return h

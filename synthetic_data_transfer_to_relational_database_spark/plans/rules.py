@@ -1,0 +1,140 @@
+"""Rule inference: schema metadata → per-column generation rules.
+
+Re-expresses the reference's two rule systems as one:
+
+- the config-compiler cascade (generate_config_v2.py:8-60): FK rule wins
+  (:81-93), then description keywords, then column-name keywords, then
+  data-type defaults — emitting ``"provider[:args]"`` strings like
+  data_rules.json's 16-rule grammar (SURVEY.md §2.1).
+- the runtime keyword dispatch (run_engine.py:50-79 KEYWORD_MAP: TCKN,
+  VKN, IBAN, MAIL, TEL, UNVAN, AD, SOYAD, ADRES, SEHIR, ULKE, ACIKLAMA,
+  BARKOD, KOD, FIYAT/TUTAR, MIKTAR, WEB — matched by substring of the
+  upper-cased column name).
+
+Unlike the reference — which writes data_rules.json and then never reads
+it (SURVEY.md §0) — the rule string IS our engine's declarative plan:
+plans/compiler.py compiles it to a Column expression.
+"""
+
+from __future__ import annotations
+
+from .model import ColumnSpec, TableSpec
+
+# (substring-of-uppercased-name, rule) in priority order — first match
+# wins, mirroring run_engine.py:50-79's dict scan.
+NAME_KEYWORD_RULES: list[tuple[str, str]] = [
+    ("TCKN", "numerify:11"),
+    ("VKN", "numerify:10"),
+    ("IBAN", "iban"),
+    ("MAIL", "email"),
+    ("EPOSTA", "email"),
+    ("TELEFON", "phone_number"),
+    ("TEL", "phone_number"),
+    ("GSM", "phone_number"),
+    ("FAX", "phone_number"),
+    ("UNVAN", "company"),
+    ("FIRMA", "company"),
+    ("SIRKET", "company"),
+    ("SOYAD", "last_name"),
+    ("ADSOYAD", "name"),
+    ("ADRES", "address"),
+    ("SEHIR", "city"),
+    ("IL", None),  # too ambiguous as substring; handled by exact match below
+    ("ULKE", "country"),
+    ("ACIKLAMA", "sentence:10"),
+    ("NOTLAR", "sentence:10"),
+    ("BARKOD", "numerify:13"),
+    ("STOKADI", "product_name"),
+    ("MALADI", "product_name"),
+    ("WEB", "url"),
+    ("URL", "url"),
+    ("FIYAT", "pyfloat:right_digits=2,positive=True"),
+    ("TUTAR", "pyfloat:right_digits=2,positive=True"),
+    ("MIKTAR", "random_int:1,100"),
+    ("ORAN", "random_int:0,100"),
+    ("YIL", "random_int:2000,2026"),
+    ("KOD", "lexify"),
+    ("NO", "numerify:8"),
+]
+
+EXACT_NAME_RULES: dict[str, str] = {
+    "AD": "first_name",
+    "ADI": "first_name",
+    "NAME": "name",
+    "IL": "city",
+    "ILCE": "city",
+}
+
+
+def _type_default_rule(col: ColumnSpec) -> str:
+    """Tier-4 data-type defaults (generate_config_v2.py:52-60 +
+    run_engine.py:177-203's type dispatch)."""
+    d = col.dtype
+    if d == "uuid":
+        return "uuid4"
+    if d.startswith("decimal"):
+        return f"decimal:{col.precision or 18},{col.scale or 2}"
+    if d == "boolean":
+        return "boolean"
+    if d == "short":
+        return "random_int:0,32000"
+    if d == "int":
+        return "random_int:0,100000"
+    if d == "long":
+        return "random_int:0,1000000"
+    if d in ("float", "double"):
+        return "pyfloat:right_digits=2,positive=True"
+    if d == "date":
+        return "date_this_decade"
+    if d == "timestamp":
+        return "datetime_this_year"
+    if d == "time":
+        return "time_hms"
+    if d == "string":
+        length = col.length or 50
+        if 0 < length < 10:
+            return "lexify"
+        if length < 50 and length > 0:
+            return "word"
+        return "sentence:10"
+    return "word"
+
+
+def infer_rule(col: ColumnSpec) -> str:
+    """Provider-detection cascade for one column. FK rules are wired
+    earlier (model.wire_fk_rules) and always win."""
+    if col.rule:  # FK binding already present
+        return col.rule
+    up = col.name.upper()
+    if up in EXACT_NAME_RULES:
+        return EXACT_NAME_RULES[up]
+    # ID/GUID-name tier (generate_config_v2.py:19-23)
+    if col.dtype == "uuid":
+        return "uuid4"
+    if up.endswith("ID") and col.dtype in ("int", "long", "short"):
+        return "random_int:1,1000"
+    for kw, rule in NAME_KEYWORD_RULES:
+        if rule is not None and kw in up:
+            # textual rule on a non-string column: only numerify coerces
+            # cleanly (run_engine.py:171-174); anything else falls back to
+            # the data-type default.
+            is_textual = not rule.startswith(("random_int", "pyfloat", "numerify"))
+            if is_textual and col.dtype not in ("string", "uuid", "time"):
+                break
+            if rule.startswith("pyfloat") and col.dtype not in (
+                "float",
+                "double",
+            ) and not col.dtype.startswith("decimal"):
+                break
+            return rule
+    return _type_default_rule(col)
+
+
+def infer_table_rules(table: TableSpec) -> dict[str, str]:
+    """Rule map for every generated column of a table (the data_rules.json
+    shape: {column: "provider[:args]"})"""
+    out = {}
+    for c in table.generated_columns:
+        c.rule = infer_rule(c)
+        out[c.name] = c.rule
+    return out

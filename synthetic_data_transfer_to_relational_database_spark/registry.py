@@ -8,9 +8,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, events, multimodal, relational, scalars, similarity, text
+from .operators import (
+    dedup,
+    events,
+    generator_ops,
+    multimodal,
+    relational,
+    scalars,
+    similarity,
+    text,
+)
 
-_MODULES = [relational, scalars, events, text, dedup, similarity, multimodal]
+_MODULES = [relational, scalars, events, text, dedup, similarity, multimodal, generator_ops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

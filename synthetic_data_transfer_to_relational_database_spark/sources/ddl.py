@@ -1,0 +1,210 @@
+"""MSSQL DDL-dump source: parse a management-studio script into TableSpecs.
+
+Re-expresses the reference's DDL pipeline (apply_mssql.py) plus the schema
+knowledge it leaves implicit in the database catalog:
+
+- encoding handling: UTF-16 default with utf-8-sig fallback
+  (apply_mssql.py:124-129)
+- ``GO`` batch splitting: line-anchored, case-insensitive
+  (apply_mssql.py:12-15)
+- batch filters: skip CREATE DATABASE / FILENAME settings / bare USE
+  (apply_mssql.py:69-83) and database-name rewrite (apply_mssql.py:87-89)
+- CREATE TABLE / PRIMARY KEY / IDENTITY / FOREIGN KEY parsing — the
+  reference reads these from INFORMATION_SCHEMA at runtime
+  (run_engine.py:85-147); we parse the same facts from the script so the
+  generator can plan without a live database.
+
+Everything here is driver-side metadata work (a few thousand lines of
+text) — never distributed.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from ..plans.model import ColumnSpec, FKSpec, TableSpec, wire_fk_rules
+
+# --- encoding + batching (S1/S2) ---------------------------------------
+
+
+def read_sql_script(path: str | Path, encoding: str = "utf-16") -> str:
+    """UTF-16 first (SSMS default), utf-8-sig fallback on decode failure."""
+    raw = Path(path).read_bytes()
+    try:
+        return raw.decode(encoding)
+    except (UnicodeDecodeError, UnicodeError):
+        return raw.decode("utf-8-sig")
+
+
+_GO_RE = re.compile(r"^\s*GO\s*$", re.IGNORECASE | re.MULTILINE)
+
+
+def split_go_batches(script: str) -> list[str]:
+    return [b.strip() for b in _GO_RE.split(script) if b.strip()]
+
+
+def filter_batches(batches: list[str], target_db: str | None = None, source_db: str | None = None) -> list[str]:
+    """Deploy-time batch hygiene: drop CREATE DATABASE, physical FILENAME
+    settings, and bare USE batches; optionally rewrite the database name."""
+    out = []
+    for b in batches:
+        up = b.upper()
+        if "CREATE DATABASE" in up:
+            continue
+        if "FILENAME =" in up or "FILENAME=" in up:
+            continue
+        if up.startswith("USE ") and len(b) < 40:
+            continue
+        if target_db and source_db:
+            b = b.replace(f"[{source_db}]", f"[{target_db}]").replace(source_db, target_db)
+        out.append(b)
+    return out
+
+
+# --- type mapping -------------------------------------------------------
+
+# Canonical-dtype mapping for T-SQL types (SURVEY.md §1.2 census). Types
+# outside the safe surface (rowversion/varbinary/image/xml/…) are kept in
+# the spec but flagged unsafe so the generator drops them, matching the
+# SAFE_TYPES whitelist semantics (run_engine.py:28-34,105).
+_SAFE = {
+    "nvarchar": ("string", True),
+    "varchar": ("string", True),
+    "nchar": ("string", True),
+    "char": ("string", True),
+    "text": ("string", False),
+    "ntext": ("string", False),
+    "uniqueidentifier": ("uuid", False),
+    "int": ("int", False),
+    "smallint": ("short", False),
+    "tinyint": ("int", False),
+    "bigint": ("long", False),
+    "bit": ("boolean", False),
+    "real": ("float", False),
+    "float": ("double", False),
+    "date": ("date", False),
+    "datetime": ("timestamp", False),
+    "datetime2": ("timestamp", False),
+    "smalldatetime": ("timestamp", False),
+    "time": ("time", False),
+    "money": ("decimal", False),
+    "smallmoney": ("decimal", False),
+    "numeric": ("decimal", False),
+    "decimal": ("decimal", False),
+}
+
+
+def map_sql_type(sql_type: str, args: list[int]) -> ColumnSpec:
+    """Map a T-SQL type (+ parenthesized args) onto a canonical ColumnSpec
+    fragment (dtype/length/precision/scale/unsafe)."""
+    t = sql_type.lower()
+    if t in ("timestamp", "rowversion", "varbinary", "binary", "image"):
+        return ColumnSpec(name="?", dtype="binary", unsafe=True)
+    if t not in _SAFE:
+        return ColumnSpec(name="?", dtype="string", unsafe=True)
+    dtype, has_len = _SAFE[t]
+    spec = ColumnSpec(name="?", dtype=dtype)
+    if dtype == "decimal":
+        p, s = (args + [18, 2])[:2] if args else ((19, 4) if "money" in t else (18, 2))
+        if t in ("money", "smallmoney"):
+            p, s = 19, 4
+        spec.dtype = f"decimal({p},{s})"
+        spec.precision, spec.scale = p, s
+    elif has_len:
+        spec.length = args[0] if args else 1  # -1 == MAX
+    elif dtype == "uuid":
+        spec.length = 36
+    return spec
+
+
+# --- CREATE TABLE / FK parsing -----------------------------------------
+
+_CREATE_RE = re.compile(r"CREATE\s+TABLE\s+\[?(?:\w+)\]?\.\[?(\w+)\]?\s*\(", re.IGNORECASE)
+_COL_RE = re.compile(
+    r"^\s*\[(?P<name>[^\]]+)\]\s+\[(?P<type>\w+)\]\s*(?:\((?P<args>max|[\d,\s]+)\))?"
+    r"(?P<identity>\s*IDENTITY\s*\(\s*\d+\s*,\s*\d+\s*\))?"
+    r".*?(?P<null>NOT\s+NULL|NULL)\s*,?\s*$",
+    re.IGNORECASE,
+)
+_COMPUTED_RE = re.compile(r"^\s*\[(?P<name>[^\]]+)\]\s+AS\s+", re.IGNORECASE)
+_PK_RE = re.compile(
+    r"CONSTRAINT\s+\[[^\]]+\]\s+PRIMARY\s+KEY\s+(?:CLUSTERED|NONCLUSTERED)?\s*\((?P<cols>[^)]+)\)",
+    re.IGNORECASE | re.DOTALL,
+)
+_PK_COL_RE = re.compile(r"\[([^\]]+)\]")
+_FK_RE = re.compile(
+    r"ALTER\s+TABLE\s+\[?(?:\w+)\]?\.\[?(?P<child>\w+)\]?\s+(?:WITH\s+(?:NO)?CHECK\s+)?ADD\s+"
+    r"CONSTRAINT\s+\[(?P<name>[^\]]+)\]\s+FOREIGN\s+KEY\s*\((?P<cols>[^)]+)\)\s*"
+    r"REFERENCES\s+\[?(?:\w+)\]?\.\[?(?P<parent>\w+)\]?\s*\((?P<pcols>[^)]+)\)"
+    r"(?P<cascade>\s*ON\s+DELETE\s+CASCADE)?",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_type_args(argstr: str | None) -> list[int]:
+    if not argstr:
+        return []
+    if argstr.strip().lower() == "max":
+        return [-1]
+    return [int(x) for x in argstr.replace(" ", "").split(",") if x]
+
+
+def parse_create_table(batch: str) -> TableSpec | None:
+    m = _CREATE_RE.search(batch)
+    if not m:
+        return None
+    spec = TableSpec(name=m.group(1))
+    body = batch[m.end():]
+    for line in body.splitlines():
+        cm = _COMPUTED_RE.match(line)
+        if cm:
+            spec.columns.append(ColumnSpec(name=cm.group("name"), dtype="string", computed=True))
+            continue
+        m2 = _COL_RE.match(line)
+        if not m2:
+            continue
+        base = map_sql_type(m2.group("type"), _parse_type_args(m2.group("args")))
+        base.name = m2.group("name")
+        base.nullable = m2.group("null").upper() == "NULL"
+        base.identity = bool(m2.group("identity"))
+        spec.columns.append(base)
+    pk = _PK_RE.search(batch)
+    if pk:
+        spec.pk = _PK_COL_RE.findall(pk.group("cols"))
+    return spec
+
+
+def parse_foreign_keys(batches: list[str]) -> list[tuple[str, FKSpec]]:
+    out: list[tuple[str, FKSpec]] = []
+    for b in batches:
+        for m in _FK_RE.finditer(b):
+            out.append(
+                (
+                    m.group("child"),
+                    FKSpec(
+                        columns=_PK_COL_RE.findall(m.group("cols")),
+                        parent_table=m.group("parent"),
+                        parent_columns=_PK_COL_RE.findall(m.group("pcols")),
+                        name=m.group("name"),
+                        on_delete_cascade=bool(m.group("cascade")),
+                    ),
+                )
+            )
+    return out
+
+
+def parse_schema_script(path: str | Path, encoding: str = "utf-16") -> dict[str, TableSpec]:
+    """Full pipeline: script file → {table_name: TableSpec} with FK rules
+    wired (FK-over-provider precedence, generate_config_v2.py:81-93)."""
+    batches = split_go_batches(read_sql_script(path, encoding))
+    tables: dict[str, TableSpec] = {}
+    for b in batches:
+        t = parse_create_table(b)
+        if t is not None:
+            tables[t.name] = t
+    for child, fk in parse_foreign_keys(batches):
+        if child in tables:
+            tables[child].fks.append(fk)
+    wire_fk_rules(tables)
+    return tables

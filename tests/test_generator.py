@@ -1,0 +1,128 @@
+"""Generator-engine property tests (SURVEY.md §5.2 invariants, FIXTURES.md
+§B): FK closure, subtype sampling without replacement, skip-columns,
+length/precision bounds, nullability, build order, determinism."""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from synthetic_data_transfer_to_relational_database_spark.plans.executor import GenerationPlan
+from synthetic_data_transfer_to_relational_database_spark.plans.toposort import toposort_tables
+
+from .fixtures_mini_erp import mini_erp
+
+ROWS = {"Ulke": 30, "Il": 40, "Banka": 25, "CariHesap": 60, "BelgeBaslik": 50,
+        "SatisBelge": 40, "CariHareket": 120, "Referans": 30}
+
+
+@pytest.fixture(scope="module")
+def generated(spark):
+    plan = GenerationPlan(spark, mini_erp(), seed=7, row_counts=ROWS)
+    return plan.run()
+
+
+def test_row_counts(generated):
+    for name, n in ROWS.items():
+        assert generated[name].count() == n, name
+
+
+def test_build_order_respects_fk_edges():
+    order = toposort_tables(mini_erp())
+    pos = {n: i for i, n in enumerate(order)}
+    assert pos["Ulke"] < pos["Il"]
+    assert pos["Ulke"] < pos["Banka"]
+    assert pos["Ulke"] < pos["CariHesap"]
+    assert pos["BelgeBaslik"] < pos["SatisBelge"]
+    assert pos["CariHesap"] < pos["CariHareket"]
+
+
+def test_fk_closure_natural_key(generated):
+    """Invariant 1: every generated FK value exists in the parent key set,
+    incl. natural-key references (Il.UlkeNumKod → Ulke.NumKod)."""
+    parents = {r[0] for r in generated["Ulke"].select("NumKod").collect()}
+    for child, col in [("Il", "UlkeNumKod"), ("Banka", "UlkeNumKod")]:
+        vals = [r[0] for r in generated[child].select(col).collect()]
+        for v in vals:
+            assert v in parents, f"{child}.{col}={v!r} not in Ulke.NumKod"
+
+
+def test_fk_closure_uuid_and_self_reference(generated):
+    cari_ids = {r[0] for r in generated["CariHesap"].select("Id").collect()}
+    # foreign FK
+    for (v,) in generated["CariHareket"].select("CariHesapId").collect():
+        assert v in cari_ids
+    # self-referencing FKs: non-null values must be existing Ids
+    for col in ["MusterekHesapId", "FaturaHesapId"]:
+        rows = generated["CariHesap"].select(col).collect()
+        non_null = [r[0] for r in rows if r[0] is not None]
+        assert non_null, f"no non-null {col} values generated"
+        for v in non_null:
+            assert v in cari_ids, f"self-FK {col}={v} dangling"
+
+
+def test_shared_pk_subtype_sampled_without_replacement(generated):
+    """Invariant 2: SatisBelge.Id ⊆ BelgeBaslik.Id, no duplicates."""
+    parent_ids = {r[0] for r in generated["BelgeBaslik"].select("Id").collect()}
+    child_ids = [r[0] for r in generated["SatisBelge"].select("Id").collect()]
+    assert len(child_ids) == len(set(child_ids)), "subtype PKs not unique"
+    for v in child_ids:
+        assert v in parent_ids
+
+
+def test_skip_columns_absent(generated):
+    """Invariant 3: identity / unsafe (rowversion) / computed columns are
+    never generated."""
+    assert "Id" not in generated["Banka"].columns  # IDENTITY
+    assert "RowVersion" not in generated["CariHareket"].columns  # unsafe type
+    assert "CreateDate" not in generated["CariHareket"].columns  # computed
+
+
+def test_length_and_precision_bounds(generated):
+    """Invariant 4: string lengths ≤ declared; decimals within (25,6) and
+    the 10^(p-s)-1 bound; non-nullable columns have no nulls."""
+    for (ad,) in generated["Ulke"].select("Ad").collect():
+        assert ad is not None and len(ad) <= 100
+    for (kod,) in generated["Il"].select("Kod").collect():
+        assert kod is not None and len(kod) <= 3
+    for (tutar,) in generated["CariHareket"].select("Tutar").collect():
+        if tutar is not None:
+            assert isinstance(tutar, decimal.Decimal)
+            assert decimal.Decimal(0) <= tutar <= decimal.Decimal(10) ** 19
+            assert -tutar.as_tuple().exponent <= 6
+    n_null = generated["CariHareket"].filter(F.col("BelgeNo").isNull()).count()
+    assert n_null == 0
+
+
+def test_uuid_shape(generated):
+    for (tid,) in generated["Referans"].select("TenantId").collect():
+        parts = tid.split("-")
+        assert [len(p) for p in parts] == [8, 4, 4, 4, 12], tid
+
+
+def test_composite_pk_mostly_unique(generated):
+    n = generated["Referans"].select("TenantId", "Kod", "TipId").distinct().count()
+    assert n == ROWS["Referans"]
+
+
+def test_same_seed_identical_output(spark, generated):
+    """Invariant 6: same seed ⇒ identical output (and a different seed
+    diverges) — the deliberate improvement over the seedless reference."""
+    again = GenerationPlan(spark, mini_erp(), seed=7, row_counts=ROWS).run(materialize=False)
+    a = sorted(map(tuple, generated["CariHareket"].collect()))
+    b = sorted(map(tuple, again["CariHareket"].collect()))
+    assert a == b
+    other = GenerationPlan(spark, mini_erp(), seed=8, row_counts=ROWS).run(materialize=False)
+    c = sorted(map(tuple, other["CariHareket"].collect()))
+    assert a != c
+
+
+def test_keyword_rules_applied(generated):
+    """IBAN column gets IBAN-shaped values; Unvan gets company names."""
+    for (iban,) in generated["CariHareket"].select("IBAN").collect():
+        if iban is not None:
+            assert iban.startswith("TR") and len(iban) == 26, iban
+    for (unvan,) in generated["CariHesap"].select("Unvan").collect():
+        assert unvan and len(unvan) <= 100
