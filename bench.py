@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized through the `noop` datasource sink so the
+timing covers the whole plan (scan → shuffle → sink), not a count()
+shortcut that lets Spark prune columns. One warm-up run of the flagship
+query first so JVM/codegen warm-up isn't charged to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from synthetic_data_transfer_to_relational_database_spark import registry
+from synthetic_data_transfer_to_relational_database_spark.session import get_spark
+
+# Headline set: one per operator family, heaviest members preferred.
+HEADLINE = [
+    "revenue_by_nation",   # 4-way join + agg + sort (flagship)
+    "join_broadcast",      # broadcast-hash join
+    "join_range",          # non-equi theta join
+    "agg_hash",            # hash aggregate
+    "agg_rollup",          # hierarchical agg
+    "window_rank",         # window exec
+    "topk_per_group",      # rank-filter top-k
+    "sort_limit",          # global sort + limit
+    "scalar_json",         # JSON parse over events
+    "events_tumbling",     # time-window agg
+    "events_session",      # session windows
+    "text_stats",          # tokenize + explode + agg
+    "dedup_exact",         # hash-groupBy dedup
+    "dedup_minhash_lsh",   # MinHash LSH near-dup
+    "sim_search",          # brute-force top-k cosine
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("sdt-bench")
+    queries = registry.all_queries()
+
+    # Warm-up: JVM JIT, codegen cache, parquet footer reads.
+    _materialize(queries["revenue_by_nation"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
