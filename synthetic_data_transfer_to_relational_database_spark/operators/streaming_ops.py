@@ -1,0 +1,99 @@
+"""Driver-facing streaming operators: each runs a Structured-Streaming
+query to completion (Trigger.AvailableNow) and returns the materialized
+result, so the SAME DuckDB oracles as the batch events_* operators apply —
+streaming vs batch parity is checked by the driver itself.
+
+stream_tumbling/stream_sliding run in complete mode (full result each
+trigger). stream_session also runs in complete mode (update is
+unsupported for streaming session windows; append would withhold
+sessions the final watermark hasn't closed). stream_user_profile exercises the
+applyInPandasWithState arbitrary-state path (rows-only: per-key emission
+cadence is engine-defined, not SQL-reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.events_stream import (
+    run_to_completion,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+from ..streaming.stateful import user_profile_stream
+from ._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+_TUMBLING_SQL = """
+    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_SLIDING_SQL = """
+    WITH base AS (
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS b, ts, value
+      FROM events
+    ), assigned AS (
+      SELECT b AS win_start, ts, value FROM base
+      UNION ALL
+      SELECT b - INTERVAL 30 MINUTE, ts, value FROM base
+    )
+    SELECT win_start,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM assigned
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 60 MINUTE
+    GROUP BY win_start
+"""
+
+_SESSION_SQL = """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), grouped AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM grouped
+    GROUP BY user_id, session_id
+"""
+
+
+@q("stream_tumbling", sql=_TUMBLING_SQL)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(tumbling_agg(stream_events(spark, sf_dir)), "complete")
+
+
+@q("stream_sliding", sql=_SLIDING_SQL)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(sliding_agg(stream_events(spark, sf_dir)), "complete")
+
+
+@q("stream_session", sql=_SESSION_SQL)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(session_agg(stream_events(spark, sf_dir)), "complete")
+
+
+@q("stream_user_profile")
+def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(user_profile_stream(stream_events(spark, sf_dir)), "update")

@@ -16,10 +16,21 @@ from .operators import (
     relational,
     scalars,
     similarity,
+    streaming_ops,
     text,
 )
 
-_MODULES = [relational, scalars, events, text, dedup, similarity, multimodal, generator_ops]
+_MODULES = [
+    relational,
+    scalars,
+    events,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    generator_ops,
+    streaming_ops,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,131 @@
+"""Structured-Streaming variants of the events_* window operators.
+
+The reference has no streaming surface (SURVEY.md §2.2); this is the
+BASELINE.json extension surface. The design rule: the STREAMING plan reuses
+the IDENTICAL aggregation expressions as the batch operators in
+operators/events.py — same window spec, same cents arithmetic, same
+aliases — so batch output is the ground truth for streaming output
+(verified in tests/test_streaming.py and by the driver's oracle, which
+compares the run-to-completion streaming result against the same DuckDB
+SQL as the batch operator).
+
+Execution model notes (the part that matters at scale):
+
+- File-source streams: ``readStream.parquet`` over the testdata directory.
+  One parquet file ⇒ ``Trigger.AvailableNow`` processes it as exactly one
+  micro-batch, which is what makes update-mode results deterministic here.
+  On a real cluster the same plan runs over a growing directory / Kafka
+  with no code change.
+- Watermarks bound state: ``withWatermark('ts', delay)`` lets Spark drop
+  window state older than ``max(event time) − delay``. For the
+  run-to-completion parity queries we use complete/update mode (nothing
+  may be dropped — the oracle sees all windows); the append-mode +
+  watermark late-data path is exercised in tests where partial emission
+  is the EXPECTED semantics.
+- Session windows shuffle once on (user_id); Spark merges overlapping
+  session state per key — the streaming analogue of the batch
+  gap-and-islands plan.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema must be declared for file streams (no inference mid-stream).
+# ts is parquet TIMESTAMP(NANOS): read as raw long (legacy conf) and floor
+# to micros — identical to the batch loader in sources/tables.py.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_SINK_IDS = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (file source, declared schema)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File streams take a DIRECTORY (they watch it for new files); select
+    # just the events table out of it with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _cents(c):
+    return F.round(F.col(c) * 100).cast("long")
+
+
+def tumbling_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Same expressions as operators/events.py::events_tumbling."""
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "value_cents")
+    )
+
+
+def sliding_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "value_cents")
+    )
+
+
+def session_agg(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Session windows (30-min gap). Streaming session_window REQUIRES a
+    watermark; 0s means nothing is considered late (parity mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def run_to_completion(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a finite stream with Trigger.AvailableNow into a memory sink
+    and return the materialized result as a batch DataFrame.
+
+    The memory sink is driver-resident — fine for test/driver scale; on a
+    cluster the same query writes to parquet/Kafka with exactly-once file
+    sink semantics instead.
+    """
+    name = f"sdt_stream_sink_{next(_SINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

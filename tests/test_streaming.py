@@ -1,0 +1,87 @@
+"""Structured-Streaming parity + watermark semantics.
+
+Parity rule: a run-to-completion stream over the same file must equal the
+batch operator's result row-for-row (the streaming plan reuses the batch
+expressions — streaming/events_stream.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synthetic_data_transfer_to_relational_database_spark.operators import events as batch_events
+from synthetic_data_transfer_to_relational_database_spark.streaming.events_stream import (
+    run_to_completion,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+from synthetic_data_transfer_to_relational_database_spark.streaming.stateful import (
+    user_profile_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch(spark):
+    got = run_to_completion(tumbling_agg(stream_events(spark, SF_DIR)), "complete")
+    want = batch_events.QUERIES["events_tumbling"](spark, SF_DIR)
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_sliding_matches_batch(spark):
+    got = run_to_completion(sliding_agg(stream_events(spark, SF_DIR)), "complete")
+    want = batch_events.QUERIES["events_sliding"](spark, SF_DIR)
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_session_matches_batch(spark):
+    got = run_to_completion(session_agg(stream_events(spark, SF_DIR)), "complete")
+    want = batch_events.QUERIES["events_session"](spark, SF_DIR)
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_append_watermark_drops_open_windows(spark):
+    """Append mode emits only windows the watermark has closed: with a
+    finite stream the trailing window(s) stay open — emitted rows must be
+    a strict subset of the batch result, all with win_start strictly
+    before the final watermark cut."""
+    got = run_to_completion(
+        tumbling_agg(stream_events(spark, SF_DIR), watermark="0 seconds"), "append"
+    )
+    want = batch_events.QUERIES["events_tumbling"](spark, SF_DIR)
+    got_rows, want_rows = set(_rows(got)), set(_rows(want))
+    assert got_rows <= want_rows
+    assert len(got_rows) < len(want_rows)  # open windows withheld
+    # every batch row missing from the stream belongs to the un-closed tail
+    max_emitted = max(r[0] for r in got_rows)
+    missing = want_rows - got_rows
+    assert all(r[0] > max_emitted for r in missing)
+
+
+def test_stateful_user_profile(spark):
+    got = run_to_completion(user_profile_stream(stream_events(spark, SF_DIR)), "update")
+    # single micro-batch -> exactly one emission per user; totals must
+    # equal the batch groupBy
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+
+    e = table(spark, SF_DIR, "events")
+    want = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    assert _rows(got.select("user_id", "n_events", "value_cents", "first_ts", "last_ts")) == _rows(
+        want
+    )
