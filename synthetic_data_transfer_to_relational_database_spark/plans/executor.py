@@ -238,6 +238,11 @@ class GenerationPlan:
         return out.drop("__id")
 
     # ------------------------------------------------------------------
+    def build_order(self) -> list[str]:
+        """Dependency-ordered table names (parents before children) —
+        also the correct JDBC load order when FK constraints are live."""
+        return toposort_tables(self.tables)
+
     def run(self, materialize: bool = True) -> dict[str, DataFrame]:
         """Build every table in dependency order. With materialize=True
         each table is cached+counted before dependents reference it

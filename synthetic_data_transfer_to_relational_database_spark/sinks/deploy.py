@@ -1,0 +1,40 @@
+"""DDL deployment pipeline: script file → sanitized batches → database.
+
+The reference's apply_mssql.py main() flow (SURVEY.md §3.3), composed from
+the source-side parsing (sources/ddl.py handles S1 encoding fallback, S2
+GO-splitting, F1-F3 batch filters, P1 identifier rewrite) and the
+driver-side executor (sinks/jdbc.py K1). Per-batch error containment:
+one broken batch never aborts the deploy (apply_mssql.py:94-102).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..sources.ddl import filter_batches, read_sql_script, split_go_batches
+from .jdbc import JdbcTarget, execute_statements
+
+
+def deploy_script(
+    spark: SparkSession,
+    target: JdbcTarget,
+    script_path: str,
+    encoding: str = "utf-16",
+    target_db: str | None = None,
+    source_db: str | None = None,
+) -> list[tuple[str, str | None]]:
+    """Read, split, sanitize, and replay a DDL dump into ``target``.
+
+    Returns the per-batch (statement, error-or-None) log so callers can
+    inspect which batches failed without losing the rest.
+    """
+    script = read_sql_script(script_path, encoding=encoding)
+    batches = filter_batches(split_go_batches(script), target_db=target_db, source_db=source_db)
+    return execute_statements(spark, target, batches, continue_on_error=True)
+
+
+def deploy_statements(
+    spark: SparkSession, target: JdbcTarget, statements: list[str]
+) -> list[tuple[str, str | None]]:
+    """Replay pre-built DDL statements (e.g. from TableSpec.to_ddl)."""
+    return execute_statements(spark, target, statements, continue_on_error=True)

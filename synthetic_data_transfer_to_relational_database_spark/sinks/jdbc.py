@@ -1,0 +1,178 @@
+"""JDBC bulk-load sink and driver-side DDL executor.
+
+Re-expresses the reference's relational output path Spark-first:
+
+- K3 bulk append (`pandas.to_sql(if_exists='append')`, run_engine.py:259-260,
+  fill_db.py:167-168) → ``df.write.jdbc(mode='append')`` with explicit
+  ``batchsize`` / ``numPartitions``: each partition opens one connection
+  and streams executemany batches, so load parallelism scales with
+  partition count instead of the reference's single connection.
+- K1/K2 DDL deploy (apply_mssql.py:94-102, :27-43) → driver-side
+  ``java.sql.DriverManager`` statement loop with per-batch
+  error-containment. DDL is metadata work — never a DataFrame op.
+- K4 constraint/trigger gate (fill_db.py:28-37, run_engine.py:227-228,
+  :276-277) → dialect-aware statement generators bracketing the load.
+- S8 parent-key scan (`SELECT TOP 1000 ... WITH (NOLOCK)`,
+  run_engine.py:149-151) → pushed-down limit query via
+  ``spark.read.jdbc``.
+
+Transactionality: Spark JDBC writes commit PER PARTITION (the reference
+commits per table, run_engine.py:225). A failed task can leave partial
+rows; callers needing all-or-nothing should write to a staging table and
+swap — documented rather than hidden, same trade the reference makes with
+disabled constraints (J2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class JdbcTarget:
+    """Connection descriptor. ``dialect`` picks constraint-gate syntax."""
+
+    url: str
+    driver: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+    dialect: str = "generic"  # 'mssql' | 'derby' | 'generic'
+
+    def jdbc_properties(self) -> dict[str, str]:
+        props = dict(self.properties)
+        if self.driver:
+            props["driver"] = self.driver
+        return props
+
+
+# --- K1: driver-side statement executor --------------------------------
+
+
+def execute_statements(
+    spark: SparkSession,
+    target: JdbcTarget,
+    statements: list[str],
+    continue_on_error: bool = True,
+) -> list[tuple[str, str | None]]:
+    """Run DDL/utility statements sequentially over one JVM connection.
+
+    Returns ``[(statement, error-or-None), ...]``; with
+    ``continue_on_error`` a failing batch doesn't abort the run
+    (apply_mssql.py:94-102 semantics).
+    """
+    jvm = spark._sc._jvm  # noqa: SLF001 — java.sql lives JVM-side
+    if target.driver:
+        jvm.java.lang.Class.forName(target.driver)
+    conn = jvm.java.sql.DriverManager.getConnection(target.url)
+    results: list[tuple[str, str | None]] = []
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            try:
+                stmt.execute(sql)
+                results.append((sql, None))
+            except Exception as exc:  # py4j wraps SQLException
+                if not continue_on_error:
+                    raise
+                results.append((sql, str(exc).splitlines()[0]))
+        stmt.close()
+    finally:
+        conn.close()
+    return results
+
+
+# --- K4: constraint/trigger gate ---------------------------------------
+
+
+def constraint_gate_statements(
+    target: JdbcTarget, tables: list[str], enable: bool
+) -> list[str]:
+    """Statements to disable (before bulk load) or re-enable (after) FK
+    checking. MSSQL uses the reference's server-wide forms; other dialects
+    get per-table generic SQL (Derby has no session FK toggle — callers
+    load parent-first instead, which our toposort guarantees anyway)."""
+    if target.dialect == "mssql":
+        if enable:
+            return [
+                "EXEC sp_msforeachtable 'ALTER TABLE ? WITH CHECK CHECK CONSTRAINT all'",
+                "EXEC sp_msforeachtable 'ALTER TABLE ? ENABLE TRIGGER all'",
+            ]
+        return [
+            "EXEC sp_msforeachtable 'ALTER TABLE ? NOCHECK CONSTRAINT all'",
+            "EXEC sp_msforeachtable 'ALTER TABLE ? DISABLE TRIGGER all'",
+        ]
+    if target.dialect == "generic":
+        kw = "ENABLE" if enable else "DISABLE"
+        return [f"ALTER TABLE {t} {kw} CONSTRAINT ALL" for t in tables]
+    return []  # derby: dependency order (O1) makes the gate unnecessary
+
+
+# --- K3: bulk append ----------------------------------------------------
+
+
+def write_table(
+    df: DataFrame,
+    target: JdbcTarget,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+    isolation_level: str = "READ_UNCOMMITTED",
+) -> None:
+    """Parallel bulk append. ``num_partitions`` caps concurrent
+    connections (repartitions only when the df has more)."""
+    if num_partitions and df.rdd.getNumPartitions() > num_partitions:
+        df = df.coalesce(num_partitions)
+    (
+        df.write.mode(mode)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation_level)
+        .jdbc(target.url, table, properties=target.jdbc_properties())
+    )
+
+
+# --- S4-S8: reads -------------------------------------------------------
+
+
+def read_table(
+    spark: SparkSession,
+    target: JdbcTarget,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Table scan; with a numeric ``partition_column`` + bounds the read
+    fans out to ``num_partitions`` parallel range queries."""
+    reader = spark.read.format("jdbc").option("url", target.url).option("dbtable", table)
+    for k, v in target.jdbc_properties().items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def fetch_parent_keys(
+    spark: SparkSession, target: JdbcTarget, table: str, pk: str, limit: int = 1000
+) -> list:
+    """ID-cache refill (run_engine.py:142-153): pushed-down limited key
+    scan. The LIMIT executes server-side via the query pushdown."""
+    if target.dialect == "mssql":
+        query = f"SELECT TOP {limit} {pk} FROM {table} WITH (NOLOCK)"
+    else:
+        query = f"SELECT {pk} FROM {table} FETCH FIRST {limit} ROWS ONLY"
+    df = (
+        spark.read.format("jdbc")
+        .option("url", target.url)
+        .option("query", query)
+        .options(**target.jdbc_properties())
+        .load()
+    )
+    return [r[0] for r in df.collect()]

@@ -1,0 +1,130 @@
+"""End-to-end JDBC round trip against embedded Apache Derby (ships with
+Spark): deploy DDL → generate → bulk append parent-first → read back →
+verify FK closure — the reference's full run_engine.py pipeline shape
+against a real relational database instead of MSSQL.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synthetic_data_transfer_to_relational_database_spark.plans.executor import GenerationPlan
+from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+    ColumnSpec,
+    FKSpec,
+    TableSpec,
+    wire_fk_rules,
+)
+from synthetic_data_transfer_to_relational_database_spark.sinks.deploy import deploy_statements
+from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+    JdbcTarget,
+    execute_statements,
+    fetch_parent_keys,
+    read_table,
+    write_table,
+)
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return JdbcTarget(url=f"jdbc:derby:{db};create=true", dialect="derby")
+
+
+def _schema() -> dict[str, TableSpec]:
+    tables = {
+        "Musteri": TableSpec(
+            name="Musteri",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("Unvan", "string", nullable=False, length=100),
+            ],
+            pk=["Id"],
+            fks=[],
+        ),
+        "Siparis": TableSpec(
+            name="Siparis",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("MusteriId", "uuid", nullable=False, length=36),
+                ColumnSpec("Tutar", "decimal(18,2)", nullable=True, precision=18, scale=2),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["MusteriId"], "Musteri", ["Id"])],
+        ),
+    }
+    wire_fk_rules(tables)
+    return tables
+
+
+DDL = [
+    "CREATE TABLE Musteri (Id VARCHAR(36) NOT NULL PRIMARY KEY, Unvan VARCHAR(100) NOT NULL)",
+    """CREATE TABLE Siparis (Id VARCHAR(36) NOT NULL PRIMARY KEY,
+       MusteriId VARCHAR(36) NOT NULL REFERENCES Musteri(Id),
+       Tutar DECIMAL(18,2))""",
+]
+
+
+def test_deploy_error_containment(spark, derby):
+    log = deploy_statements(spark, derby, DDL + ["CREATE GARBAGE SYNTAX"])
+    assert [err for _, err in log[:2]] == [None, None]
+    assert log[2][1] is not None  # bad batch reported, run not aborted
+
+
+def test_bulk_load_fk_closure_roundtrip(spark, derby):
+    tables = _schema()
+    plan = GenerationPlan(
+        spark, tables, seed=7, row_counts={"Musteri": 50, "Siparis": 400}
+    )
+    built = plan.run(materialize=True)
+
+    # parent-first load order comes from the same toposort the planner used
+    for name in plan.build_order():
+        write_table(built[name], derby, name, batchsize=200, num_partitions=4)
+
+    # read back with a real FK join on the database copy (Derby enforced
+    # the FK constraint during the append — a violation would have failed
+    # the write; this verifies the data survived the round trip intact)
+    # Derby folds unquoted identifiers to upper case; Spark resolution is
+    # case-insensitive so F.col("MUSTERIID") vs generated "MusteriId" is fine
+    musteri = read_table(spark, derby, "Musteri")
+    siparis = read_table(spark, derby, "Siparis")
+    assert musteri.count() == 50
+    assert siparis.count() == 400
+    parent_ids = musteri.select(F.col("ID").alias("PARENT_ID"))
+    dangling = siparis.join(
+        parent_ids, F.col("MUSTERIID") == F.col("PARENT_ID"), "left_anti"
+    )
+    assert dangling.count() == 0
+
+    # decimal fidelity through JDBC
+    types = {k.upper(): v for k, v in siparis.dtypes}
+    assert types["TUTAR"] == "decimal(18,2)"
+
+
+def test_fetch_parent_keys_limit_pushdown(spark, derby):
+    keys = fetch_parent_keys(spark, derby, "Musteri", "Id", limit=10)
+    assert len(keys) == 10
+    assert all(isinstance(k, str) and len(k) == 36 for k in keys)
+
+
+def test_parallel_partitioned_read(spark, derby):
+    # numeric partition column fan-out: 4 range queries
+    execute_statements(
+        spark,
+        derby,
+        [
+            "CREATE TABLE NumTab (n INT NOT NULL PRIMARY KEY, v VARCHAR(10))",
+        ],
+    )
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("n"), F.lit("x").alias("v")
+    )
+    write_table(df, derby, "NumTab", num_partitions=4)
+    back = read_table(
+        spark, derby, "NumTab", partition_column="n", lower_bound=0, upper_bound=1000, num_partitions=4
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 1000
