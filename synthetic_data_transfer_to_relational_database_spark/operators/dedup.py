@@ -189,6 +189,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
 
 
+@q(
+    "dedup_embedding",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * a.e[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))) AS cosine
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.25
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-quantization blocking (first 4
+    dims -> 16 buckets) so only same-bucket pairs are scored, then exact
+    cosine >= threshold. The oracle replicates the bucketing exactly; at
+    100 TB the bucket key simply grows (more sign bits / an IVF coarse
+    quantizer) — the plan shape (bucket shuffle, within-bucket self-join)
+    is unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << (3 - i))).otherwise(F.lit(0))
+        for i in range(4)
+    )
+    v = e.select("vec_id", F.col("embedding").alias("e"), bucket.alias("bucket"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = "aggregate(zip_with(a.e, b.e, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, x) -> acc + x)"
+    na = "aggregate(transform(a.e, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)"
+    nb = "aggregate(transform(b.e, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)"
+    cosine = F.expr(dot) / (F.sqrt(F.expr(na)) * F.sqrt(F.expr(nb)))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup: per-token hash votes per bit → signature →
     16-bit prefix banding → Hamming distance via xor + bit_count.
