@@ -133,41 +133,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures(d: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: K independent min-hashes over 3-word
-    shingles. Seeded via the hash input itself (xxhash64(seed, shingle)) —
+    """Per-doc MinHash signature array: K independent min-hashes over
+    3-word shingles, computed ENTIRELY map-side as array expressions
+    (array_min over transform) — no explode, no groupBy, zero shuffle.
+    Seeded via the hash input itself (xxhash64(seed, shingle)) —
     deterministic across runs and partitionings."""
+    # Hash cost shape: T string hashes (one per token), then per-shingle
+    # long-combines, then K×S cheap long hashes — instead of K full
+    # string-hash passes over concatenated shingle text.
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    # materialize token hashes as a NAMED column first: referencing an
+    # unnamed transform(...) expression 3× inside the shingle lambda makes
+    # Catalyst re-evaluate the whole token-hash array per element (O(T²))
+    th_df = d.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
+    th = F.col("th")
+    shingle_h = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(th) - 2, F.lit(1))),
+            lambda i: F.xxhash64(
+                F.element_at(th, i), F.element_at(th, i + 1), F.element_at(th, i + 2)
+            ),
+        )
     )
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}") for k in range(_K_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    sh = th_df.select("doc_id", shingle_h.alias("sh"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda h, k=k: F.xxhash64(F.lit(k), h)))
+            for k in range(_K_MINHASH)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band signatures → bucket join →
     estimated Jaccard = fraction of matching minhashes. Rows-only (driver
-    checks shape; tests/test_dedup.py checks the semantics)."""
+    checks shape; tests/test_llm_ops.py checks the semantics).
+
+    Plan shape: map-side signatures (no shuffle), one shuffle keyed by
+    (band, band_sig) for the bucket self-join, one for the pair dedup —
+    at 100 TB both shuffles carry only (doc_id, 16×8-byte sig), never the
+    documents themselves."""
     d = table(spark, sf_dir, "documents")
+    # cache: the bucket self-join reads signatures twice; without this the
+    # whole shingle+hash pipeline runs once per side
     sig = _minhash_signatures(d).cache()
     rows_per_band = _K_MINHASH // _N_BANDS
     bands = F.array(
         *[
-            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
             for b in range(_N_BANDS)
         ]
     )
-    banded = sig.select(
-        "doc_id", F.posexplode(bands).alias("band", "band_sig"), *[F.col(f"mh{k}") for k in range(_K_MINHASH)]
-    )
+    banded = sig.select("doc_id", "sig", F.posexplode(bands).alias("band", "band_sig"))
     a = banded.alias("a")
     b = banded.alias("b")
-    matches = sum(
-        F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0) for k in range(_K_MINHASH)
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda t: t
+        )
     )
     pairs = (
         a.join(
