@@ -1,0 +1,191 @@
+"""Advanced relational operators: as-of join, pivot, correlated-subquery
+pattern, deterministic sampling, exact percentiles.
+
+These extend the core pack (relational.py) with the shapes a reference
+user would reach for next — each still a pure DataFrame plan with a
+DuckDB oracle. The as-of join is the canonical "operator Spark lacks"
+case (SURVEY.md guidance): expressed as the merge-pattern composition
+(union + running window max), NOT a range-explosion join — one shuffle
+on the key, linear in events, the same plan an ASOF JOIN engine runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import table
+from ._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+
+@q(
+    "join_asof",
+    sql="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS is_click FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0 FROM events WHERE event_type = 'view'
+    ), m AS (
+      SELECT user_id, ts, event_id, is_click,
+             MAX(CASE WHEN is_click = 0 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, is_click
+                     ROWS UNBOUNDED PRECEDING) AS prior_view_ts
+      FROM u
+    )
+    SELECT event_id AS click_id, user_id, ts AS click_ts, prior_view_ts,
+           epoch_us(ts) - epoch_us(prior_view_ts) AS gap_us
+    FROM m WHERE is_click = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest view by the same user at or
+    before the click. Merge pattern: tag both sides, one window ordered by
+    (ts, side) carries the running max view-time forward — equal
+    timestamps count as prior (view sorts first). Deterministic even with
+    tied view timestamps because only MAX(ts) is carried, never an
+    arbitrary tied row."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_click")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("is_click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(views).withColumn(
+        "prior_view_ts", F.max(F.when(F.col("is_click") == 0, F.col("ts"))).over(w)
+    )
+    return merged.filter(F.col("is_click") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "prior_view_ts",
+        # exact integer microseconds: epoch()::BIGINT in DuckDB ROUNDS
+        # while Spark's unix_timestamp FLOORS — micros sidestep both
+        (F.unix_micros("ts") - F.unix_micros("prior_view_ts")).alias("gap_us"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@q(
+    "pivot_wide",
+    sql="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with EXPLICIT pivot values: passing the value list
+    skips the extra distinct-collection job Spark otherwise runs, and
+    keeps the plan a single hash aggregation."""
+    o = table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renames = dict(
+        zip(_PRIORITIES, ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"])
+    )
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot-count yields null for empty cells; the SQL FILTER form yields 0
+    return out.select(
+        "order_month", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()]
+    )
+
+
+@q(
+    "above_order_avg",
+    sql="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS order_cents
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, price_cents, n_items, order_cents
+    FROM t
+    WHERE 2 * price_cents * n_items > 3 * order_cents
+    """,
+)
+def above_order_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (items priced >1.5× their order's
+    average) decorrelated into a single window pass — no self-join, no
+    re-scan. The comparison is pure integer arithmetic (2·p·n > 3·sum),
+    exact in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    t = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cents.alias("price_cents"),
+        F.count(F.lit(1)).over(w).alias("n_items"),
+        F.sum(cents).over(w).alias("order_cents"),
+    )
+    return t.filter(2 * F.col("price_cents") * F.col("n_items") > 3 * F.col("order_cents"))
+
+
+@q(
+    "sample_hash",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE (l_orderkey * 1000003 + l_linenumber) % 10 = 0
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via modular arithmetic on the key —
+    reproducible across engines and runs, unlike TABLESAMPLE/rand().
+    The predicate pushes to the scan as a row-group filter residual."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").filter(
+        (F.col("l_orderkey") * 1000003 + F.col("l_linenumber")) % 10 == 0
+    )
+
+
+@q(
+    "agg_median",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.5) AS median_qty_cents,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_price_cents,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_price_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles over integer cents: both engines
+    linear-interpolate between the two neighbors — identical IEEE ops on
+    identical exact integers. (percentile_approx is the 100 TB variant;
+    it is excluded from oracle checks because its sketch is
+    engine-specific.)"""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(qty, F.lit(0.5)).alias("median_qty_cents"),
+        F.percentile(price, F.lit(0.25)).alias("p25_price_cents"),
+        F.percentile(price, F.lit(0.75)).alias("p75_price_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

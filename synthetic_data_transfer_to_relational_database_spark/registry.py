@@ -14,6 +14,7 @@ from .operators import (
     generator_ops,
     multimodal,
     relational,
+    relational2,
     scalars,
     similarity,
     streaming_ops,
@@ -22,6 +23,7 @@ from .operators import (
 
 _MODULES = [
     relational,
+    relational2,
     scalars,
     events,
     text,
