@@ -200,14 +200,37 @@ def gen_phone(id_col: Column, seed: int, salt: str) -> Column:
     )
 
 
+def _digit(id_col: Column, seed: int, salt: str, k: int) -> Column:
+    """One uniform decimal digit as an int column."""
+    return F.pmod(_h(id_col, seed, salt, 100 + k), F.lit(10)).cast("int")
+
+
 def gen_iban(id_col: Column, seed: int, salt: str) -> Column:
-    """'TR' + 24 digits — IBAN shape (no mod-97 checksum; shape parity
-    with Faker per SURVEY.md §7 hard-part 4)."""
+    """Valid Turkish IBAN: TR + mod-97 check digits + 22-digit BBAN.
+
+    The check is computed expression-side by folding (acc·10 + digit) mod
+    97 over the 28-digit rearranged number (BBAN ++ 'TR00' → ...292700) —
+    ISO 7064. Stronger than the reference, whose Faker output is valid
+    but nondeterministic; ours is valid AND reproducible."""
+    bban = [_digit(id_col, seed, salt, k) for k in range(22)]
+    acc: Column = F.lit(0)
+    for d in bban + [F.lit(2), F.lit(9), F.lit(2), F.lit(7), F.lit(0), F.lit(0)]:
+        acc = F.pmod(acc * 10 + d, F.lit(97))
+    check = F.lit(98) - acc
     return F.concat(
         F.lit("TR"),
-        F.lpad(F.pmod(_h(id_col, seed, salt, 1), F.lit(10**12)).cast("string"), 12, "0"),
-        F.lpad(F.pmod(_h(id_col, seed, salt, 2), F.lit(10**12)).cast("string"), 12, "0"),
+        F.lpad(check.cast("string"), 2, "0"),
+        F.concat(*[d.cast("string") for d in bban]),
     )
+
+
+def gen_ean13(id_col: Column, seed: int, salt: str) -> Column:
+    """Valid EAN-13 barcode: 12 data digits + standard check digit
+    (odd positions weight 1, even weight 3, mod 10)."""
+    digits = [_digit(id_col, seed, salt, k) for k in range(12)]
+    wsum = sum(d * (1 if i % 2 == 0 else 3) for i, d in enumerate(digits))
+    check = F.pmod(F.lit(10) - F.pmod(wsum, F.lit(10)), F.lit(10))
+    return F.concat(*[d.cast("string") for d in digits + [check]])
 
 
 def gen_address(id_col: Column, seed: int, salt: str) -> Column:

@@ -112,6 +112,8 @@ def compile_rule(rule: str, col: ColumnSpec, id_col: Column, seed: int) -> Colum
         expr = G.gen_phone(id_col, seed, salt)
     elif name == "iban":
         expr = G.gen_iban(id_col, seed, salt)
+    elif name == "ean13":
+        expr = G.gen_ean13(id_col, seed, salt)
     elif name == "address":
         expr = G.gen_address(id_col, seed, salt)
     elif name == "city":

@@ -43,7 +43,7 @@ NAME_KEYWORD_RULES: list[tuple[str, str]] = [
     ("ULKE", "country"),
     ("ACIKLAMA", "sentence:10"),
     ("NOTLAR", "sentence:10"),
-    ("BARKOD", "numerify:13"),
+    ("BARKOD", "ean13"),
     ("STOKADI", "product_name"),
     ("MALADI", "product_name"),
     ("WEB", "url"),

@@ -126,3 +126,27 @@ def test_keyword_rules_applied(generated):
             assert iban.startswith("TR") and len(iban) == 26, iban
     for (unvan,) in generated["CariHesap"].select("Unvan").collect():
         assert unvan and len(unvan) <= 100
+
+
+def test_iban_mod97_valid(spark):
+    from pyspark.sql import functions as F
+    from synthetic_data_transfer_to_relational_database_spark.functions import generators as G
+
+    df = spark.range(0, 200).select(G.gen_iban(F.col("id"), 42, "iban").alias("iban"))
+    for (iban,) in df.collect():
+        assert len(iban) == 26 and iban.startswith("TR")
+        # ISO 7064: move first 4 chars to the end, letters -> numbers, mod 97 == 1
+        rearranged = iban[4:] + "2927" + iban[2:4]
+        assert int(rearranged) % 97 == 1, iban
+
+
+def test_ean13_check_digit_valid(spark):
+    from pyspark.sql import functions as F
+    from synthetic_data_transfer_to_relational_database_spark.functions import generators as G
+
+    df = spark.range(0, 200).select(G.gen_ean13(F.col("id"), 42, "barkod").alias("ean"))
+    for (ean,) in df.collect():
+        assert len(ean) == 13
+        digits = [int(c) for c in ean]
+        wsum = sum(d * (1 if i % 2 == 0 else 3) for i, d in enumerate(digits[:12]))
+        assert digits[12] == (10 - wsum % 10) % 10, ean
