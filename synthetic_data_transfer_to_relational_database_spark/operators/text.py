@@ -180,6 +180,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@q(
+    "text_token_bpe",
+    sql=rf"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_c4
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-style
+    pre-tokenizer regex (letter runs / digit runs / punctuation runs —
+    the GPT-2 pattern reduced to ASCII classes both regex engines agree
+    on), and the chars/4 estimator used for quick corpus sizing."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens_c4"),
+    )
+
+
 @q(
     "udf_surface",
     sql=r"""
