@@ -137,6 +137,56 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sim_centroid_pandas",
+    sql="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           list_sum(list_transform(list(embedding[1]::DOUBLE ORDER BY vec_id), x -> x))
+             / COUNT(*) AS centroid_d1
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_centroid_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas grouped-UDAF path, value-checked against the
+    SAME oracle as the pure-expression sim_centroid_by_label: per label,
+    one Arrow batch per group into pandas, sequential left-fold of dim 1
+    in vec_id order (bit-identical to the SQL fold). This is the escape
+    hatch for group logic Catalyst can't express — priced honestly: one
+    shuffle on label plus Arrow transfer."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("label", IntegerType()),
+            StructField("n_vecs", LongType()),
+            StructField("centroid_d1", DoubleType()),
+        ]
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        acc = 0.0
+        for v in pdf["d1"]:
+            acc += float(v)  # sequential IEEE adds, same order as the SQL fold
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "centroid_d1": [acc / len(pdf)],
+            }
+        )
+
+    e = table(spark, sf_dir, "embeddings")
+    prepped = e.select(
+        "label", "vec_id", F.element_at("embedding", 1).cast("double").alias("d1")
+    )
+    return prepped.groupBy("label").applyInPandas(centroid, schema=schema)
+
+
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 8-bit signatures from pseudo-random
     hyperplanes (sign of xxhash64(plane, dim)), exact cosine rescoring
