@@ -48,6 +48,14 @@ def compile_rule(rule: str, col: ColumnSpec, id_col: Column, seed: int) -> Colum
 
     if name == "uuid4":
         expr = G.gen_uuid(id_col, seed, salt)
+    elif name == "seq_int":
+        # injective in the row index — PK-safe by construction
+        expr = (id_col + 1).cast("long")
+    elif name == "seq_code":
+        # unique fixed-width code: base-36 of the row index, zero-padded.
+        # Injective while idx < 36^n (enforced by width = declared length).
+        n = int(args) if args else (col.length or 8)
+        expr = F.lpad(F.conv(id_col.cast("string"), 10, 36), n, "0")
     elif name == "random_int":
         lo, hi = (int(x) for x in args.split(",")) if args else (0, 100000)
         lo, hi = _clamp_int_range(col.dtype, lo, hi)

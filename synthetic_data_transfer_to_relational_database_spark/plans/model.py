@@ -41,6 +41,7 @@ class ColumnSpec:
     fk_parent: str | None = None  # "ParentTable.ParentColumn"
     rule: str | None = None  # generation rule "provider[:args]"
     unsafe: bool = False  # outside SAFE_TYPES (rowversion/varbinary) — dropped (run_engine.py:105)
+    description: str | None = None  # docs text (JSONL description_tr) — drives tier-2 rules
 
     def spark_type(self) -> DataType:
         d = self.dtype

@@ -57,6 +57,38 @@ NAME_KEYWORD_RULES: list[tuple[str, str]] = [
     ("NO", "numerify:8"),
 ]
 
+# Tier-2 description keywords (generate_config_v2.py:26-41): matched
+# against the lower-cased Turkish column description when a schema source
+# carries one (the JSONL source does; DDL/catalog sources do not).
+DESCRIPTION_RULES: list[tuple[str, str]] = [
+    ("telefon", "phone_number"),
+    ("gsm", "phone_number"),
+    ("email", "email"),
+    ("e-posta", "email"),
+    ("adres", "address"),
+    ("iban", "iban"),
+    ("tc kimlik", "numerify:11"),
+    ("tckn", "numerify:11"),
+    ("vergi no", "numerify:10"),
+    ("vkn", "numerify:10"),
+    ("şehir", "city"),
+    ("il ", "city"),
+    ("ülke", "country"),
+    ("tarih", "date_this_decade"),
+    ("fiyat", "pyfloat:right_digits=2,positive=True,min_value=10,max_value=50000"),
+    ("tutar", "pyfloat:right_digits=2,positive=True,min_value=10,max_value=50000"),
+    ("bakiye", "pyfloat:right_digits=2,positive=True,min_value=10,max_value=50000"),
+    ("miktar", "random_int:1,1000"),
+    ("şirket", "company"),
+    ("firma", "company"),
+    ("unvan", "company"),
+    ("soyad", "last_name"),
+    ("ad ", "first_name"),
+    ("açıklama", "sentence:10"),
+    ("not", "sentence:10"),
+]
+
+
 EXACT_NAME_RULES: dict[str, str] = {
     "AD": "first_name",
     "ADI": "first_name",
@@ -100,11 +132,21 @@ def _type_default_rule(col: ColumnSpec) -> str:
     return "word"
 
 
-def infer_rule(col: ColumnSpec) -> str:
+def infer_rule(col: ColumnSpec, description: str | None = None) -> str:
     """Provider-detection cascade for one column. FK rules are wired
-    earlier (model.wire_fk_rules) and always win."""
+    earlier (model.wire_fk_rules) and always win; then description
+    keywords (tier 2), name keywords (tier 3), type defaults (tier 4) —
+    the generate_config_v2.py:8-60 ordering."""
     if col.rule:  # FK binding already present
         return col.rule
+    if description:
+        desc = description.lower()
+        for kw, rule in DESCRIPTION_RULES:
+            if kw in desc:
+                is_textual = not rule.startswith(("random_int", "pyfloat", "numerify"))
+                if is_textual and col.dtype not in ("string", "uuid", "time"):
+                    continue
+                return rule
     up = col.name.upper()
     if up in EXACT_NAME_RULES:
         return EXACT_NAME_RULES[up]
@@ -130,11 +172,33 @@ def infer_rule(col: ColumnSpec) -> str:
     return _type_default_rule(col)
 
 
+def _pk_safe_rule(col: ColumnSpec, inferred: str) -> str:
+    """Primary-key columns need INJECTIVE generators — unique indexes are
+    correctness constraints the reference knowingly violates (SURVEY.md
+    §1.3 'the generator can violate... known gap'); we do better. Rules
+    that are already unique-by-construction pass through."""
+    if inferred.startswith(("foreign_key:", "uuid4", "seq_")):
+        return inferred
+    if col.dtype == "uuid":
+        return "uuid4"
+    if col.dtype == "string":
+        length = col.length or 36
+        return "uuid4" if length >= 36 else f"seq_code:{length}"
+    if col.dtype in ("int", "short", "long"):
+        return "seq_int"
+    return inferred
+
+
 def infer_table_rules(table: TableSpec) -> dict[str, str]:
     """Rule map for every generated column of a table (the data_rules.json
-    shape: {column: "provider[:args]"})"""
+    shape: {column: "provider[:args]"}). PK columns are forced to
+    injective rules so generated keys are unique."""
     out = {}
+    pk = set(table.pk)
     for c in table.generated_columns:
-        c.rule = infer_rule(c)
+        rule = infer_rule(c, description=c.description)
+        if c.name in pk:
+            rule = _pk_safe_rule(c, rule)
+        c.rule = rule
         out[c.name] = c.rule
     return out
