@@ -69,6 +69,12 @@ class GenerationPlan:
     default_rows: int = DEFAULT_ROW_COUNT
     broadcast_threshold: int = 1_000_000
     num_partitions: int | None = None
+    # F4/F5/F6 skip filters (run_engine.py:23,25,221; fill_db.py:147) —
+    # opt-in: pass rules.DEFAULT_SKIP_TABLES / DEFAULT_SKIP_COLUMNS for
+    # the reference's behavior; default generates everything.
+    skip_tables: tuple[str, ...] = ()
+    skip_table_substrings: tuple[str, ...] = ()
+    skip_columns: tuple[str, ...] = ()
 
     # populated during run()
     _built: dict[str, DataFrame] = field(default_factory=dict)
@@ -193,6 +199,8 @@ class GenerationPlan:
         exprs: list[Column] = []
         join_requests: list[tuple[ColumnSpec, str, str]] = []
         for col in table.generated_columns:
+            if col.name in self.skip_columns:
+                continue
             if col.name in subtype_pk_exprs:
                 exprs.append(subtype_pk_exprs[col.name].cast(col.spark_type()).alias(col.name))
                 continue
@@ -249,6 +257,10 @@ class GenerationPlan:
         (the O2 sequencing; at scale this would be a write to storage)."""
         order = toposort_tables(self.tables)
         for name in order:
+            if name in self.skip_tables or any(
+                s in name for s in self.skip_table_substrings
+            ):
+                continue
             df = self._build_table(self.tables[name])
             if materialize:
                 df = df.cache()

@@ -189,6 +189,13 @@ def _pk_safe_rule(col: ColumnSpec, inferred: str) -> str:
     return inferred
 
 
+# F4/F5: system/framework tables excluded from generation by default
+# (run_engine.py:23,221: SKIP_TABLES + 'AspNet' substring; fill_db.py:147).
+DEFAULT_SKIP_TABLES = ("__EFMigrationsHistory", "sysdiagrams", "dtproperties")
+# F6: audit columns the DB fills (run_engine.py:25,244).
+DEFAULT_SKIP_COLUMNS = ("LogId", "CreateDate", "CreatedBy", "UpdateDate", "UpdatedBy")
+
+
 def infer_table_rules(table: TableSpec) -> dict[str, str]:
     """Rule map for every generated column of a table (the data_rules.json
     shape: {column: "provider[:args]"}). PK columns are forced to
@@ -202,3 +209,29 @@ def infer_table_rules(table: TableSpec) -> dict[str, str]:
         c.rule = rule
         out[c.name] = c.rule
     return out
+
+
+def dump_rules(tables: dict[str, TableSpec]) -> dict[str, dict[str, str]]:
+    """The data_rules.json shape (K5; generate_config_v2.py:100-101):
+    {table: {column: "provider[:args]"}}. Unlike the reference — which
+    writes this file and never reads it (SURVEY.md §0) — our executor
+    consumes exactly these rules, so dump/load is a faithful round trip."""
+    return {name: infer_table_rules(t) for name, t in tables.items()}
+
+
+def load_rules(tables: dict[str, TableSpec], config: dict[str, dict[str, str]]) -> None:
+    """Apply a rule config onto TableSpecs (the executor the reference
+    never built). Unknown tables/columns are ignored; FK bindings already
+    wired on the specs still win (precedence, generate_config_v2.py:81-93)."""
+    for tname, cols in config.items():
+        t = tables.get(tname)
+        if t is None:
+            continue
+        for cname, rule in cols.items():
+            try:
+                c = t.column(cname)
+            except KeyError:
+                continue
+            if c.rule and c.rule.startswith("foreign_key:"):
+                continue
+            c.rule = rule

@@ -150,3 +150,54 @@ def test_ean13_check_digit_valid(spark):
         digits = [int(c) for c in ean]
         wsum = sum(d * (1 if i % 2 == 0 else 3) for i, d in enumerate(digits[:12]))
         assert digits[12] == (10 - wsum % 10) % 10, ean
+
+
+def test_rules_json_roundtrip_and_skip_filters(spark):
+    import json
+
+    from synthetic_data_transfer_to_relational_database_spark.plans import rules as R
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import GenerationPlan
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    tables = {
+        "Cari": TableSpec(
+            name="Cari",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("Unvan", "string", length=100),
+                ColumnSpec("CreateDate", "timestamp"),  # F6 skip column
+            ],
+            pk=["Id"],
+        ),
+        "sysdiagrams": TableSpec(  # F4 skip table
+            name="sysdiagrams",
+            columns=[ColumnSpec("Id", "int", nullable=False)],
+            pk=["Id"],
+        ),
+    }
+    wire_fk_rules(tables)
+
+    # K5 round trip: dump -> JSON text -> load -> same rules applied
+    config = R.dump_rules(tables)
+    config2 = json.loads(json.dumps(config, ensure_ascii=False))
+    assert config2 == config
+    R.load_rules(tables, config2)
+    assert tables["Cari"].column("Unvan").rule == config["Cari"]["Unvan"]
+
+    plan = GenerationPlan(
+        spark,
+        tables,
+        seed=5,
+        row_counts={"Cari": 10},
+        skip_tables=("sysdiagrams",),
+        skip_table_substrings=("AspNet",),
+        skip_columns=R.DEFAULT_SKIP_COLUMNS,
+    )
+    built = plan.run(materialize=True)
+    assert "sysdiagrams" not in built
+    assert "CreateDate" not in built["Cari"].columns
+    assert built["Cari"].count() == 10
