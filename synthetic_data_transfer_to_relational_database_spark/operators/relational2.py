@@ -163,6 +163,70 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "window_ranks_pct",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ranks_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile / percent_rank /
+    cume_dist). The (price, key) total order makes every rank value
+    engine-deterministic; percent_rank and cume_dist are single IEEE
+    divisions of exact integers."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@q(
+    "scalar_array",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1]::DOUBLE AS first_d,
+           list_sum(list_transform(embedding[1:8]::DOUBLE[], x -> CAST(ROUND(x * 1000) AS BIGINT))) AS head_milli_sum,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
+           list_sort(embedding[1:4]::DOUBLE[])[4] AS head_max
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function pack over the embedding column: slice, transform,
+    filter, sort — the nested-type surface the reference lacks entirely
+    (SURVEY.md §1.2: extension surface). Float sums go through integer
+    milli-units for cross-engine exactness."""
+    e = table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 8)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_d"),
+        F.aggregate(
+            F.transform(head, lambda x: F.round(x.cast("double") * 1000).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("head_milli_sum"),
+        F.size(F.filter("embedding", lambda x: x.cast("double") > 0)).cast("long").alias(
+            "n_positive"
+        ),
+        F.element_at(
+            F.array_sort(F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double"))), 4
+        ).alias("head_max"),
+    )
+
+
+@q(
     "agg_median",
     sql="""
     SELECT l_returnflag,
