@@ -85,3 +85,36 @@ def test_stateful_user_profile(spark):
     assert _rows(got.select("user_id", "n_events", "value_cents", "first_ts", "last_ts")) == _rows(
         want
     )
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream interval join (both sides watermarked) must produce
+    exactly the batch interval-join result when run to completion."""
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+    from synthetic_data_transfer_to_relational_database_spark.streaming.joins import (
+        clicks_views_within,
+    )
+
+    got = run_to_completion(
+        clicks_views_within(stream_events(spark, SF_DIR), minutes=30), "append"
+    )
+
+    e = table(spark, SF_DIR, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
+
+    assert _rows(got) == _rows(want)
