@@ -123,9 +123,11 @@ class GenerationPlan:
 
     # ------------------------------------------------------------------
     def _fk_value(self, table: TableSpec, col: ColumnSpec, id_col: Column) -> Column:
-        """J1/J2: deterministic sample of an existing parent key."""
+        """J1/J2: deterministic sample of an existing parent key. The salt
+        is per-FK-constraint (not per-column) so composite-FK columns
+        sample the same parent row — tuple-consistent references."""
         parent_name, _, parent_col = col.fk_parent.partition(".")
-        salt = f"{table.name}.{col.name}"
+        salt = col.fk_salt or f"{table.name}.{col.name}"
 
         # self-reference: recompute this table's own PK expression at a
         # sampled index in [0, n) — same batch, always valid.

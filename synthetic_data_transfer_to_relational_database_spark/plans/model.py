@@ -42,6 +42,7 @@ class ColumnSpec:
     rule: str | None = None  # generation rule "provider[:args]"
     unsafe: bool = False  # outside SAFE_TYPES (rowversion/varbinary) — dropped (run_engine.py:105)
     description: str | None = None  # docs text (JSONL description_tr) — drives tier-2 rules
+    fk_salt: str | None = None  # shared sampling salt: composite-FK columns pick the SAME parent row
 
     def spark_type(self) -> DataType:
         d = self.dtype
@@ -135,6 +136,9 @@ def wire_fk_rules(tables: dict[str, TableSpec]) -> None:
     take precedence over any provider rule (generate_config_v2.py:81-93)."""
     for t in tables.values():
         for fk in t.fks:
+            # one salt per FK constraint: composite-FK columns must sample
+            # the SAME parent row or the generated tuple may not exist
+            salt = f"{t.name}.fk.{fk.parent_table}.{','.join(fk.columns)}"
             for col, pcol in zip(fk.columns, fk.parent_columns):
                 try:
                     spec = t.column(col)
@@ -142,3 +146,4 @@ def wire_fk_rules(tables: dict[str, TableSpec]) -> None:
                     continue
                 spec.fk_parent = f"{fk.parent_table}.{pcol}"
                 spec.rule = f"foreign_key:{fk.parent_table}.{pcol}"
+                spec.fk_salt = salt

@@ -201,3 +201,51 @@ def test_rules_json_roundtrip_and_skip_filters(spark):
     assert "sysdiagrams" not in built
     assert "CreateDate" not in built["Cari"].columns
     assert built["Cari"].count() == 10
+
+
+def test_composite_fk_tuple_consistency(spark):
+    """Both columns of a composite FK must land on the SAME parent row —
+    independently sampled components would fabricate key pairs that don't
+    exist in the parent."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import GenerationPlan
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    tables = {
+        "Referans": TableSpec(
+            name="Referans",
+            columns=[
+                ColumnSpec("TenantId", "uuid", nullable=False, length=36),
+                ColumnSpec("Kod", "string", nullable=False, length=8),
+                ColumnSpec("Aciklama", "string", length=100),
+            ],
+            pk=["TenantId", "Kod"],
+        ),
+        "Kayit": TableSpec(
+            name="Kayit",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("RefTenantId", "uuid", nullable=False, length=36),
+                ColumnSpec("RefKod", "string", nullable=False, length=8),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["RefTenantId", "RefKod"], "Referans", ["TenantId", "Kod"])],
+        ),
+    }
+    wire_fk_rules(tables)
+    plan = GenerationPlan(spark, tables, seed=9, row_counts={"Referans": 30, "Kayit": 300})
+    built = plan.run(materialize=True)
+
+    parent_pairs = {
+        (r["TenantId"], r["Kod"]) for r in built["Referans"].collect()
+    }
+    child_pairs = [
+        (r["RefTenantId"], r["RefKod"]) for r in built["Kayit"].collect()
+    ]
+    assert len(parent_pairs) == 30
+    bad = [p for p in child_pairs if p not in parent_pairs]
+    assert not bad, bad[:5]
