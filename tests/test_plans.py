@@ -1,0 +1,66 @@
+"""Plan-regression guards: the physical plans the scale story depends on
+(SCALE.md) must not silently degrade. Asserts on explain output — cheap,
+no execution.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from synthetic_data_transfer_to_relational_database_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# deliberate non-equi plans where a nested-loop side is broadcast by design
+_BNLJ_OK = {"sim_search", "sim_search_lsh"}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_pushdown_pruning_broadcast(spark):
+    plan = _plan(registry.all_queries()["revenue_by_nation"](spark, SF_DIR))
+    # date-range filter reaches the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: lineitem scan reads 4 columns, not 16
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+    # dims broadcast, fact never does
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "AdaptiveSparkPlan" in plan
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Sweep every registered batch query: no CartesianProduct anywhere,
+    and BroadcastNestedLoopJoin only in the whitelisted deliberate ANN
+    scans (10-row broadcast side)."""
+    qs = registry.all_queries()
+    offenders = {}
+    for name, fn in qs.items():
+        if name.startswith("stream_") or name in ("gen_synthetic_orders", "sim_search_ivf"):
+            continue  # streaming/generator queries execute eagerly to plan
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "cartesian"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            offenders[name] = "bnlj"
+    assert not offenders, offenders
+
+
+def test_minhash_signatures_have_no_shuffle(spark):
+    """The MinHash signature stage must stay map-side: no Exchange between
+    the documents scan and the signature projection (the bucket join's
+    exchange is the FIRST allowed shuffle)."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.dedup import (
+        _minhash_signatures,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+
+    plan = _plan(_minhash_signatures(table(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan
