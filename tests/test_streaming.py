@@ -118,3 +118,31 @@ def test_stream_stream_join_matches_batch(spark):
     ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
 
     assert _rows(got) == _rows(want)
+
+
+def test_foreachbatch_parquet_sink_idempotent(spark, tmp_path):
+    """foreachBatch sink writes partitioned parquet once per batch_id;
+    replaying the same stream (fresh checkpoint, same data => same batch
+    ids) must not duplicate rows."""
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+    from synthetic_data_transfer_to_relational_database_spark.streaming.batch_sink import (
+        read_sink,
+        write_stream_to_parquet,
+    )
+
+    out = str(tmp_path / "events_sink")
+    agg = tumbling_agg(stream_events(spark, SF_DIR))
+
+    q = write_stream_to_parquet(agg.withColumn("event_type", F.col("event_type")), out)
+    q.awaitTermination()
+    n1 = read_sink(spark, out).count()
+
+    # same source, fresh checkpoint -> batch 0 replays; ledger must skip it
+    q2 = write_stream_to_parquet(tumbling_agg(stream_events(spark, SF_DIR)), out)
+    q2.awaitTermination()
+    n2 = read_sink(spark, out).count()
+
+    assert n1 > 0
+    assert n2 == n1  # no duplicates
+    want = batch_events.QUERIES["events_tumbling"](spark, SF_DIR)
+    assert n1 == want.count()
