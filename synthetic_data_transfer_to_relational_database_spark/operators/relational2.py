@@ -73,6 +73,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "join_full_outer",
+    sql="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate
+    FROM (SELECT * FROM customer WHERE c_custkey % 7 = 0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 5 = 0) o
+      ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on BOTH sides (the filters make
+    each side miss rows of the other). Full outer cannot broadcast —
+    Spark correctly picks a shuffle join; both inputs are pre-filtered so
+    the shuffle carries only the surviving rows."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 5 == 0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate"
+    )
+
+
+@q(
+    "agg_string",
+    sql="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is partition-order-
+    dependent, so sort the array before joining — deterministic in both
+    engines via the explicit ORDER BY / array_sort."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
