@@ -93,8 +93,10 @@ def dedup_key_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, length(text) - 2),
-                                          i -> substr(text, i, 3))) AS grams
+             CASE WHEN length(text) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                            i -> substr(text, i, 3)))
+             ELSE [] END AS grams
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -110,11 +112,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verifier that LSH candidates feed into (here on a fixed pairing so
     # the oracle stays O(n)).
     d = table(spark, sf_dir, "documents")
+    # Texts shorter than 3 chars have no trigrams. The guard matters
+    # cross-engine: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    # while DuckDB's generate_series(1, 0) is empty.
     sh = d.select(
         "doc_id",
-        F.expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))").alias(
-            "grams"
-        ),
+        F.expr(
+            "CASE WHEN length(text) >= 3 THEN "
+            "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))) "
+            "ELSE array() END"
+        ).alias("grams"),
     )
     a = sh.alias("a")
     b = sh.alias("b")

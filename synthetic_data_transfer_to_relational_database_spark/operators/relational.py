@@ -48,7 +48,7 @@ def _cents(c):
     "revenue_by_nation",
     sql="""
     SELECT n_name,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -74,7 +74,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))).alias("revenue"),
+            # Sum exactly in decimal (order-independent), cast once at the
+            # end: both engines then emit the same IEEE double — the only
+            # representation the driver's value-hash treats as equal.
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)")))
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -247,8 +252,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hash",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            MIN(l_quantity) AS min_qty,
            MAX(l_extendedprice) AS max_price,
            COUNT(*) AS cnt,
@@ -265,8 +270,8 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).alias("sum_price"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_extendedprice").alias("max_price"),
         F.count(F.lit(1)).alias("cnt"),
@@ -310,7 +315,7 @@ QUERIES["agg_approx_distinct"] = agg_approx_distinct
     "agg_rollup",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -319,7 +324,7 @@ QUERIES["agg_approx_distinct"] = agg_approx_distinct
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -328,7 +333,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -337,7 +342,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_extendedprice")).alias("sum_price"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -346,7 +351,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_gsets",
     sql="""
     SELECT o_orderstatus, o_orderpriority,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
            COUNT(*) AS cnt
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -357,7 +362,7 @@ def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
                COUNT(*) AS cnt
         FROM _gsets_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -399,9 +404,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_frame",
     sql="""
     SELECT o_orderkey, o_custkey, o_orderdate,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum,
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
            COUNT(*) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
@@ -415,7 +420,7 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(_dec("o_totalprice")).over(w.rowsBetween(-2, 0)).alias("moving_sum"),
+        F.sum(_dec("o_totalprice")).over(w.rowsBetween(-2, 0)).cast("double").alias("moving_sum"),
         F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("n_so_far"),
     )
 

@@ -159,8 +159,8 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber,
              CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
              COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-               OVER (PARTITION BY l_orderkey) AS order_cents
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS BIGINT) AS order_cents
       FROM lineitem
     )
     SELECT l_orderkey, l_linenumber, price_cents, n_items, order_cents
@@ -237,7 +237,7 @@ def window_ranks_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            embedding[1]::DOUBLE AS first_d,
-           list_sum(list_transform(embedding[1:8]::DOUBLE[], x -> CAST(ROUND(x * 1000) AS BIGINT))) AS head_milli_sum,
+           CAST(list_sum(list_transform(embedding[1:8]::DOUBLE[], x -> CAST(ROUND(x * 1000) AS BIGINT))) AS BIGINT) AS head_milli_sum,
            len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
            list_sort(embedding[1:4]::DOUBLE[])[4] AS head_max
     FROM embeddings

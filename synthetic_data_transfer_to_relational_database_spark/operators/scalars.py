@@ -57,13 +57,13 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_date",
     sql="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS odate,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate,
            EXTRACT(YEAR FROM o_orderdate) AS oyear,
            EXTRACT(MONTH FROM o_orderdate) AS omonth,
            EXTRACT(DAY FROM o_orderdate) AS oday,
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS omonth_start,
            DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date
     FROM orders
     """,
 )
@@ -71,7 +71,10 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("odate"),
+        # DATE values are emitted as midnight timestamps: both engines'
+        # pandas clients then agree on dtype (datetime64), where raw DATE
+        # becomes `datetime.date` objects on the Spark side only.
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("odate"),
         F.year("o_orderdate").cast("long").alias("oyear"),
         F.month("o_orderdate").cast("long").alias("omonth"),
         F.dayofmonth("o_orderdate").cast("long").alias("oday"),
@@ -79,7 +82,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
         .cast("long")
         .alias("days_since_95"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
     )
 
 

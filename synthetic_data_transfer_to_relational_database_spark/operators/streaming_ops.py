@@ -31,7 +31,7 @@ _TUMBLING_SQL = """
     SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS win_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY 1, 2
 """
@@ -47,7 +47,7 @@ _SLIDING_SQL = """
     )
     SELECT win_start,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM assigned
     WHERE ts >= win_start AND ts < win_start + INTERVAL 60 MINUTE
     GROUP BY win_start
@@ -73,7 +73,7 @@ _SESSION_SQL = """
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM grouped
     GROUP BY user_id, session_id
 """

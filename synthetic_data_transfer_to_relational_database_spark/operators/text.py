@@ -159,9 +159,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     sql=f"""
     SELECT doc_id,
-           list_sum(list_transform(generate_series(1, least(length(text), 64)),
+           CAST(list_sum(list_transform(generate_series(1, least(length(text), 64)),
                     i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) * ({_POW31_SQL})[i]) % {_P}
-           )) % {_P} AS fingerprint
+           )) % {_P} AS BIGINT) AS fingerprint
     FROM documents
     """,
 )

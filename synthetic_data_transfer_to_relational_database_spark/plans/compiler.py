@@ -56,6 +56,17 @@ def compile_rule(rule: str, col: ColumnSpec, id_col: Column, seed: int) -> Colum
         # Injective while idx < 36^n (enforced by width = declared length).
         n = int(args) if args else (col.length or 8)
         expr = F.lpad(F.conv(id_col.cast("string"), 10, 36), n, "0")
+    elif name == "seq_date":
+        # injective date: anchor + idx days (unique-index members)
+        expr = F.date_add(F.lit("2020-01-01").cast("date"), id_col.cast("int"))
+    elif name == "seq_timestamp":
+        # injective timestamp: anchor + idx seconds — unique for any
+        # realistic row count (~31M rows/year of distinct seconds)
+        expr = F.timestamp_seconds(F.lit(1577836800).cast("long") + id_col)
+    elif name == "seq_decimal":
+        expr = (id_col + 1).cast(
+            col.dtype if col.dtype.startswith("decimal") else "decimal(18,2)"
+        )
     elif name == "random_int":
         lo, hi = (int(x) for x in args.split(",")) if args else (0, 100000)
         lo, hi = _clamp_int_range(col.dtype, lo, hi)

@@ -35,6 +35,7 @@ independent of partitioning — all randomness is xxhash64(id, seed, salt).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -67,7 +68,7 @@ class GenerationPlan:
     seed: int = 42
     row_counts: dict[str, int] = field(default_factory=dict)
     default_rows: int = DEFAULT_ROW_COUNT
-    broadcast_threshold: int = 1_000_000
+    broadcast_threshold: int = 100_000
     num_partitions: int | None = None
     # F4/F5/F6 skip filters (run_engine.py:23,25,221; fill_db.py:147) —
     # opt-in: pass rules.DEFAULT_SKIP_TABLES / DEFAULT_SKIP_COLUMNS for
@@ -75,6 +76,13 @@ class GenerationPlan:
     skip_tables: tuple[str, ...] = ()
     skip_table_substrings: tuple[str, ...] = ()
     skip_columns: tuple[str, ...] = ()
+    # Identity read-back (run_engine.py:265-266 fetch_ids): when loading
+    # into a LIVE database, IDENTITY values are NOT 1..n — the sink fetches
+    # the real keys after insert and stores them here ({table: {pk_col:
+    # [keys]}}); children then sample these instead of the assumed range.
+    parent_keys_override: dict[str, dict[str, list]] = field(default_factory=dict)
+    # storage root for materialize="write" (defaults to spark-warehouse)
+    materialize_dir: str = "spark-warehouse/_generated"
 
     # populated during run()
     _built: dict[str, DataFrame] = field(default_factory=dict)
@@ -122,6 +130,17 @@ class GenerationPlan:
         return fns
 
     # ------------------------------------------------------------------
+    def _sample_idx(self, id_col: Column, salt: str, n: int, unique: bool) -> Column:
+        """Deterministic parent-row index in [0, n). Default: uniform with
+        replacement (hash). ``unique`` (a unique index covers the FK
+        column): WITHOUT replacement via an affine permutation — injective
+        while the child row count ≤ n, so sampled keys never repeat."""
+        if unique:
+            s = self.seed + _stable_hash(salt)
+            a = _coprime_step(n, s)
+            return F.pmod(id_col * F.lit(a) + F.lit(s % max(n, 1)), F.lit(n))
+        return F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n))
+
     def _fk_value(self, table: TableSpec, col: ColumnSpec, id_col: Column) -> Column:
         """J1/J2: deterministic sample of an existing parent key. The salt
         is per-FK-constraint (not per-column) so composite-FK columns
@@ -136,9 +155,17 @@ class GenerationPlan:
             pk_fns = self._pk_expr_fns.get(table.name, {})
             fn = pk_fns.get(parent_col)
             if fn is not None:
-                sampled = F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n))
-                return fn(sampled)
+                return fn(self._sample_idx(id_col, salt, n, col.unique))
             return F.lit(None)
+
+        # live-DB identity read-back wins over every assumed-key path
+        override = self.parent_keys_override.get(parent_name, {}).get(parent_col)
+        if override is not None:
+            if not override:
+                return self._fk_fallback(col, id_col, salt)
+            arr = F.lit(list(override))
+            idx = (self._sample_idx(id_col, salt, len(override), col.unique) + 1).cast("int")
+            return F.element_at(arr, idx)
 
         parent_df = self._built.get(parent_name)
         if parent_df is None:
@@ -152,13 +179,15 @@ class GenerationPlan:
         # expression-computable parent PK ⇒ function composition, no join
         fn = self._pk_expr_fns.get(parent_name, {}).get(parent_col)
         if fn is not None:
-            sampled = F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n_parent))
-            return fn(sampled)
+            return fn(self._sample_idx(id_col, salt, n_parent, col.unique))
 
         if n_parent <= self.broadcast_threshold:
             keys = [r[0] for r in parent_df.select(parent_col).collect()]
-            arr = F.array(*[F.lit(k) for k in keys])
-            idx = (F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(len(keys))) + 1).cast("int")
+            # ONE array literal (a single Catalyst Literal node), not 10^5
+            # F.lit() Column constructions — the per-element form blows up
+            # py4j call count and plan size long before the threshold.
+            arr = F.lit(keys)
+            idx = (self._sample_idx(id_col, salt, len(keys), col.unique) + 1).cast("int")
             return F.element_at(arr, idx)
 
         # large-parent path is planned in _build_table via an equi-join
@@ -214,8 +243,10 @@ class GenerationPlan:
                     continue
                 # nullable FK columns get a deterministic null fraction,
                 # exercising the null-extension path like the reference's
-                # nullable handling (fill_db.py:162-163)
-                if col.nullable:
+                # nullable handling (fill_db.py:162-163). Unique-indexed
+                # columns stay non-null: repeated NULLs would violate the
+                # index under ANSI-92 semantics (MSSQL treats NULLs equal).
+                if col.nullable and not col.unique:
                     is_null = F.pmod(F.xxhash64(id_col, F.lit(table_seed), F.lit(col.name + ".null")), F.lit(10)) == 0
                     expr = F.when(is_null, F.lit(None)).otherwise(expr)
                 exprs.append(expr.cast(col.spark_type()).alias(col.name))
@@ -224,28 +255,90 @@ class GenerationPlan:
 
         out = df.select(id_col, *exprs)
 
-        # large-parent FK values via index-equi-join (scale path of J1)
+        # Large-parent FK values via index-equi-join (scale path of J1).
+        # Requests are grouped per (parent, fk constraint salt): composite-FK
+        # columns that share a constraint join against ONE sampled parent
+        # row, keeping tuple consistency on this path too.
+        grouped: dict[tuple[str, str], list[tuple[ColumnSpec, str]]] = {}
         for col, parent_name, parent_col in join_requests:
-            parent_df = self._built[parent_name]
-            n_parent = self._row_count_of.get(parent_name) or parent_df.count()
-            from pyspark.sql.window import Window
+            salt = col.fk_salt or f"{table.name}.{col.name}"
+            grouped.setdefault((parent_name, salt), []).append((col, parent_col))
 
-            parent_idx = parent_df.select(
-                F.col(parent_col).alias(f"__pk_{col.name}"),
-                (F.row_number().over(Window.orderBy(parent_col)) - 1).alias("__pidx"),
-            )
-            pick = F.pmod(
-                F.xxhash64(F.col("__id"), F.lit(self.seed), F.lit(f"{table.name}.{col.name}")),
-                F.lit(n_parent),
-            ).alias("__pick")
+        for (parent_name, salt), pairs in grouped.items():
+            parent_idx, n_parent = self._indexed_parent(parent_name, pairs)
+            uniq = any(col.unique for col, _ in pairs)
+            pick = self._sample_idx(F.col("__id"), salt, n_parent, uniq).alias("__pick")
             out = (
                 out.withColumn("__pick", pick)
                 .join(parent_idx, F.col("__pick") == F.col("__pidx"), "left")
-                .withColumn(col.name, F.col(f"__pk_{col.name}").cast(col.spark_type()))
-                .drop("__pick", "__pidx", f"__pk_{col.name}")
+                .drop("__pick", "__pidx")
             )
+            for col, _ in pairs:
+                val = F.col(f"__pk_{col.name}").cast(col.spark_type())
+                if col.nullable and not col.unique:
+                    is_null = (
+                        F.pmod(
+                            F.xxhash64(F.col("__id"), F.lit(table_seed), F.lit(col.name + ".null")),
+                            F.lit(10),
+                        )
+                        == 0
+                    )
+                    val = F.when(is_null, F.lit(None)).otherwise(val)
+                out = out.withColumn(col.name, val).drop(f"__pk_{col.name}")
 
         return out.drop("__id")
+
+    # ------------------------------------------------------------------
+    def _indexed_parent(
+        self, parent_name: str, pairs: list[tuple[ColumnSpec, str]]
+    ) -> tuple[DataFrame, int]:
+        """Parent keys with a dense 0..n-1 index, WITHOUT a global
+        single-partition sort: range-repartition by the key tuple (ordered
+        partitions), sort within partitions, then add each partition's row
+        number to its global offset (a num_partitions-sized collect). The
+        index equals the global rank of the key tuple — deterministic and
+        layout-independent — but every sort is partition-local, so the path
+        scales to arbitrarily large parents.
+        """
+        from pyspark.sql.window import Window
+
+        parent_df = self._built[parent_name]
+        n_parent = self._row_count_of.get(parent_name) or parent_df.count()
+        key_cols = [f"__pk_{col.name}" for col, _ in pairs]
+        nparts = max(
+            1,
+            min(
+                self.num_partitions or self.spark.sparkContext.defaultParallelism,
+                n_parent,
+            ),
+        )
+        p = (
+            parent_df.select(
+                *[F.col(pc).alias(f"__pk_{col.name}") for col, pc in pairs]
+            )
+            .repartitionByRange(nparts, *key_cols)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("__part", F.spark_partition_id())
+        )
+        counts = {r["__part"]: r["count"] for r in p.groupBy("__part").count().collect()}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for part in sorted(counts):
+            offsets[part] = acc
+            acc += counts[part]
+        off_expr = F.element_at(
+            F.map_from_arrays(
+                F.lit([int(k) for k in sorted(counts)]),
+                F.lit([int(offsets[k]) for k in sorted(counts)]),
+            ),
+            F.col("__part"),
+        )
+        w = Window.partitionBy("__part").orderBy(*key_cols)
+        parent_idx = (
+            p.withColumn("__pidx", (F.row_number().over(w) - 1 + off_expr).cast("long"))
+            .drop("__part")
+        )
+        return parent_idx, n_parent
 
     # ------------------------------------------------------------------
     def build_order(self) -> list[str]:
@@ -253,21 +346,41 @@ class GenerationPlan:
         also the correct JDBC load order when FK constraints are live."""
         return toposort_tables(self.tables)
 
-    def run(self, materialize: bool = True) -> dict[str, DataFrame]:
-        """Build every table in dependency order. With materialize=True
-        each table is cached+counted before dependents reference it
-        (the O2 sequencing; at scale this would be a write to storage)."""
+    def build_one(self, name: str, materialize: bool | str = True) -> DataFrame:
+        """Build (and register) a single table — parents must already be
+        built. Public so sinks can interleave build → load → key-fetch."""
+        df = self._materialize_df(self._build_table(self.tables[name]), name, materialize)
+        self._built[name] = df
+        return df
+
+    def _materialize_df(self, df: DataFrame, name: str, mode: bool | str) -> DataFrame:
+        if mode is True or mode == "cache":
+            # fine locally / for dimension tables; pins executor memory
+            df = df.cache()
+            df.count()
+            return df
+        if mode == "write":
+            # the at-scale materialization: each table becomes a parquet
+            # dataset; dependents re-read from storage, nothing is pinned
+            # in cluster memory (85 tables × 10⁹ rows would not fit).
+            path = os.path.join(self.materialize_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df
+
+    def run(self, materialize: bool | str = True) -> dict[str, DataFrame]:
+        """Build every table in dependency order, each materialized before
+        dependents sample its keys (the O2 sequencing). ``materialize``:
+        True/"cache" (local/dim-sized), "write" (parquet-backed, the 100 TB
+        path), or False (lazy — only valid when no FK sampling needs
+        deterministic parent scans)."""
         order = toposort_tables(self.tables)
         for name in order:
             if name in self.skip_tables or any(
                 s in name for s in self.skip_table_substrings
             ):
                 continue
-            df = self._build_table(self.tables[name])
-            if materialize:
-                df = df.cache()
-                df.count()
-            self._built[name] = df
+            self.build_one(name, materialize)
         return dict(self._built)
 
 

@@ -43,6 +43,8 @@ class ColumnSpec:
     unsafe: bool = False  # outside SAFE_TYPES (rowversion/varbinary) — dropped (run_engine.py:105)
     description: str | None = None  # docs text (JSONL description_tr) — drives tier-2 rules
     fk_salt: str | None = None  # shared sampling salt: composite-FK columns pick the SAME parent row
+    unique: bool = False  # member of a unique index resolved onto this column:
+    # FK columns sample parents WITHOUT replacement, others get injective rules
 
     def spark_type(self) -> DataType:
         d = self.dtype
@@ -99,6 +101,11 @@ class TableSpec:
     columns: list[ColumnSpec] = field(default_factory=list)
     pk: list[str] = field(default_factory=list)
     fks: list[FKSpec] = field(default_factory=list)
+    # CREATE UNIQUE INDEX column tuples (script.sql:2549-3814 declares 31
+    # unique + 7 filtered indexes, e.g. uBankaUlkeKod script.sql:2621).
+    # The reference's generator can violate them (SURVEY.md §1.3 known
+    # gap); our rules enforce them via injective member columns.
+    unique_indexes: list[list[str]] = field(default_factory=list)
 
     def column(self, name: str) -> ColumnSpec:
         for c in self.columns:

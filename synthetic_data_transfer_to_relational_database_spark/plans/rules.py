@@ -186,7 +186,53 @@ def _pk_safe_rule(col: ColumnSpec, inferred: str) -> str:
         return "uuid4" if length >= 36 else f"seq_code:{length}"
     if col.dtype in ("int", "short", "long"):
         return "seq_int"
+    if col.dtype == "date":
+        return "seq_date"
+    if col.dtype == "timestamp":
+        return "seq_timestamp"
+    if col.dtype.startswith("decimal"):
+        return "seq_decimal"
     return inferred
+
+
+_INJECTIVE_RULES = ("uuid4", "seq_int", "seq_code", "seq_date", "seq_timestamp", "seq_decimal")
+
+
+def _enforce_unique_indexes(table: TableSpec) -> None:
+    """Unique business keys (CREATE UNIQUE INDEX, e.g. uBankaUlkeKod
+    script.sql:2621): tuple uniqueness follows from ANY injective member,
+    so switch one member column per index to an injective rule. Non-FK
+    members are preferred (a local rule change); an index made of FK
+    columns only marks its first member ``unique`` instead — the executor
+    then samples that parent WITHOUT replacement (affine permutation).
+    The reference knowingly violates these constraints (SURVEY.md §1.3)."""
+    pk = set(table.pk)
+    for idx_cols in table.unique_indexes:
+        members: list[ColumnSpec] = []
+        covered = False
+        for name in idx_cols:
+            try:
+                c = table.column(name)
+            except KeyError:
+                continue
+            if c.identity or c.name in pk or c.unique:
+                covered = True
+                break
+            base = (c.rule or "").partition(":")[0]
+            if base in _INJECTIVE_RULES:
+                covered = True
+                break
+            if not (c.computed or c.unsafe):
+                members.append(c)
+        if covered or not members:
+            continue
+        non_fk = [c for c in members if not c.fk_parent]
+        if non_fk:
+            c = non_fk[0]
+            c.rule = _pk_safe_rule(c, c.rule or _type_default_rule(c))
+            c.unique = True
+        else:
+            members[0].unique = True
 
 
 # F4/F5: system/framework tables excluded from generation by default
@@ -207,6 +253,8 @@ def infer_table_rules(table: TableSpec) -> dict[str, str]:
         if c.name in pk:
             rule = _pk_safe_rule(c, rule)
         c.rule = rule
+    _enforce_unique_indexes(table)
+    for c in table.generated_columns:
         out[c.name] = c.rule
     return out
 

@@ -159,6 +159,43 @@ def read_table(
     return reader.load()
 
 
+def load_plan_to_live_db(
+    plan,
+    target: JdbcTarget,
+    fetch_limit: int = 1_000_000,
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+) -> list[str]:
+    """Generate + bulk-append every table of a GenerationPlan into a LIVE
+    database in dependency order, with identity read-back: after a table
+    with an IDENTITY PK is appended, its REAL keys are fetched from the
+    database (run_engine.py:265-266 re-fetches after insert) and override
+    the executor's assumed 1..n sequence — children of a pre-populated
+    table then reference actual DB keys, not fabricated ones.
+
+    Returns the load order (also the constraint-safe order, O1)."""
+    spark = plan.spark
+    order = [
+        n
+        for n in plan.build_order()
+        if n not in plan.skip_tables
+        and not any(s in n for s in plan.skip_table_substrings)
+    ]
+    for name in order:
+        table = plan.tables[name]
+        df = plan.build_one(name)
+        write_table(df, target, name, batchsize=batchsize, num_partitions=num_partitions)
+        for pk_col in table.pk:
+            try:
+                spec = table.column(pk_col)
+            except KeyError:
+                continue
+            if spec.identity:
+                keys = fetch_parent_keys(spark, target, name, pk_col, limit=fetch_limit)
+                plan.parent_keys_override.setdefault(name, {})[pk_col] = keys
+    return order
+
+
 def fetch_parent_keys(
     spark: SparkSession, target: JdbcTarget, table: str, pk: str, limit: int = 1000
 ) -> list:

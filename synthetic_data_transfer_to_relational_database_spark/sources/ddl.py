@@ -106,7 +106,10 @@ def map_sql_type(sql_type: str, args: list[int]) -> ColumnSpec:
     dtype, has_len = _SAFE[t]
     spec = ColumnSpec(name="?", dtype=dtype)
     if dtype == "decimal":
-        p, s = (args + [18, 2])[:2] if args else ((19, 4) if "money" in t else (18, 2))
+        # Explicit args: NUMERIC(p) means scale 0 per SQL standard —
+        # padding with the (18,2) default made NUMERIC(10) parse as
+        # decimal(10,18), an invalid scale > precision spec.
+        p, s = (args + [0])[:2] if args else ((19, 4) if "money" in t else (18, 2))
         if t in ("money", "smallmoney"):
             p, s = 19, 4
         spec.dtype = f"decimal({p},{s})"
@@ -140,6 +143,26 @@ _FK_RE = re.compile(
     r"(?P<cascade>\s*ON\s+DELETE\s+CASCADE)?",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+_UNIQUE_IDX_RE = re.compile(
+    r"CREATE\s+UNIQUE\s+(?:NONCLUSTERED\s+|CLUSTERED\s+)?INDEX\s+\[(?P<name>[^\]]+)\]\s+"
+    r"ON\s+\[?(?:\w+)\]?\.\[?(?P<table>\w+)\]?\s*\((?P<cols>[^)]+)\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_unique_indexes(batches: list[str]) -> list[tuple[str, list[str]]]:
+    """(table, [columns]) per CREATE UNIQUE [NONCLUSTERED] INDEX batch —
+    filtered indexes (trailing WHERE) parse identically; enforcing
+    uniqueness over ALL rows satisfies the filtered constraint a fortiori."""
+    out: list[tuple[str, list[str]]] = []
+    for b in batches:
+        for m in _UNIQUE_IDX_RE.finditer(b):
+            cols = _PK_COL_RE.findall(m.group("cols"))
+            if cols:
+                out.append((m.group("table"), cols))
+    return out
 
 
 def _parse_type_args(argstr: str | None) -> list[int]:
@@ -206,5 +229,8 @@ def parse_schema_script(path: str | Path, encoding: str = "utf-16") -> dict[str,
     for child, fk in parse_foreign_keys(batches):
         if child in tables:
             tables[child].fks.append(fk)
+    for tname, cols in parse_unique_indexes(batches):
+        if tname in tables:
+            tables[tname].unique_indexes.append(cols)
     wire_fk_rules(tables)
     return tables

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -26,7 +27,9 @@ def _ledger_path(path: str) -> str:
 def committed_batch_ids(spark: SparkSession, path: str) -> set[int]:
     try:
         return {r[0] for r in spark.read.parquet(_ledger_path(path)).select("batch_id").collect()}
-    except Exception:  # first run: ledger doesn't exist yet
+    except AnalysisException:  # first run: ledger doesn't exist yet.
+        # Deliberately narrow: a transient read failure must PROPAGATE —
+        # treating it as "no batches committed" would re-append everything.
         return set()
 
 
@@ -51,10 +54,14 @@ def write_stream_to_parquet(
             # sink instead of returning early.
             batch_df.write.format("noop").mode("overwrite").save()
             return
-        writer = batch_df.write.mode("append")
+        # Each batch OVERWRITES its own batch_id-scoped subdirectory: a
+        # crash after the data write but before the ledger append replays
+        # into the same directory instead of double-appending, so
+        # data-write + ledger-append need not be atomic together.
+        writer = batch_df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(os.path.join(path, "data"))
+        writer.parquet(os.path.join(path, "data", f"batch_id={batch_id}"))
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode("append").parquet(
             _ledger_path(path)
         )
@@ -66,4 +73,5 @@ def write_stream_to_parquet(
 
 
 def read_sink(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "data"))
+    # batch_id is the per-batch directory key, not part of the row schema.
+    return spark.read.parquet(os.path.join(path, "data")).drop("batch_id")

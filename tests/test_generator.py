@@ -249,3 +249,27 @@ def test_composite_fk_tuple_consistency(spark):
     assert len(parent_pairs) == 30
     bad = [p for p in child_pairs if p not in parent_pairs]
     assert not bad, bad[:5]
+
+
+def test_write_materialization_path(spark, tmp_path):
+    """materialize="write": every table becomes a parquet dataset and
+    dependents re-read from storage — the 100 TB materialization (nothing
+    pinned in cluster memory). Same invariants as the cached path."""
+    plan = GenerationPlan(
+        spark,
+        mini_erp(),
+        seed=7,
+        row_counts=ROWS,
+        materialize_dir=str(tmp_path / "gen"),
+    )
+    built = plan.run(materialize="write")
+    for name, n in ROWS.items():
+        assert built[name].count() == n, name
+        assert (tmp_path / "gen" / name).exists()
+    # FK closure still holds when parents are storage-backed
+    parents = {r[0] for r in built["Ulke"].select("NumKod").collect()}
+    for (v,) in built["Il"].select("UlkeNumKod").collect():
+        assert v in parents
+    cari_ids = {r[0] for r in built["CariHesap"].select("Id").collect()}
+    for (v,) in built["CariHareket"].select("CariHesapId").collect():
+        assert v in cari_ids

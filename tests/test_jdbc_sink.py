@@ -128,3 +128,64 @@ def test_parallel_partitioned_read(spark, derby):
     )
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 1000
+
+
+def test_identity_readback_against_prepopulated_parent(spark, derby):
+    """Live-DB append path: the parent table ALREADY has rows (identities
+    1..5 assigned by the DB before we arrive), we append 20 generated rows
+    (identities 6..25), and the child must sample from the REAL fetched
+    key set 1..25 — not the executor's assumed 1..n sequence."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        load_plan_to_live_db,
+    )
+
+    execute_statements(
+        spark,
+        derby,
+        [
+            """CREATE TABLE Kategori (
+                 Id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                 Ad VARCHAR(50) NOT NULL)""",
+            """CREATE TABLE Urun (
+                 Id VARCHAR(36) NOT NULL PRIMARY KEY,
+                 KategoriId INT NOT NULL REFERENCES Kategori(Id),
+                 Ad VARCHAR(50) NOT NULL)""",
+        ]
+        + [f"INSERT INTO Kategori (Ad) VALUES ('pre-{i}')" for i in range(5)],
+    )
+
+    tables = {
+        "Kategori": TableSpec(
+            name="Kategori",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False, identity=True),
+                ColumnSpec("Ad", "string", nullable=False, length=50),
+            ],
+            pk=["Id"],
+        ),
+        "Urun": TableSpec(
+            name="Urun",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("KategoriId", "int", nullable=False),
+                ColumnSpec("Ad", "string", nullable=False, length=50),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["KategoriId"], "Kategori", ["Id"])],
+        ),
+    }
+    wire_fk_rules(tables)
+    plan = GenerationPlan(spark, tables, seed=3, row_counts={"Kategori": 20, "Urun": 120})
+    load_plan_to_live_db(plan, derby, batchsize=100)
+
+    # read-back happened and saw the pre-populated identities
+    fetched = plan.parent_keys_override["Kategori"]["Id"]
+    assert sorted(fetched) == list(range(1, 26))
+
+    urun = read_table(spark, derby, "Urun")
+    assert urun.count() == 120
+    sampled = {r[0] for r in urun.select("KATEGORIID").collect()}
+    assert sampled <= set(range(1, 26))
+    # the assumed-1..n path could never emit keys > 20: seeing them proves
+    # children sampled the fetched live keys (P(miss all 5) ≈ (20/25)^120)
+    assert max(sampled) > 20

@@ -64,3 +64,76 @@ def test_minhash_signatures_have_no_shuffle(spark):
 
     plan = _plan(_minhash_signatures(table(spark, SF_DIR, "documents")))
     assert "Exchange" not in plan
+
+
+def test_large_parent_fk_join_has_no_global_window(spark):
+    """SURVEY §7 hard-part 1: the scale path of J1 (parent >
+    broadcast_threshold, non-expression PK) must not collapse the parent
+    into one partition. The dense index is built from partition-local
+    sorts + offsets; the only Window is partitioned by __part."""
+    import re
+
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
+        GenerationPlan,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    tables = {
+        "Baslik": TableSpec(
+            name="Baslik",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("Ad", "string", nullable=False, length=20),
+            ],
+            pk=["Id"],
+        ),
+        # subtype: PK is an FK — NOT expression-computable, so children of
+        # Belge must take the join path once Belge exceeds the threshold
+        "Belge": TableSpec(
+            name="Belge",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("Tip", "string", nullable=False, length=4),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["Id"], "Baslik", ["Id"])],
+        ),
+        "Satir": TableSpec(
+            name="Satir",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("BelgeId", "uuid", nullable=False, length=36),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["BelgeId"], "Belge", ["Id"])],
+        ),
+    }
+    wire_fk_rules(tables)
+    plan = GenerationPlan(
+        spark,
+        tables,
+        seed=5,
+        row_counts={"Baslik": 80, "Belge": 60, "Satir": 200},
+        broadcast_threshold=10,  # force the join path at test size
+    )
+    built = plan.run()
+
+    # explain the UNCACHED build so the join plan is visible
+    child_plan = _plan(plan._build_table(tables["Satir"]))
+    # every Window in the plan must carry a partition spec (__part):
+    # windowspecdefinition(<order>, frame) with no leading partition list
+    # would mean a global single-partition sort crept back in
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", child_plan)
+    assert specs, "expected the index-join Window in the child plan"
+    for spec in specs:
+        assert "__part" in spec, f"unpartitioned window: {spec}"
+
+    # and the sampled FKs still close over the parent
+    belge_ids = {r[0] for r in built["Belge"].select("Id").collect()}
+    for (v,) in built["Satir"].select("BelgeId").collect():
+        assert v in belge_ids

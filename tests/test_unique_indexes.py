@@ -1,0 +1,162 @@
+"""Unique-index enforcement: generated data carries zero duplicates on
+declared unique business keys — the constraint class the reference's
+generator knowingly violates (SURVEY.md §1.3; script.sql declares 31
+unique + 7 filtered indexes, e.g. uBankaUlkeKod script.sql:2621)."""
+
+from __future__ import annotations
+
+import pytest
+
+from synthetic_data_transfer_to_relational_database_spark.plans.executor import GenerationPlan
+from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+    ColumnSpec,
+    FKSpec,
+    TableSpec,
+    wire_fk_rules,
+)
+from synthetic_data_transfer_to_relational_database_spark.plans.rules import infer_table_rules
+from synthetic_data_transfer_to_relational_database_spark.sources.ddl import (
+    parse_unique_indexes,
+    split_go_batches,
+)
+
+
+def _uniq_schema() -> dict[str, TableSpec]:
+    tables = {
+        "Ulke": TableSpec(
+            name="Ulke",
+            columns=[
+                ColumnSpec("NumKod", "string", nullable=False, length=3),
+                ColumnSpec("Kod", "string", nullable=True, length=3),
+                ColumnSpec("Ad", "string", nullable=False, length=100),
+            ],
+            pk=["NumKod"],
+            unique_indexes=[["Kod"]],
+        ),
+        "Banka": TableSpec(
+            name="Banka",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False, identity=True),
+                ColumnSpec("Kod", "string", nullable=False, length=8),
+                ColumnSpec("Ad", "string", nullable=False, length=100),
+                ColumnSpec("SwiftNo", "string", nullable=True, length=11),
+                ColumnSpec("KurulusTarih", "date", nullable=False),
+                ColumnSpec("UlkeNumKod", "string", nullable=False, length=3),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["UlkeNumKod"], "Ulke", ["NumKod"])],
+            # composite (mirrors uBankaUlkeKod), single string, single date
+            unique_indexes=[["Kod", "UlkeNumKod"], ["SwiftNo"], ["KurulusTarih"]],
+        ),
+        # 1:1 relation — unique index ON the FK column itself: parent keys
+        # must be sampled WITHOUT replacement.
+        "BankaDetay": TableSpec(
+            name="BankaDetay",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("BankaId", "int", nullable=True),
+                ColumnSpec("Notlar", "string", nullable=True, length=100),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["BankaId"], "Banka", ["Id"])],
+            unique_indexes=[["BankaId"]],
+        ),
+    }
+    wire_fk_rules(tables)
+    return tables
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    plan = GenerationPlan(
+        spark, _uniq_schema(), seed=11, row_counts={"Ulke": 40, "Banka": 60, "BankaDetay": 60}
+    )
+    return plan.run()
+
+
+def _dupes(df, cols):
+    return df.groupBy(*cols).count().filter("count > 1").count()
+
+
+def test_single_column_unique_index(built):
+    assert _dupes(built["Ulke"], ["Kod"]) == 0
+    assert _dupes(built["Banka"], ["SwiftNo"]) == 0
+
+
+def test_date_column_unique_index(built):
+    assert _dupes(built["Banka"], ["KurulusTarih"]) == 0
+
+
+def test_composite_unique_index(built):
+    assert _dupes(built["Banka"], ["Kod", "UlkeNumKod"]) == 0
+
+
+def test_unique_fk_sampled_without_replacement(built):
+    """BankaDetay.BankaId: 60 children over 60 parents with a unique
+    index — every parent key used exactly once, all FK-valid."""
+    assert _dupes(built["BankaDetay"], ["BankaId"]) == 0
+    # Banka.Id is IDENTITY(1,1): not materialized (the DB fills it);
+    # values are 1..n by construction and children sample idx+1.
+    parent = set(range(1, 61))
+    child = [r[0] for r in built["BankaDetay"].select("BankaId").collect()]
+    assert all(v in parent for v in child)
+    # unique + nullable: null injection is suppressed to keep the index valid
+    assert all(v is not None for v in child)
+
+
+def test_rules_marked_injective():
+    tables = _uniq_schema()
+    infer_table_rules(tables["Banka"])
+    banka = tables["Banka"]
+    assert banka.column("SwiftNo").rule.startswith(("seq_code", "uuid4"))
+    assert banka.column("KurulusTarih").rule == "seq_date"
+    # composite index satisfied via ONE injective member (first non-FK)
+    assert banka.column("Kod").rule.startswith(("seq_code", "uuid4"))
+    infer_table_rules(tables["BankaDetay"])
+    fk_col = tables["BankaDetay"].column("BankaId")
+    assert fk_col.unique and fk_col.rule.startswith("foreign_key:")
+
+
+def test_parse_unique_index_ddl():
+    script = """
+CREATE TABLE [dbo].[Banka](
+	[Id] [int] IDENTITY(1,1) NOT NULL,
+	[Kod] [nvarchar](8) NOT NULL
+) ON [PRIMARY]
+GO
+CREATE UNIQUE NONCLUSTERED INDEX [uBankaUlkeKod] ON [dbo].[Banka]
+(
+	[TenantId] ASC,
+	[Kod] ASC,
+	[UlkeNumKod] ASC
+)WITH (PAD_INDEX = OFF) ON [PRIMARY]
+GO
+CREATE NONCLUSTERED INDEX [IX_NotUnique] ON [dbo].[Banka]
+(
+	[Kod] ASC
+)WITH (PAD_INDEX = OFF) ON [PRIMARY]
+GO
+CREATE UNIQUE NONCLUSTERED INDEX [uFiltered] ON [dbo].[Banka]
+(
+	[SwiftNo] ASC
+)
+WHERE ([SwiftNo] IS NOT NULL)
+WITH (PAD_INDEX = OFF) ON [PRIMARY]
+GO
+"""
+    found = parse_unique_indexes(split_go_batches(script))
+    assert ("Banka", ["TenantId", "Kod", "UlkeNumKod"]) in found
+    assert ("Banka", ["SwiftNo"]) in found
+    assert all(cols != ["Kod"] for _, cols in found)  # non-unique ignored
+
+
+def test_reference_script_unique_indexes_enforced(spark):
+    """End-to-end against the real 85-table DDL: the parsed schema carries
+    unique indexes and a generated sample table honors one."""
+    from synthetic_data_transfer_to_relational_database_spark.sources.ddl import parse_schema_script
+
+    tables = parse_schema_script("/root/reference/script.sql")
+    with_uniq = [t for t in tables.values() if t.unique_indexes]
+    assert len(with_uniq) >= 20, "expected the script's unique indexes to parse"
+    # Banka carries uBankaUlkeKod (script.sql:2621)
+    assert any(t.name == "Banka" for t in with_uniq)
