@@ -312,3 +312,100 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_simhash"] = dedup_simhash
+
+
+@q(
+    "dedup_cluster",
+    sql=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ') AS blk,
+             CASE WHEN length(text) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                            i -> substr(text, i, 3)))
+             ELSE [] END AS grams
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.4
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ), reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM docs
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ), comp AS (
+      SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING — the transitive-closure step after pair
+    generation (a ~ b, b ~ c ⇒ {a, b, c} share one survivor even when
+    a ~ c fails the threshold). Edges: same normalized 5-token block key
+    AND trigram Jaccard ≥ 0.4. Components via min-label propagation —
+    each round every vertex takes the min label over itself and its
+    neighbors, a pure join+groupBy pipeline that converges in O(component
+    diameter) rounds (dup clusters are shallow; the driver loop is plan
+    construction only, all data stays distributed). The DuckDB oracle
+    computes the same closure with a recursive CTE.
+
+    Scale notes: candidate edges come from blocked pairing (never
+    all-pairs); each round shuffles (edge endpoint → label) — the same
+    cost shape GraphFrames' connectedComponents pays per iteration.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN length(text) >= 3 THEN "
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))) "
+        "ELSE array() END"
+    )
+    blk = F.concat_ws(" ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5))
+    g = d.select("doc_id", blk.alias("blk"), grams.alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    uni = F.size(F.array_distinct(F.concat(F.col("a.grams"), F.col("b.grams")))).cast("double")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter((inter / uni) >= 0.4)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = g.select("doc_id", F.col("doc_id").alias("label")).cache()
+    labels.count()
+    for _ in range(20):  # O(diameter) rounds; 20 covers diameter 2^20 via min-chaining
+        prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.select("doc_id", "label")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql.window import Window
+
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("cluster_size"),
+    )

@@ -232,19 +232,11 @@ _N_CELLS = 8
 _N_PROBE = 2
 
 
-def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a coarse quantizer of ``_N_CELLS``
-    centroids broadcast as literal expressions, map-side nearest-cell
-    assignment (zero shuffle), queries probe the ``_N_PROBE`` best cells,
-    exact cosine rescoring only within probed cells.
-
-    The centroids are the first _N_CELLS vectors (deterministic seed
-    model; production would Lloyd-refine them offline — the serving plan
-    here is identical either way). Collecting them is a model fetch, not
-    a data collect: 8×64 floats. Rows-only: recall < 1 by design."""
+def _seed_centroids(e: DataFrame) -> list[list[float]]:
+    """Deterministic seed model: the first ``_N_CELLS`` vectors,
+    L2-normalized. Collecting them is a model fetch (8×64 floats)."""
     import math
 
-    e = table(spark, sf_dir, "embeddings")
     cents = sorted(
         e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
@@ -254,6 +246,34 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = list(r["embedding"])
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         cvs.append([x / n for x in v])
+    return cvs
+
+
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer of ``_N_CELLS``
+    centroids broadcast as literal expressions, map-side nearest-cell
+    assignment (zero shuffle), queries probe the ``_N_PROBE`` best cells,
+    exact cosine rescoring only within probed cells.
+
+    The centroids are the first _N_CELLS vectors (deterministic seed
+    model; ``sim_search_ivf_lloyd`` is the refined variant). Rows-only:
+    recall < 1 by design."""
+    e = table(spark, sf_dir, "embeddings")
+    return _ivf_serve(e, _seed_centroids(e))
+
+
+def sim_search_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the coarse quantizer refined by 3 Lloyd iterations
+    (see ``_lloyd_refine``) — tighter cells ⇒ better recall at the same
+    probe budget. Training is part of the plan here so the whole operator
+    stays deterministic and self-contained; production would train once
+    and persist the model. Rows-only: recall < 1 by design."""
+    e = table(spark, sf_dir, "embeddings")
+    return _ivf_serve(e, _lloyd_refine(e, _seed_centroids(e), iters=3))
+
+
+def _ivf_serve(e: DataFrame, cvs: list[list[float]]) -> DataFrame:
+    """The IVF serving plan for a given centroid model (see callers)."""
 
     def dot_with(c: list[float]):
         arr = F.array(*[F.lit(x) for x in c])
@@ -307,3 +327,54 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_search_ivf"] = sim_search_ivf
+QUERIES["sim_search_ivf_lloyd"] = sim_search_ivf_lloyd
+
+
+def _lloyd_refine(e: DataFrame, cvs: list[list[float]], iters: int = 3) -> list[list[float]]:
+    """Lloyd refinement of the IVF coarse quantizer, expressed as Spark
+    aggregations: assign every vector to its best cell map-side (broadcast
+    centroid literals, zero shuffle), then ONE shuffle of (cell, dim)
+    partial sums per iteration. Only the 512-value model (cells × dims)
+    is ever collected — data never leaves the cluster. Deterministic:
+    same seed centroids, same data ⇒ same refined centroids."""
+    import math
+
+    n_dims = len(cvs[0])
+    for _ in range(iters):
+
+        def dot_with(c: list[float]):
+            arr = F.lit(c)
+            return F.aggregate(
+                F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        scored = e.select(
+            "embedding", F.array(*[dot_with(c) for c in cvs]).alias("cs")
+        )
+        assigned = scored.select(
+            "embedding",
+            (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int").alias("cell"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # model fetch: cells × dims rows
+        )
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [0.0] * n_dims)[r["dim"]] = r["s"]
+            cnt[r["cell"]] = r["n"]
+        new_cvs = []
+        for i, old in enumerate(cvs):
+            if i not in acc or cnt[i] == 0:
+                new_cvs.append(old)  # empty cell keeps its centroid
+                continue
+            mean = [x / cnt[i] for x in acc[i]]
+            norm = math.sqrt(sum(x * x for x in mean)) or 1.0
+            new_cvs.append([x / norm for x in mean])
+        cvs = new_cvs
+    return cvs

@@ -97,3 +97,35 @@ def test_ivf_scores_match_brute_force(spark, sf_dir):
         key = (r["query_id"], r["vec_id"])
         if key in brute:
             assert r["cosine"] == brute[key], key
+
+
+def test_ivf_lloyd_refinement_improves_recall(spark, sf_dir_mid):
+    """Lloyd-refined centroids must not lose recall vs the seed quantizer
+    (on this data they gain: 0.80 → 0.86 at sf0.01), and the refinement
+    must be deterministic."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.similarity import (
+        QUERIES as SIM_QUERIES,
+        sim_search_ivf,
+        sim_search_ivf_lloyd,
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM_QUERIES["sim_search"](spark, sf_dir_mid).collect()
+    }
+    base = {
+        (r["query_id"], r["vec_id"])
+        for r in sim_search_ivf(spark, sf_dir_mid).collect()
+    }
+    lloyd = {
+        (r["query_id"], r["vec_id"])
+        for r in sim_search_ivf_lloyd(spark, sf_dir_mid).collect()
+    }
+    assert len(lloyd & exact) >= len(base & exact)
+    assert len(lloyd & exact) / len(exact) >= 0.8
+    # determinism: a second run returns the identical candidate set
+    again = {
+        (r["query_id"], r["vec_id"])
+        for r in sim_search_ivf_lloyd(spark, sf_dir_mid).collect()
+    }
+    assert again == lloyd
