@@ -227,3 +227,95 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", n_tokens_udf("text").alias("n_tokens_udf"))
+
+
+@q(
+    "sample_stratified",
+    sql="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 1000003) % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'tr' THEN 80 ELSE 100 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling — per-language keep rates (down-weight
+    the dominant language, keep the tail), the mixture-building step of a
+    training-data pipeline. Deterministic modular hash on the key, like
+    ``sample_hash``, so both engines and repeated runs select the same
+    rows. Map-only: the predicate evaluates at the scan, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "tr", 80).otherwise(100)
+    )
+    return d.filter((F.col("doc_id") * 1000003) % 100 < rate).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_BENCH_PHRASES = [
+    "the quick brown fox",
+    "lorem ipsum dolor",
+    "to be or not to be",
+    "once upon a time",
+]
+_BENCH_SQL = "[" + ", ".join(f"'{p}'" for p in _BENCH_PHRASES) + "]"
+
+
+@q(
+    "text_contamination",
+    sql=f"""
+    SELECT doc_id,
+           len(list_filter({_BENCH_SQL}, p -> contains(lower(text), p))) AS n_bench_hits,
+           len(list_filter({_BENCH_SQL}, p -> contains(lower(text), p))) > 0 AS contaminated
+    FROM documents
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: does a document contain any phrase
+    from an evaluation set? The phrase list is a broadcast-literal model
+    (real pipelines ship n-gram sets of the benchmarks); matching is a
+    map-only array filter over the lowercased text — no shuffle, scales
+    linearly with corpus bytes."""
+    d = table(spark, sf_dir, "documents")
+    phrases = F.lit(_BENCH_PHRASES)
+    hits = F.size(F.filter(phrases, lambda p: F.contains(F.lower(F.col("text")), p)))
+    return d.select(
+        "doc_id",
+        hits.cast("long").alias("n_bench_hits"),
+        (hits > 0).alias("contaminated"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9][0-9 ()-]{7,}[0-9]"
+
+
+@q(
+    "text_pii_scan",
+    sql=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+    FROM documents
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction counts (emails, international-format
+    phones): the scrubbing pass every training corpus needs. Patterns use
+    the common subset of Java regex and RE2 (no lookaround), so Spark and
+    DuckDB agree match-for-match. Map-only."""
+    d = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
