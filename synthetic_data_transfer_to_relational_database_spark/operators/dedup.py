@@ -272,28 +272,26 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup: per-token hash votes per bit → signature →
     16-bit prefix banding → Hamming distance via xor + bit_count.
-    Rows-only (xxhash64 has no DuckDB twin)."""
+    Rows-only (xxhash64 has no DuckDB twin).
+
+    The signature is computed ENTIRELY map-side with nested array folds
+    (outer fold over bits, inner fold over token hashes) — no explode, no
+    groupBy: the first shuffle in the plan is the banding self-join, and
+    it carries only (doc_id, 8-byte signature). The earlier explode +
+    collect_list formulation shuffled a 64-int vote vector per TOKEN —
+    corpus-sized traffic that this shape never creates."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
-    h = tok.select("doc_id", F.xxhash64("token").alias("h"))
-    votes = h.select(
+    # named token-hash column first (see _minhash_signatures: unnamed
+    # arrays re-evaluate per lambda reference)
+    th_df = d.select(
+        "doc_id", F.transform(F.array_distinct(_tokens()), lambda t: F.xxhash64(t)).alias("th")
+    )
+    sig = th_df.select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, 63), j -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)"
-        ).alias("v"),
-    )
-    summed = votes.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list("v"),
-            F.expr("transform(sequence(0, 63), j -> cast(0 as int))"),
-            lambda acc, x: F.zip_with(acc, x, lambda p, c: p + c),
-        ).alias("sums")
-    )
-    sig = summed.select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 63), cast(0 as bigint),"
-            " (acc, j) -> acc | (CASE WHEN element_at(sums, j + 1) > 0"
+            "aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) -> acc |"
+            " (CASE WHEN aggregate(th, cast(0 as bigint),"
+            "   (a, h) -> a + cast((h >> j) & 1 as bigint) * 2 - 1) > 0"
             "  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END))"
         ).alias("simhash"),
     )

@@ -137,3 +137,12 @@ def test_large_parent_fk_join_has_no_global_window(spark):
     belge_ids = {r[0] for r in built["Belge"].select("Id").collect()}
     for (v,) in built["Satir"].select("BelgeId").collect():
         assert v in belge_ids
+
+
+def test_simhash_has_single_exchange(spark):
+    """SimHash signatures are computed map-side (nested array folds, no
+    explode/groupBy); the ONLY Exchange in the whole query is the banding
+    self-join, which carries (doc_id, 8-byte signature)."""
+    plan = _plan(registry.all_queries()["dedup_simhash"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2  # one per side of the self-join, same shuffle key
+    assert "CollectList" not in plan and "collect_list" not in plan
