@@ -20,6 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -139,3 +140,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+
+
+@q(
+    "multimodal_dyn_batch",
+    sql="""
+    WITH media AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             octet_length(encode(text)) // 256 AS size_bucket
+      FROM documents
+    ), seq AS (
+      SELECT doc_id, n_bytes, size_bucket,
+             ROW_NUMBER() OVER (PARTITION BY size_bucket ORDER BY n_bytes, doc_id) AS rn
+      FROM media
+    )
+    SELECT doc_id, n_bytes, size_bucket,
+           (rn - 1) // 8 AS batch_id,
+           MAX(n_bytes) OVER (PARTITION BY size_bucket, (rn - 1) // 8)
+             AS batch_pad_to
+    FROM seq
+    """,
+)
+def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic batching for inference over variable-length media: bucket
+    payloads by size, order within bucket, cut into fixed batches of 8,
+    pad every item to its batch max — the length-grouping trick that
+    minimizes wasted padding compute in ASR/vision serving. Pure window
+    composition: one shuffle on size_bucket, no UDF. At 100 TB the bucket
+    key bounds every partition's sort run; batch assignment never sees
+    data outside its bucket."""
+    d = table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode("text", "UTF-8")).cast("long")
+    # floor division explicitly on BOTH engines: DuckDB's `/` is true
+    # division and its CAST rounds-to-nearest, Spark's cast truncates
+    media = d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.floor(n_bytes / 256).cast("long").alias("size_bucket"),
+    )
+    w_seq = Window.partitionBy("size_bucket").orderBy("n_bytes", "doc_id")
+    seq = media.withColumn("rn", F.row_number().over(w_seq))
+    batch_id = F.floor((F.col("rn") - 1) / 8).cast("long")
+    w_batch = Window.partitionBy("size_bucket", "batch_id")
+    return (
+        seq.withColumn("batch_id", batch_id)
+        .withColumn("batch_pad_to", F.max("n_bytes").over(w_batch))
+        .select("doc_id", "n_bytes", "size_bucket", "batch_id", "batch_pad_to")
+    )

@@ -295,3 +295,33 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(price, F.lit(0.75)).alias("p75_price_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@q(
+    "join_salted",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, oracle-checked against the PLAIN join —
+    salting is a physical rewrite (spread each hot key over n reducers by
+    widening the key with a deterministic salt), so the result set must
+    be bit-identical to the unsalted equi-join. The oracle proves that
+    invariant; operators/skew.py documents when to reach for it over
+    AQE's runtime skew splitting."""
+    from .skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_quantity"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"), "o_orderstatus")
+    )
+    return salted_join(li, o, on="k", n_salts=8).select(
+        F.col("k").alias("l_orderkey"), "l_linenumber", "l_quantity", "o_orderstatus"
+    )

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
 
 from ..sources.tables import table
 from ._registry import make_registry
@@ -318,4 +319,85 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
         F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@q(
+    "corpus_mixture",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             CASE lang WHEN 'zh' THEN 2 ELSE 1 END AS repeats
+      FROM documents
+      WHERE (doc_id * 1000003) % 100 <
+            CASE lang WHEN 'en' THEN 50 ELSE 100 END
+    )
+    SELECT doc_id, lang, source,
+           unnest(generate_series(1, repeats)) AS copy_no
+    FROM w
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-language epoch weights realized as physical rows —
+    down-sample the dominant language (deterministic modular hash), repeat
+    under-represented ones (explode over a repeat sequence). The output IS
+    the training mixture a sampler would stream. Map-only: filter at the
+    scan, explode inflates selected rows without a shuffle."""
+    d = table(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * 1000003) % 100 < F.when(
+        F.col("lang") == "en", 50
+    ).otherwise(100)
+    repeats = F.when(F.col("lang") == "zh", 2).otherwise(1)
+    return (
+        d.filter(keep)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.sequence(F.lit(1), repeats)).alias("copy_no"),
+        )
+    )
+
+
+@q(
+    "corpus_token_budget",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens, quality,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 10000 AS selected
+    FROM ranked
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection: rank documents by quality, take the
+    prefix whose cumulative token count fits the training budget — the
+    "best N tokens" cut every data-curation pipeline makes. The global
+    ordered cumsum is the one op here that does NOT scale as written
+    (single-partition window); at 100 TB you bucket quality into ~1000
+    ranges first, take whole buckets until the boundary bucket, and only
+    sort within that one bucket — same result, range-partitioned. The
+    exact form is the oracle-checkable specification of that plan."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    quality = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
+    scored = d.select("doc_id", n_tokens.alias("n_tokens"), quality.alias("quality"))
+    w = Window.orderBy(F.desc("quality"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        (F.sum("n_tokens").over(w) <= 10000).alias("selected"),
     )

@@ -66,3 +66,28 @@ def test_subtype_chains_consistent(full_build):
     fb = {r[0] for r in built["FaturaBelge"].select("Id").collect()}
     assert sb <= bb
     assert fb <= sb
+
+
+def test_unique_indexes_hold_on_real_schema(full_build):
+    """Every parsed CREATE UNIQUE INDEX whose columns are all generated
+    must hold on the generated data — the constraint class the reference
+    knowingly violates (SURVEY.md §1.3)."""
+    tables, built = full_build
+    checked = 0
+    for name, spec in tables.items():
+        if name not in built:
+            continue
+        gen_cols = {c.name for c in spec.generated_columns}
+        for idx_cols in spec.unique_indexes:
+            if not set(idx_cols) <= gen_cols:
+                continue  # identity/computed members live DB-side
+            dupes = (
+                built[name]
+                .groupBy(*idx_cols)
+                .count()
+                .filter("count > 1")
+                .count()
+            )
+            assert dupes == 0, f"{name} unique index {idx_cols} violated"
+            checked += 1
+    assert checked >= 15, f"only {checked} unique indexes were checkable"
