@@ -22,10 +22,11 @@ from .operators import (
 )
 
 # Registration order is also the driver's sweep order, and the round-1
-# sweep stopped at its budget before reaching the tail. The flagship
-# LLM-pipeline packs (dedup, similarity, multimodal, generator, streaming)
-# therefore register FIRST, right after the relational core, so a
-# truncated sweep still judges every operator family.
+# sweep stopped at its budget after 50 queries. Order of importance:
+# the relational core, then every query round 1 flagged hash-fail
+# (hoisted out of their home modules so the fixes get re-judged), then
+# the flagship LLM-pipeline packs — all inside the first 50 — then the
+# remaining packs.
 _MODULES = [
     relational,
     dedup,
@@ -39,15 +40,29 @@ _MODULES = [
     text,
 ]
 
+# round-1 hash-fails living outside the relational pack (VERDICT.md §What's
+# wrong #1): re-judging these is the round's top acceptance criterion.
+_HOISTED = [
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "above_order_avg",
+    "scalar_array",
+    "text_fingerprint",
+]
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        overlap = out.keys() & m.QUERIES.keys()
+        overlap = merged.keys() & m.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
-    return out
+        merged.update(m.QUERIES)
+    n_rel = len(relational.QUERIES)
+    rest = [n for n in merged if n not in _HOISTED]
+    order = rest[:n_rel] + [n for n in _HOISTED if n in merged] + rest[n_rel:]
+    return {n: merged[n] for n in order}
 
 
 def all_oracles() -> dict[str, str]:
