@@ -401,3 +401,77 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
         (F.sum("n_tokens").over(w) <= 10000).alias("selected"),
     )
+
+
+@q(
+    "corpus_token_budget_scalable",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens, quality,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 10000 AS selected
+    FROM ranked
+    """,
+)
+def corpus_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan for ``corpus_token_budget``, checked against the
+    SAME oracle (identical results, different physical plan): quality is
+    range-bucketed, per-bucket token totals (a num_buckets-row collect)
+    become broadcast offsets, and the running sum is computed with a
+    window partitioned BY BUCKET — every sort is bucket-local, nothing
+    ever collapses to one partition. Equality holds because equal quality
+    values land in the same bucket, so the bucket order composed with the
+    in-bucket (quality DESC, doc_id) order IS the global order."""
+    n_buckets = 32
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    quality = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
+    # bucket 0 = highest quality; clamp quality == 1.0 into bucket 0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), (F.lit(n_buckets) - 1 - F.floor(quality * n_buckets)).cast("int")),
+    )
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        bucket.alias("__bucket"),
+    )
+    totals = dict(
+        (r["__bucket"], r["t"])
+        for r in scored.groupBy("__bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.lit([int(b) for b in sorted(totals)]),
+            F.lit([int(offsets[b]) for b in sorted(totals)]),
+        ),
+        F.col("__bucket"),
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("n_tokens").over(w) + off_expr).cast("long")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        cum.alias("cum_tokens"),
+        (cum <= 10000).alias("selected"),
+    )

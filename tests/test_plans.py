@@ -146,3 +146,15 @@ def test_simhash_has_single_exchange(spark):
     plan = _plan(registry.all_queries()["dedup_simhash"](spark, SF_DIR))
     assert plan.count("Exchange") <= 2  # one per side of the self-join, same shuffle key
     assert "CollectList" not in plan and "collect_list" not in plan
+
+
+def test_token_budget_scalable_has_no_global_window(spark):
+    """The bucketed token-budget variant must never sort globally: every
+    windowspecdefinition carries the __bucket partition column."""
+    import re
+
+    plan = _plan(registry.all_queries()["corpus_token_budget_scalable"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the bucketed cumsum Window"
+    for spec in specs:
+        assert "__bucket" in spec, f"unpartitioned window: {spec}"
