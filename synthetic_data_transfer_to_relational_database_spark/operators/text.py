@@ -475,3 +475,55 @@ def corpus_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.alias("cum_tokens"),
         (cum <= 10000).alias("selected"),
     )
+
+
+@q(
+    "text_tfidf_top",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, score
+    FROM (
+      SELECT doc_id, token, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rn
+      FROM scored) t
+    WHERE rn = 1
+    """,
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-distinctive term by TF-IDF with a LINEAR idf
+    (tf · N / df): ln-based idf orders identically per fixed tf but its
+    last-ulp value differs between libm implementations, while one exact
+    integer product and one IEEE division are bit-identical cross-engine.
+    Shape: word-count aggregation, a token-keyed join of tf against df
+    (both partial-agg friendly), top-1 window per doc. At 100 TB the df
+    side is vocabulary-sized — broadcast below ~100M distinct tokens."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "score")
+    )
