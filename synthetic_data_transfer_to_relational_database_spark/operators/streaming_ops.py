@@ -97,3 +97,29 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("stream_user_profile")
 def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(user_profile_stream(stream_events(spark, sf_dir)), "update")
+
+
+_DEDUP_SQL = """
+    SELECT event_id, MIN(user_id) AS user_id, MIN(event_type) AS event_type
+    FROM events
+    GROUP BY event_id
+"""
+
+
+@q("stream_dedup", sql=_DEDUP_SQL)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the event key: dropDuplicatesWithinWatermark
+    bounds state to the watermark horizon (a plain streaming dropDuplicates
+    keeps EVERY key forever — unbounded state). events has unique event_ids,
+    so the dedup is an identity the batch GROUP BY oracle reproduces; the
+    point is the plan: state keyed by event_id, expired as the watermark
+    passes — the standard at-least-once → exactly-once ingest repair."""
+    from pyspark.sql import functions as F
+
+    e = stream_events(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_completion(deduped, "append")

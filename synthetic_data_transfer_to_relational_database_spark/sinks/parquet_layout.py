@@ -57,3 +57,63 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog read preserving bucket metadata (plain parquet-path reads
     lose it)."""
     return spark.table(table_name)
+
+
+def zorder_value(cols: list[str], bits: int = 16) -> "Column":
+    """Z-order (Morton) key over numeric columns: rank each column into
+    ``bits`` levels, interleave the bits. Rows close in EVERY dimension
+    get close z-values, so sorting by z clusters multi-dimensional
+    neighborhoods into the same parquet row groups — min/max skipping
+    then prunes on ANY of the columns, not just the leading sort key.
+    Pure expression (percent_rank window per column + bit arithmetic)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import functools
+
+    n = len(cols)
+    interleaved = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        # quantize to [0, 2^bits): percent_rank is order-preserving and
+        # scale-free, so columns of any numeric range interleave fairly
+        q = F.floor(F.percent_rank().over(Window.orderBy(c)) * ((1 << bits) - 1)).cast("long")
+        # bit j of q lands at position j*n + i (unrolled: shift amounts
+        # must be Python ints for shiftleft/shiftrightunsigned)
+        spread = functools.reduce(
+            lambda a, b: a.bitwiseOR(b),
+            [
+                F.shiftleft(F.shiftrightunsigned(q, j).bitwiseAND(F.lit(1)), j * n + i)
+                for j in range(bits)
+            ],
+        )
+        interleaved = interleaved.bitwiseOR(spread)
+    return interleaved
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by z-order over ``zorder_cols``:
+    range-repartition by the z-value (ordered files), sort within
+    partitions, write. Readers filtering on ANY z-order column skip row
+    groups via parquet min/max stats — the data-skipping layout Delta's
+    OPTIMIZE ZORDER produces, expressed with open Spark primitives.
+
+    Note: the per-column percent_rank quantization runs one global-window
+    pass per column at write time — acceptable for a write-once layout
+    job; at 100 TB swap it for approxQuantile-derived range bounds
+    (same z-value semantics, sampled cutpoints, no global window)."""
+    from pyspark.sql import functions as F
+
+    z = df.withColumn("__z", zorder_value(zorder_cols))
+    (
+        z.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

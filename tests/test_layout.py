@@ -87,3 +87,37 @@ def test_salted_join_matches_plain_join(spark):
     a = salted.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
     b = plain.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
     assert a == b
+
+
+def test_zorder_clusters_row_groups(spark, tmp_path):
+    """Z-ordered layout: rows filtered by EITHER dimension concentrate in
+    few files, so parquet min/max stats prune most of the dataset — the
+    property that makes the layout worth a write-once job."""
+    import pyarrow.parquet as pq
+
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        write_zordered,
+    )
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "cast(id % 141 as long) as x", "cast((id * 7919) % 151 as long) as y"
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(df, out, ["x", "y"], n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+
+    # per-file min/max of BOTH dims: a z-ordered layout bounds both, so a
+    # point/range predicate on either column eliminates most files
+    import glob as _glob
+
+    selective = 0
+    for f in _glob.glob(out + "/part-*.parquet"):
+        meta = pq.read_metadata(f)
+        stats = meta.row_group(0).column(1).statistics  # column x
+        span_x = stats.max - stats.min
+        if span_x <= 141 // 2:
+            selective += 1
+    # at least half the files cover at most half the x-range
+    assert selective >= 4, f"z-order produced only {selective} selective files"
