@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -378,3 +380,47 @@ def _lloyd_refine(e: DataFrame, cvs: list[list[float]], iters: int = 3) -> list[
             new_cvs.append([x / norm for x in mean])
         cvs = new_cvs
     return cvs
+
+
+_CLF_W = [((i * 37) % 7) - 3 for i in range(64)]  # deterministic weights
+_CLF_W_SQL = "[" + ", ".join(str(w) for w in _CLF_W) + "]"
+
+
+@q(
+    "sim_classifier_udf",
+    sql=f"""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(ROUND(embedding[i] * 1000) AS BIGINT) * ({_CLF_W_SQL})[i]))
+             AS BIGINT) AS score_milli,
+           list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(ROUND(embedding[i] * 1000) AS BIGINT) * ({_CLF_W_SQL})[i])) > 0
+             AS positive
+    FROM embeddings
+    """,
+)
+def sim_classifier_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over embeddings: a linear classifier applied
+    as an Arrow-vectorized pandas UDF — the plumbing a real (ONNX/torch)
+    scorer uses at scale: one numpy matmul per Arrow batch, model weights
+    broadcast in the closure, no per-row Python. Quantizing to integer
+    milli-units keeps the dot product EXACT (order-independent), so the
+    same formula is a DuckDB oracle despite numpy's SIMD summation order
+    differing from a sequential SQL fold."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType
+
+    w = np.array(_CLF_W, dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def score(col: pd.Series) -> pd.Series:
+        m = np.rint(np.vstack(col.to_numpy()) * 1000).astype(np.int64)
+        return pd.Series(m @ w)
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        score("embedding").alias("score_milli"),
+        (score("embedding") > 0).alias("positive"),
+    )
