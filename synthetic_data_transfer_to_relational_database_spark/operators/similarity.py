@@ -424,3 +424,65 @@ def sim_classifier_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("embedding").alias("score_milli"),
         (score("embedding") > 0).alias("positive"),
     )
+
+
+@q(
+    "rag_retrieve",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, vec_id,
+             list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv[i] * cv[i])))) AS cosine
+      FROM q JOIN c ON vec_id <> query_id
+    ), topk AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT t.query_id, t.vec_id, t.cosine, t.rn,
+           d.lang, d.n_chars,
+           substr(d.text, 1, 80) AS passage
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    WHERE t.rn <= {_TOP_K}
+    """,
+)
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-augmented-generation shape: ANN top-k over embeddings,
+    then a key join back to the documents table for the passage text and
+    metadata — the full retrieve step of a RAG serving stack. Plan: the
+    similarity stage is the broadcast-query scan (sim_search); the
+    passage join keys on doc_id, so at 100 TB it is a shuffle-free
+    lookup against a doc_id-bucketed documents table (SCALE.md §6)."""
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents")
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = e.select(F.col("vec_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.expr(_DOT) / (F.sqrt(F.expr(_NQ)) * F.sqrt(F.expr(_NC)))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    topk = scored.select(
+        "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _TOP_K)
+    return topk.join(d, topk["vec_id"] == d["doc_id"]).select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        "rn",
+        "lang",
+        "n_chars",
+        F.substring("text", 1, 80).alias("passage"),
+    )

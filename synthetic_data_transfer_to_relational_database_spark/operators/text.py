@@ -527,3 +527,50 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("token").alias("top_term"), "score")
     )
+
+
+@q(
+    "corpus_curation_pipeline",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS alpha_ratio
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 5 AND 500 AND alpha_ratio >= 0.7
+    ), survivors AS (
+      SELECT MIN(doc_id) AS doc_id, text,
+             MIN(lang) AS lang, MIN(n_tokens) AS n_tokens, COUNT(*) AS n_copies
+      FROM quality GROUP BY text
+    )
+    SELECT doc_id, lang, n_tokens, n_copies
+    FROM survivors
+    WHERE (doc_id * 1000003) % 100 <
+          CASE lang WHEN 'en' THEN 60 ELSE 100 END
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages COMPOSED as one declarative plan — quality
+    filter → exact dedup (deterministic survivor) → stratified sample —
+    proving the operator set chains without materialization barriers:
+    Catalyst fuses the filter into the scan, the dedup is the only
+    shuffle (keyed on text; at 100 TB switch the key to md5(text) like
+    dedup_exact_digest), and the sample predicate is map-side again."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    alpha_ratio = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
+    quality = d.select(
+        "doc_id", "text", "lang", n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio")
+    ).filter((F.col("n_tokens").between(5, 500)) & (F.col("alpha_ratio") >= 0.7))
+    survivors = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    keep = (F.col("doc_id") * 1000003) % 100 < F.when(
+        F.col("lang") == "en", 60
+    ).otherwise(100)
+    return survivors.filter(keep).select("doc_id", "lang", "n_tokens", "n_copies")
