@@ -42,6 +42,8 @@ _MODULES = [
 
 # round-1 hash-fails living outside the relational pack (VERDICT.md §What's
 # wrong #1): re-judging these is the round's top acceptance criterion.
+# fk_sample_join is the §2.3 generator row the round-1 sweep never
+# reached — hoisted for the same reason.
 _HOISTED = [
     "events_tumbling",
     "events_sliding",
@@ -49,6 +51,7 @@ _HOISTED = [
     "above_order_avg",
     "scalar_array",
     "text_fingerprint",
+    "fk_sample_join",
 ]
 
 
