@@ -37,11 +37,24 @@ def read_sql_script(path: str | Path, encoding: str = "utf-16") -> str:
         return raw.decode("utf-8-sig")
 
 
-_GO_RE = re.compile(r"^\s*GO\s*$", re.IGNORECASE | re.MULTILINE)
+_GO_RE = re.compile(r"^\s*GO(?:\s+(\d+))?\s*$", re.IGNORECASE | re.MULTILINE)
 
 
 def split_go_batches(script: str) -> list[str]:
-    return [b.strip() for b in _GO_RE.split(script) if b.strip()]
+    """T-SQL batch splitter including the ``GO n`` repeat-count form
+    (SQL Server executes the preceding batch n times). The reference
+    script uses only bare GO; the count form is supported for dialect
+    completeness."""
+    parts = _GO_RE.split(script)
+    out: list[str] = []
+    # split() with one capture group alternates [batch, count?, batch, ...]
+    for i in range(0, len(parts), 2):
+        batch = parts[i].strip()
+        if not batch:
+            continue
+        count = parts[i + 1] if i + 1 < len(parts) else None
+        out.extend([batch] * (int(count) if count else 1))
+    return out
 
 
 def filter_batches(batches: list[str], target_db: str | None = None, source_db: str | None = None) -> list[str]:

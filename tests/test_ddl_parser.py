@@ -120,3 +120,13 @@ def test_parse_reference_script():
     assert len(tables["StokHareket"].columns) == 97
     assert len(tables["CariHesap"].columns) == 88
     assert len(tables["CariHareket"].columns) == 76
+
+
+def test_go_repeat_count_form():
+    """T-SQL `GO n` executes the preceding batch n times."""
+    from synthetic_data_transfer_to_relational_database_spark.sources.ddl import (
+        split_go_batches,
+    )
+
+    batches = split_go_batches("INSERT INTO t DEFAULT VALUES\nGO 3\nSELECT 1\nGO\n")
+    assert batches == ["INSERT INTO t DEFAULT VALUES"] * 3 + ["SELECT 1"]
