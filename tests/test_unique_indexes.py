@@ -160,3 +160,51 @@ def test_reference_script_unique_indexes_enforced(spark):
     assert len(with_uniq) >= 20, "expected the script's unique indexes to parse"
     # Banka carries uBankaUlkeKod (script.sql:2621)
     assert any(t.name == "Banka" for t in with_uniq)
+
+
+def test_unique_fk_without_replacement_on_join_path(spark):
+    """The without-replacement guarantee must survive the large-parent
+    JOIN path too (parent > broadcast_threshold, non-expression PK):
+    the pick index is the affine permutation, so each child samples a
+    distinct parent row."""
+    tables = {
+        "Baslik": TableSpec(
+            name="Baslik",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("Ad", "string", nullable=False, length=10),
+            ],
+            pk=["Id"],
+        ),
+        # subtype PK (FK) => parent PK not expression-computable downstream
+        "Belge": TableSpec(
+            name="Belge",
+            columns=[ColumnSpec("Id", "uuid", nullable=False, length=36)],
+            pk=["Id"],
+            fks=[FKSpec(["Id"], "Baslik", ["Id"])],
+        ),
+        "BelgeEk": TableSpec(
+            name="BelgeEk",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("BelgeId", "uuid", nullable=False, length=36),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["BelgeId"], "Belge", ["Id"])],
+            unique_indexes=[["BelgeId"]],  # 1:1 — sample without replacement
+        ),
+    }
+    wire_fk_rules(tables)
+    plan = GenerationPlan(
+        spark,
+        tables,
+        seed=13,
+        row_counts={"Baslik": 70, "Belge": 50, "BelgeEk": 50},
+        broadcast_threshold=5,  # force the index-join path
+    )
+    built = plan.run()
+    assert _dupes(built["BelgeEk"], ["BelgeId"]) == 0
+    belge_ids = {r[0] for r in built["Belge"].select("Id").collect()}
+    sampled = [r[0] for r in built["BelgeEk"].select("BelgeId").collect()]
+    assert all(v in belge_ids for v in sampled)
+    assert len(set(sampled)) == 50  # every child a distinct parent
