@@ -134,7 +134,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             n_common.cast("long").alias("n_common"),
             n_union.cast("long").alias("n_union"),
-            (n_common.cast("double") / n_union).alias("jaccard"),
+            # zero-union pairs (both texts < 3 chars): NULL, matching
+            # DuckDB's 0/0 — Spark's ANSI mode would throw instead
+            F.when(n_union > 0, n_common.cast("double") / n_union)
+            .otherwise(F.lit(None))
+            .alias("jaccard"),
         )
     )
 
@@ -368,9 +372,12 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
     uni = F.size(F.array_distinct(F.concat(F.col("a.grams"), F.col("b.grams")))).cast("double")
+    # zero-union guard mirrors the oracle's NULLIF: the pair is dropped,
+    # never a DIVIDE_BY_ZERO under ANSI mode
+    similar = F.when(uni > 0, (inter / uni) >= 0.4).otherwise(F.lit(False))
     pairs = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter((inter / uni) >= 0.4)
+        .filter(similar)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     edges = pairs.union(
@@ -378,7 +385,11 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     labels = g.select("doc_id", F.col("doc_id").alias("label")).cache()
     labels.count()
-    for _ in range(20):  # O(diameter) rounds; 20 covers diameter 2^20 via min-chaining
+    # one-hop min-label propagation: needs O(component diameter) rounds.
+    # Near-dup clusters are shallow (a handful of hops); 50 is a safety
+    # valve against pathological chains, with convergence checked each
+    # round so typical runs exit after 2-4.
+    for _ in range(50):
         prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "label"
         )

@@ -415,14 +415,16 @@ def sim_classifier_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(LongType())
     def score(col: pd.Series) -> pd.Series:
-        m = np.rint(np.vstack(col.to_numpy()) * 1000).astype(np.int64)
-        return pd.Series(m @ w)
+        # float64 BEFORE scaling (float32*1000 re-rounds), then round
+        # half-AWAY-from-zero to match SQL ROUND — np.rint is half-even
+        m = np.vstack(col.to_numpy()).astype(np.float64) * 1000
+        q = np.sign(m) * np.floor(np.abs(m) + 0.5)
+        return pd.Series(q.astype(np.int64) @ w)
 
     e = table(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        score("embedding").alias("score_milli"),
-        (score("embedding") > 0).alias("positive"),
+    # evaluate the UDF ONCE; derive the label from the scored column
+    return e.select("vec_id", score("embedding").alias("score_milli")).select(
+        "vec_id", "score_milli", (F.col("score_milli") > 0).alias("positive")
     )
 
 

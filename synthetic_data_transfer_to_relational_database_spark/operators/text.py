@@ -367,6 +367,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
              CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS quality
       FROM documents
+      WHERE length(text) > 0
     ), ranked AS (
       SELECT doc_id, n_tokens, quality,
              SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
@@ -387,7 +388,9 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges first, take whole buckets until the boundary bucket, and only
     sort within that one bucket — same result, range-partitioned. The
     exact form is the oracle-checkable specification of that plan."""
-    d = table(spark, sf_dir, "documents")
+    # empty documents carry no quality signal and would divide by zero
+    # under ANSI mode — dropped identically on both engine sides
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     quality = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
     scored = d.select("doc_id", n_tokens.alias("n_tokens"), quality.alias("quality"))
@@ -411,6 +414,7 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
              CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS quality
       FROM documents
+      WHERE length(text) > 0
     ), ranked AS (
       SELECT doc_id, n_tokens, quality,
              SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
@@ -432,7 +436,7 @@ def corpus_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     values land in the same bucket, so the bucket order composed with the
     in-bucket (quality DESC, doc_id) order IS the global order."""
     n_buckets = 32
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     quality = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
     # bucket 0 = highest quality; clamp quality == 1.0 into bucket 0
@@ -537,6 +541,7 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
              CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS alpha_ratio
       FROM documents
+      WHERE length(text) > 0
     ), quality AS (
       SELECT * FROM scored
       WHERE n_tokens BETWEEN 5 AND 500 AND alpha_ratio >= 0.7
@@ -558,7 +563,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses the filter into the scan, the dedup is the only
     shuffle (keyed on text; at 100 TB switch the key to md5(text) like
     dedup_exact_digest), and the sample predicate is map-side again."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     alpha_ratio = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
     quality = d.select(

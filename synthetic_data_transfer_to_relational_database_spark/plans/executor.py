@@ -130,12 +130,20 @@ class GenerationPlan:
         return fns
 
     # ------------------------------------------------------------------
+    # a*i must stay inside int64 for the permutation to be exact: both
+    # factors are < n, so the guarantee holds up to n = floor(sqrt(2^63)).
+    # Beyond that (3e9+ parents in a 1:1 relation) we fall back to hash
+    # sampling rather than overflow (an ANSI-mode error) or silently wrap
+    # (which would break injectivity anyway).
+    _MAX_PERMUTATION_N = 3_037_000_499
+
     def _sample_idx(self, id_col: Column, salt: str, n: int, unique: bool) -> Column:
         """Deterministic parent-row index in [0, n). Default: uniform with
         replacement (hash). ``unique`` (a unique index covers the FK
         column): WITHOUT replacement via an affine permutation — injective
-        while the child row count ≤ n, so sampled keys never repeat."""
-        if unique:
+        while the child row count ≤ n ≤ ``_MAX_PERMUTATION_N``, so sampled
+        keys never repeat."""
+        if unique and n <= self._MAX_PERMUTATION_N:
             s = self.seed + _stable_hash(salt)
             a = _coprime_step(n, s)
             return F.pmod(id_col * F.lit(a) + F.lit(s % max(n, 1)), F.lit(n))

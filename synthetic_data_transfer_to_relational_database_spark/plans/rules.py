@@ -226,13 +226,26 @@ def _enforce_unique_indexes(table: TableSpec) -> None:
                 members.append(c)
         if covered or not members:
             continue
-        non_fk = [c for c in members if not c.fk_parent]
-        if non_fk:
-            c = non_fk[0]
-            c.rule = _pk_safe_rule(c, c.rule or _type_default_rule(c))
-            c.unique = True
-        else:
-            members[0].unique = True
+        # claim enforcement ONLY when a member actually becomes injective:
+        # _pk_safe_rule passes dtypes it has no injective form for (float/
+        # boolean/binary) through unchanged, and marking those `unique`
+        # would silently leave the index unenforced while short-circuiting
+        # later indexes as covered.
+        enforced = False
+        for c in members:
+            if c.fk_parent:
+                continue
+            new_rule = _pk_safe_rule(c, c.rule or _type_default_rule(c))
+            if new_rule.partition(":")[0] in _INJECTIVE_RULES:
+                c.rule = new_rule
+                c.unique = True
+                enforced = True
+                break
+        if not enforced:
+            fk_members = [c for c in members if c.fk_parent]
+            if fk_members:
+                # without-replacement parent sampling (executor._sample_idx)
+                fk_members[0].unique = True
 
 
 # F4/F5: system/framework tables excluded from generation by default

@@ -72,6 +72,9 @@ def zorder_value(cols: list[str], bits: int = 16) -> "Column":
     import functools
 
     n = len(cols)
+    # the interleaved key must fit in 64 bits: JVM shiftleft wraps shift
+    # amounts mod 64, which would silently collide z-values beyond that
+    bits = min(bits, 64 // n)
     interleaved = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         # quantize to [0, 2^bits): percent_rank is order-preserving and

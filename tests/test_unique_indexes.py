@@ -208,3 +208,20 @@ def test_unique_fk_without_replacement_on_join_path(spark):
     sampled = [r[0] for r in built["BelgeEk"].select("BelgeId").collect()]
     assert all(v in belge_ids for v in sampled)
     assert len(set(sampled)) == 50  # every child a distinct parent
+
+
+def test_unenforceable_unique_index_not_falsely_claimed():
+    """A unique index whose only member dtype has no injective rule
+    (float) must NOT be marked enforced — silently claiming coverage
+    would also short-circuit later indexes sharing the column."""
+    t = TableSpec(
+        name="Olcum",
+        columns=[
+            ColumnSpec("Id", "uuid", nullable=False, length=36),
+            ColumnSpec("Oran", "float", nullable=False),
+        ],
+        pk=["Id"],
+        unique_indexes=[["Oran"]],
+    )
+    infer_table_rules(t)
+    assert not t.column("Oran").unique
