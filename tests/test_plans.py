@@ -15,7 +15,8 @@ from synthetic_data_transfer_to_relational_database_spark import registry
 SF_DIR = "/root/testdata/sf0.001"
 
 # deliberate non-equi plans where a nested-loop side is broadcast by design
-_BNLJ_OK = {"sim_search", "sim_search_lsh"}
+# (the 10-row query side of the ANN scans; rag_retrieve embeds sim_search)
+_BNLJ_OK = {"sim_search", "sim_search_lsh", "rag_retrieve"}
 
 
 def _plan(df) -> str:
