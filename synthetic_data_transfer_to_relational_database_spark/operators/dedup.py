@@ -418,3 +418,41 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(Window.partitionBy("label")).alias("cluster_size"),
     )
+
+
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup pipeline stage: MinHash-LSH CANDIDATES →
+    exact trigram-Jaccard VERIFICATION → confirmed pairs. LSH recall
+    gives cheap candidates (signatures only cross the wire); the exact
+    check — word-level shingles are too coarse for a final verdict —
+    joins the candidate pair list back to per-doc trigram sets and keeps
+    pairs with true Jaccard ≥ 0.5. Rows-only (candidates hinge on
+    xxhash64), deterministic; the verify arithmetic is the oracle-checked
+    dedup_ngram_jaccard formula.
+
+    Scale shape: candidates ≪ all-pairs by construction; the verify join
+    shuffles (pair, doc_id) — gram sets are fetched for candidate docs
+    only, never for the full corpus cross product."""
+    d = table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(text) >= 3 THEN "
+            "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))) "
+            "ELSE array() END"
+        ).alias("grams"),
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    joined = cand.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    uni = F.size(F.array_distinct(F.concat("ga", "gb"))).cast("double")
+    jac = F.when(uni > 0, inter / uni).otherwise(F.lit(None))
+    return (
+        joined.select("doc_a", "doc_b", "est_jaccard", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+QUERIES["dedup_lsh_verified"] = dedup_lsh_verified
