@@ -325,3 +325,21 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, o, on="k", n_salts=8).select(
         F.col("k").alias("l_orderkey"), "l_linenumber", "l_quantity", "o_orderstatus"
     )
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate percentiles via percentile_approx — the 100 TB
+    path (fixed-size sketch per group, map-side mergeable) next to the
+    exact interpolation of agg_median. Rows-only: sketch results are
+    engine-specific by design (accuracy=10000 bounds rank error at 1e-4).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(cents, 0.5, 10000).alias("p50_price_cents"),
+        F.percentile_approx(cents, 0.99, 10000).alias("p99_price_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["agg_approx_percentile"] = agg_approx_percentile
