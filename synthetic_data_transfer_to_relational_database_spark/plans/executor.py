@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -88,6 +89,9 @@ class GenerationPlan:
     _built: dict[str, DataFrame] = field(default_factory=dict)
     _pk_expr_fns: dict[str, object] = field(default_factory=dict)
     _row_count_of: dict[str, int] = field(default_factory=dict)
+    # per-table scratch caches (indexed-parent frames) released once the
+    # child that referenced them is materialized
+    _scratch: list[DataFrame] = field(default_factory=list)
 
     # ------------------------------------------------------------------
     def rows_for(self, name: str) -> int:
@@ -130,23 +134,41 @@ class GenerationPlan:
         return fns
 
     # ------------------------------------------------------------------
-    # a*i must stay inside int64 for the permutation to be exact: both
-    # factors are < n, so the guarantee holds up to n = floor(sqrt(2^63)).
-    # Beyond that (3e9+ parents in a 1:1 relation) we fall back to hash
-    # sampling rather than overflow (an ANSI-mode error) or silently wrap
-    # (which would break injectivity anyway).
+    # a*(i mod n) must stay inside int64 for the permutation to be exact:
+    # both factors are < n after the inner pmod, so the guarantee holds up
+    # to n = floor(sqrt(2^63)) regardless of the CHILD row count. Beyond
+    # that (3e9+ parents in a 1:1 relation) we fall back to hash sampling
+    # rather than overflow (an ANSI-mode error) or silently wrap (which
+    # would break injectivity anyway).
     _MAX_PERMUTATION_N = 3_037_000_499
 
-    def _sample_idx(self, id_col: Column, salt: str, n: int, unique: bool) -> Column:
+    def _sample_idx(
+        self, id_col: Column, salt: str, n: int, unique: bool, child_rows: int | None = None
+    ) -> Column:
         """Deterministic parent-row index in [0, n). Default: uniform with
         replacement (hash). ``unique`` (a unique index covers the FK
         column): WITHOUT replacement via an affine permutation — injective
         while the child row count ≤ n ≤ ``_MAX_PERMUTATION_N``, so sampled
-        keys never repeat."""
+        keys never repeat. When more children than parent keys exist the
+        guarantee CANNOT hold (pigeonhole): we warn at plan time — a
+        live-DB load would hit the unique constraint — and the permutation
+        wraps (FK validity is preserved, uniqueness is not)."""
         if unique and n <= self._MAX_PERMUTATION_N:
+            if child_rows is not None and child_rows > n:
+                warnings.warn(
+                    f"unique-indexed FK '{salt}': {child_rows} child rows > "
+                    f"{n} parent keys — without-replacement sampling wraps; "
+                    "the unique index WILL be violated (a live DB would "
+                    "reject the load). Reduce the child row count or drop "
+                    "the index.",
+                    stacklevel=2,
+                )
             s = self.seed + _stable_hash(salt)
             a = _coprime_step(n, s)
-            return F.pmod(id_col * F.lit(a) + F.lit(s % max(n, 1)), F.lit(n))
+            # reduce i into [0, n) BEFORE the multiply: (a*i) mod n ==
+            # (a*(i mod n)) mod n, and the reduced product stays < n^2 <=
+            # 2^63 no matter how many child rows there are.
+            return F.pmod(F.pmod(id_col, F.lit(n)) * F.lit(a) + F.lit(s % max(n, 1)), F.lit(n))
         return F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n))
 
     def _fk_value(self, table: TableSpec, col: ColumnSpec, id_col: Column) -> Column:
@@ -155,15 +177,16 @@ class GenerationPlan:
         sample the same parent row — tuple-consistent references."""
         parent_name, _, parent_col = col.fk_parent.partition(".")
         salt = col.fk_salt or f"{table.name}.{col.name}"
+        child_rows = self._row_count_of.get(table.name, self.rows_for(table.name))
 
         # self-reference: recompute this table's own PK expression at a
         # sampled index in [0, n) — same batch, always valid.
         if parent_name == table.name:
-            n = self._row_count_of.get(table.name, self.rows_for(table.name))
+            n = child_rows
             pk_fns = self._pk_expr_fns.get(table.name, {})
             fn = pk_fns.get(parent_col)
             if fn is not None:
-                return fn(self._sample_idx(id_col, salt, n, col.unique))
+                return fn(self._sample_idx(id_col, salt, n, col.unique, child_rows))
             return F.lit(None)
 
         # live-DB identity read-back wins over every assumed-key path
@@ -172,7 +195,7 @@ class GenerationPlan:
             if not override:
                 return self._fk_fallback(col, id_col, salt)
             arr = F.lit(list(override))
-            idx = (self._sample_idx(id_col, salt, len(override), col.unique) + 1).cast("int")
+            idx = (self._sample_idx(id_col, salt, len(override), col.unique, child_rows) + 1).cast("int")
             return F.element_at(arr, idx)
 
         parent_df = self._built.get(parent_name)
@@ -187,7 +210,7 @@ class GenerationPlan:
         # expression-computable parent PK ⇒ function composition, no join
         fn = self._pk_expr_fns.get(parent_name, {}).get(parent_col)
         if fn is not None:
-            return fn(self._sample_idx(id_col, salt, n_parent, col.unique))
+            return fn(self._sample_idx(id_col, salt, n_parent, col.unique, child_rows))
 
         if n_parent <= self.broadcast_threshold:
             keys = [r[0] for r in parent_df.select(parent_col).collect()]
@@ -195,7 +218,7 @@ class GenerationPlan:
             # F.lit() Column constructions — the per-element form blows up
             # py4j call count and plan size long before the threshold.
             arr = F.lit(keys)
-            idx = (self._sample_idx(id_col, salt, len(keys), col.unique) + 1).cast("int")
+            idx = (self._sample_idx(id_col, salt, len(keys), col.unique, child_rows) + 1).cast("int")
             return F.element_at(arr, idx)
 
         # large-parent path is planned in _build_table via an equi-join
@@ -229,7 +252,12 @@ class GenerationPlan:
             if parent is not None and n_parent >= n:
                 a = _coprime_step(n_parent, table_seed)
                 b = table_seed % max(n_parent, 1)
-                perm_idx = F.pmod(id_col * F.lit(a) + F.lit(b), F.lit(n_parent))
+                # inner pmod is a no-op here (id < n ≤ n_parent) but keeps
+                # the product provably < n_parent² — same shape as
+                # _sample_idx's overflow guard.
+                perm_idx = F.pmod(
+                    F.pmod(id_col, F.lit(n_parent)) * F.lit(a) + F.lit(b), F.lit(n_parent)
+                )
                 for pk_col, ppk_col in zip(subtype_fk.columns, subtype_fk.parent_columns):
                     fn = self._pk_expr_fns.get(subtype_fk.parent_table, {}).get(ppk_col)
                     if fn is not None:
@@ -275,7 +303,7 @@ class GenerationPlan:
         for (parent_name, salt), pairs in grouped.items():
             parent_idx, n_parent = self._indexed_parent(parent_name, pairs)
             uniq = any(col.unique for col, _ in pairs)
-            pick = self._sample_idx(F.col("__id"), salt, n_parent, uniq).alias("__pick")
+            pick = self._sample_idx(F.col("__id"), salt, n_parent, uniq, n).alias("__pick")
             out = (
                 out.withColumn("__pick", pick)
                 .join(parent_idx, F.col("__pick") == F.col("__pidx"), "left")
@@ -328,6 +356,16 @@ class GenerationPlan:
             .sortWithinPartitions(*key_cols)
             .withColumn("__part", F.spark_partition_id())
         )
+        # CACHE before the counts action: RangePartitioner samples with an
+        # RDD-derived seed, so re-executing this plan (once for the counts
+        # collect, once at child-join time) can draw DIFFERENT range
+        # boundaries when the parent outgrows the sampling reservoir — the
+        # collected offsets would then describe partitions the join never
+        # sees (duplicate/missing __pidx). Materializing the partitioning
+        # here pins ONE set of boundaries for both uses; the cache is
+        # released by build_one once the child is materialized.
+        p = p.cache()
+        self._scratch.append(p)
         counts = {r["__part"]: r["count"] for r in p.groupBy("__part").count().collect()}
         offsets: dict[int, int] = {}
         acc = 0
@@ -359,6 +397,14 @@ class GenerationPlan:
         built. Public so sinks can interleave build → load → key-fetch."""
         df = self._materialize_df(self._build_table(self.tables[name]), name, materialize)
         self._built[name] = df
+        if materialize is not False:
+            # the child no longer re-reads the indexed-parent scratch
+            # caches once it is itself cached/written — release them.
+            # (Under materialize=False the lazy child plan still references
+            # them; unpersisting would reintroduce the recompute hazard.)
+            for s in self._scratch:
+                s.unpersist()
+            self._scratch.clear()
         return df
 
     def _materialize_df(self, df: DataFrame, name: str, mode: bool | str) -> DataFrame:

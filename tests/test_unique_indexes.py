@@ -210,6 +210,85 @@ def test_unique_fk_without_replacement_on_join_path(spark):
     assert len(set(sampled)) == 50  # every child a distinct parent
 
 
+def test_unique_fk_warns_when_children_exceed_parents(spark):
+    """More children than parent keys under a unique-indexed FK cannot
+    hold (pigeonhole): the planner must SAY so — a live-DB load would be
+    rejected by the constraint — instead of wrapping silently. The wrapped
+    values must still be FK-valid (the reference's own behavior is to
+    violate constraints knowingly, SURVEY.md §1.3; we violate loudly)."""
+    plan = GenerationPlan(
+        spark,
+        _uniq_schema(),
+        seed=11,
+        row_counts={"Ulke": 40, "Banka": 20, "BankaDetay": 45},
+    )
+    with pytest.warns(UserWarning, match="unique-indexed FK"):
+        built = plan.run()
+    child = [r[0] for r in built["BankaDetay"].select("BankaId").collect()]
+    # the permutation wraps (reduced mod 20 BEFORE the multiply, so the
+    # arithmetic also never overflows int64 however large the child is)
+    assert len(child) == 45
+    assert all(v in set(range(1, 21)) for v in child)
+
+
+def test_indexed_parent_pins_one_partitioning(spark):
+    """The large-parent index join must reuse the SAME materialized range
+    partitioning that the offsets job observed (RangePartitioner samples
+    with an RDD-derived seed -- re-executing the plan at join time can
+    draw different boundaries once parents outgrow the sampling
+    reservoir). The child plan therefore reads the scratch cache; the
+    cache is released as soon as the child itself is materialized."""
+
+    def join_path_tables():
+        tables = {
+            "Baslik": TableSpec(
+                name="Baslik",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("Ad", "string", nullable=False, length=10),
+                ],
+                pk=["Id"],
+            ),
+            # subtype PK (FK) => parent PK not expression-computable
+            "Belge": TableSpec(
+                name="Belge",
+                columns=[ColumnSpec("Id", "uuid", nullable=False, length=36)],
+                pk=["Id"],
+                fks=[FKSpec(["Id"], "Baslik", ["Id"])],
+            ),
+            "BelgeEk": TableSpec(
+                name="BelgeEk",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("BelgeId", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["BelgeId"], "Belge", ["Id"])],
+            ),
+        }
+        wire_fk_rules(tables)
+        return tables
+
+    counts = {"Baslik": 70, "Belge": 50, "BelgeEk": 50}
+    plan = GenerationPlan(
+        spark, join_path_tables(), seed=13, row_counts=counts, broadcast_threshold=5
+    )
+    plan.build_one("Baslik")
+    plan.build_one("Belge")
+    child = plan.build_one("BelgeEk", materialize=False)
+    assert plan._scratch, "index-join build should leave a scratch cache pinned"
+    assert "InMemoryTableScan" in child._jdf.queryExecution().executedPlan().toString(), (
+        "child join must read the cached parent index, not re-execute the "
+        "range repartition"
+    )
+    # a materialized build releases the scratch cache afterwards
+    plan2 = GenerationPlan(
+        spark, join_path_tables(), seed=13, row_counts=counts, broadcast_threshold=5
+    )
+    plan2.run()
+    assert plan2._scratch == []
+
+
 def test_unenforceable_unique_index_not_falsely_claimed():
     """A unique index whose only member dtype has no injective rule
     (float) must NOT be marked enforced — silently claiming coverage
