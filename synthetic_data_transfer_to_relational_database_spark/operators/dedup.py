@@ -316,6 +316,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_simhash"] = dedup_simhash
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — the algorithm GraphFrames ships): every round, large-star
+    hooks each node's larger neighbors onto its component-minimum-so-far,
+    small-star hooks the smaller ones, and the edge set contracts toward
+    one star per component in O(log n) rounds — a 10^6-diameter chain
+    converges in ~20 rounds where one-hop label propagation needs 10^6.
+
+    ``edges`` is any (src, dst) pair frame (direction ignored). Returns
+    (node, label) with label = the component's minimum node id; isolated
+    nodes don't appear (callers left-join and coalesce to the node id).
+
+    Scale shape: each round is two self-contained groupBy+join passes over
+    the CURRENT edge set (which only shrinks toward node count); lineage
+    is cut with localCheckpoint every round — see the in-loop comment for
+    why per-round truncation is load-bearing, not optional. (At cluster
+    scale, prefer a reliable checkpoint dir — localCheckpoint loses blocks
+    with a dead executor; the shape is identical.) Raises if the edge set
+    has not reached a fixpoint within ``max_rounds`` — partial labels are
+    WRONG labels, never returned silently.
+    """
+    # canonical direction: src > dst, self-loops dropped
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # per node u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+        nbr = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        m = nbr.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+        return (
+            nbr.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # per node u over its SMALLER neighbors v (canonical dst side):
+        # m = min(Γ<(u) ∪ {u}); emit (v, m) and (u, m)
+        m = e.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+        j = e.join(m, "src")
+        return (
+            j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    converged = False
+    for rnd in range(1, max_rounds + 1):
+        # checkpoint EVERY round: one round references `e` ~6× (the
+        # symmetric union, the min join, the fixpoint test), so without
+        # truncation the LOGICAL plan grows ~6× per round — plan
+        # canonicalization alone OOMs the driver by round 5 (cache()
+        # doesn't help: InMemoryRelation keeps the full child plan).
+        # localCheckpoint materializes the (shrinking, ≤ node count) edge
+        # set and cuts lineage — the same reason GraphFrames checkpoints
+        # its connectedComponents every couple of iterations.
+        e2 = small_star(large_star(e)).localCheckpoint()
+        # exact fixpoint test: both sides are distinct sets, so equal
+        # count + empty anti-join ⇔ identical edge sets
+        converged = (
+            e.count() == e2.count()
+            and e2.join(e, ["src", "dst"], "left_anti").limit(1).count() == 0
+        )
+        e = e2
+        if converged:
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds — refusing to return partial (wrong) cluster labels; "
+            "raise max_rounds (rounds needed ≈ log2(max component diameter))"
+        )
+    # fixpoint = one star per component: dst IS the component minimum
+    return e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+
+
 @q(
     "dedup_cluster",
     sql=r"""
@@ -357,9 +442,15 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction only, all data stays distributed). The DuckDB oracle
     computes the same closure with a recursive CTE.
 
+    Components via the alternating star contraction in
+    ``connected_components`` — O(log diameter) rounds, lineage cut by
+    checkpoints, convergence verified (never silently partial).
+
     Scale notes: candidate edges come from blocked pairing (never
-    all-pairs); each round shuffles (edge endpoint → label) — the same
-    cost shape GraphFrames' connectedComponents pays per iteration.
+    all-pairs); each contraction round shuffles only the shrinking edge
+    set — the same cost shape GraphFrames' connectedComponents pays per
+    iteration, with exponentially fewer iterations than one-hop label
+    propagation on deep components.
     """
     d = table(spark, sf_dir, "documents")
     grams = F.expr(
@@ -380,37 +471,12 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(similar)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    labels = g.select("doc_id", F.col("doc_id").alias("label")).cache()
-    labels.count()
-    # one-hop min-label propagation: needs O(component diameter) rounds.
-    # Near-dup clusters are shallow (a handful of hops); 50 is a safety
-    # valve against pathological chains, with convergence checked each
-    # round so typical runs exit after 2-4.
-    for _ in range(50):
-        prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
-            F.col("dst").alias("doc_id"), "label"
-        )
-        new_labels = (
-            labels.select("doc_id", "label")
-            .union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    comp = connected_components(pairs)
+    labels = (
+        g.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("label"))
+    )
     from pyspark.sql.window import Window
 
     return labels.select(

@@ -129,3 +129,64 @@ def test_ivf_lloyd_refinement_improves_recall(spark, sf_dir_mid):
         for r in sim_search_ivf_lloyd(spark, sf_dir_mid).collect()
     }
     assert again == lloyd
+
+
+def test_connected_components_deep_chain(spark):
+    """Star contraction must handle components whose diameter dwarfs the
+    round budget that one-hop label propagation could afford: a 150-node
+    chain (diameter 149) plus a triangle converge in O(log n) rounds,
+    every node labeled with its component minimum."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)] + [(500, 501), (501, 502), (500, 502)],
+        "src long, dst long",
+    )
+    labels = {r["node"]: r["label"] for r in dedup.connected_components(edges).collect()}
+    assert all(labels[i] == 0 for i in range(1, 150))
+    assert labels[501] == 500 and labels[502] == 500
+    # component roots carry no star edge — callers coalesce to self
+    assert 0 not in labels and 500 not in labels
+
+
+def test_connected_components_refuses_partial_labels(spark):
+    """ADVICE r2: hitting the round cap without a fixpoint must raise —
+    partial labels are wrong labels, never returned silently."""
+    import pytest
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(99)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_rounds=1)
+
+
+def test_dedup_cluster_matches_bruteforce_closure(spark, sf_dir):
+    """Cluster labels equal the transitive closure computed by a plain
+    Python union-find over the same edge set."""
+    d = dedup.dedup_cluster(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in d}
+
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    grams = {}
+    blocks = {}
+    for r in docs:
+        t = r["text"]
+        grams[r["doc_id"]] = {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
+        blocks.setdefault(" ".join(t.strip().lower().split()[:5]), []).append(r["doc_id"])
+    parent = {r["doc_id"]: r["doc_id"] for r in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ids in blocks.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                u = grams[a] | grams[b]
+                if u and len(grams[a] & grams[b]) / len(u) >= 0.4:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    want = {d_id: find(d_id) for d_id in parent}
+    assert got == want
