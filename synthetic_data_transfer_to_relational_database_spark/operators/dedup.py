@@ -224,6 +224,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
 
 
+def _sign_bucket(sign_bits: int) -> F.Column:
+    """MSB-first sign-quantization key over the first ``sign_bits``
+    embedding dims — 2^sign_bits blocking buckets."""
+    return F.expr(
+        f"aggregate(slice(embedding, 1, {sign_bits}), cast(0 as bigint),"
+        " (acc, x) -> acc * 2 + IF(x >= 0, 1, 0))"
+    )
+
+
 @q(
     "dedup_embedding",
     sql="""
@@ -244,19 +253,21 @@ QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
     SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.25
     """,
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: sign-quantization blocking (first 4
-    dims -> 16 buckets) so only same-bucket pairs are scored, then exact
-    cosine >= threshold. The oracle replicates the bucketing exactly; at
-    100 TB the bucket key simply grows (more sign bits / an IVF coarse
-    quantizer) — the plan shape (bucket shuffle, within-bucket self-join)
-    is unchanged."""
+def dedup_embedding(spark: SparkSession, sf_dir: str, sign_bits: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup: sign-quantization blocking (first
+    ``sign_bits`` dims -> 2^sign_bits buckets) so only same-bucket pairs
+    are scored, then exact cosine >= threshold. The oracle replicates the
+    4-bit default exactly; at 100 TB PASS A LARGER ``sign_bits`` (16-24):
+    expected within-bucket pair work is O(n²/2^sign_bits), so the bucket
+    key must grow with the corpus for the self-join to stay linear-ish —
+    the plan shape (bucket shuffle, within-bucket self-join) is unchanged,
+    and a finer key only REFINES the blocking (every k+1-bit bucket is a
+    subset of a k-bit bucket). An IVF coarse quantizer (similarity.py)
+    is the data-aware alternative when sign bits skew."""
+    if not 1 <= sign_bits <= 63:
+        raise ValueError(f"sign_bits must be in [1, 63], got {sign_bits}")
     e = table(spark, sf_dir, "embeddings")
-    bucket = sum(
-        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << (3 - i))).otherwise(F.lit(0))
-        for i in range(4)
-    )
-    v = e.select("vec_id", F.col("embedding").alias("e"), bucket.alias("bucket"))
+    v = e.select("vec_id", F.col("embedding").alias("e"), _sign_bucket(sign_bits).alias("bucket"))
     a, b = v.alias("a"), v.alias("b")
     dot = "aggregate(zip_with(a.e, b.e, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, x) -> acc + x)"
     na = "aggregate(transform(a.e, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)"

@@ -190,3 +190,37 @@ def test_dedup_cluster_matches_bruteforce_closure(spark, sf_dir):
                         parent[max(ra, rb)] = min(ra, rb)
     want = {d_id: find(d_id) for d_id in parent}
     assert got == want
+
+
+def test_dedup_embedding_blocking_parameter(spark, sf_dir):
+    """The sign-quantization blocking key must actually GROW with
+    sign_bits (the r2 scale fix: 16 fixed buckets made the within-bucket
+    self-join quadratic in corpus size), and a finer key must only refine
+    the blocking — candidate pairs at k+1 bits are a subset of k bits."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.dedup import (
+        _sign_bucket,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    n4 = e.select(_sign_bucket(4).alias("b")).distinct().count()
+    n10 = e.select(_sign_bucket(10).alias("b")).distinct().count()
+    assert n4 <= 16 < n10
+
+    base = {(r.vec_a, r.vec_b) for r in dedup.dedup_embedding(spark, sf_dir).collect()}
+    fine = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding(spark, sf_dir, sign_bits=8).collect()
+    }
+    assert fine <= base
+    # the scaled-up key keeps the bucket-equi-join shape: no cartesian or
+    # nested-loop fallback
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.dedup_embedding(spark, sf_dir, sign_bits=16).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
