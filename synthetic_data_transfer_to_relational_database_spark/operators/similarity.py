@@ -140,6 +140,39 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sim_centroid_scalable",
+    sql="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(ROUND(embedding[1] * 1000) AS BIGINT)) AS BIGINT) AS sum_d1_milli,
+           CAST(SUM(CAST(ROUND(embedding[1] * 1000) AS BIGINT)) AS DOUBLE) / 1000.0 / COUNT(*)
+             AS centroid_d1_q
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_centroid_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE centroid: one hash aggregation with map-side partial
+    sums — no per-group array materialization (sim_centroid_by_label
+    collect_lists each group to pin the float fold order, which is O(group
+    size) memory on a single executor: a skewed-label hazard at 100×).
+    Order-independence comes from integer milli-quantization instead (the
+    sim_classifier_udf trick): SUM over int64 is exact under any
+    partitioning and any AQE re-plan, and the quantized centroid is within
+    0.0005 of the exact one. DuckDB runs the identical formula, so this
+    stays value-hash-checked (SUM(BIGINT) re-cast per the HUGEINT rule)."""
+    e = table(spark, sf_dir, "embeddings")
+    q_milli = F.round(F.element_at("embedding", 1).cast("double") * 1000).cast("bigint")
+    n = F.count(F.lit(1))
+    s = F.sum(q_milli)
+    return e.groupBy("label").agg(
+        n.alias("n_vecs"),
+        s.alias("sum_d1_milli"),
+        (s.cast("double") / F.lit(1000.0) / n).alias("centroid_d1_q"),
+    )
+
+
+@q(
     "sim_centroid_pandas",
     sql="""
     SELECT label,

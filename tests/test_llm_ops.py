@@ -224,3 +224,29 @@ def test_dedup_embedding_blocking_parameter(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_scalable_matches_exact_and_skips_collect_list(spark, sf_dir):
+    """The scale twin must agree with the order-controlled exact centroid
+    within the milli-quantization bound, and its plan must be a plain
+    partial+final hash aggregation — no per-group array materialization."""
+    import contextlib
+    import io
+
+    exact = {
+        r["label"]: r["centroid_d1"]
+        for r in similarity.sim_centroid_by_label(spark, sf_dir).collect()
+    }
+    df = similarity.sim_centroid_scalable(spark, sf_dir)
+    rows = df.collect()
+    assert set(exact) == {r["label"] for r in rows}
+    for r in rows:
+        # per-element quantization error <= 0.0005, so the mean is too
+        assert abs(r["centroid_d1_q"] - exact[r["label"]]) <= 5.1e-4
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "collect_list" not in plan
+    assert "partial_sum" in plan, "map-side combine expected"
