@@ -250,3 +250,41 @@ def test_centroid_scalable_matches_exact_and_skips_collect_list(spark, sf_dir):
     plan = buf.getvalue()
     assert "collect_list" not in plan
     assert "partial_sum" in plan, "map-side combine expected"
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir_mid):
+    """percentile_approx(accuracy=10000) guarantees rank error <= n/10000:
+    the sketch's answer must sit within that many positions of the true
+    rank in each group's sorted values — asserted quantitatively, not
+    just 'runs'."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.relational2 import (
+        agg_approx_percentile,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+
+    import bisect
+
+    got = {r["l_returnflag"]: r for r in agg_approx_percentile(spark, sf_dir_mid).collect()}
+    li = table(spark, sf_dir_mid, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    groups: dict[str, list[int]] = {}
+    for r in li.collect():
+        groups.setdefault(r["l_returnflag"], []).append(r["cents"])
+    assert set(groups) == set(got)
+    for flag, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        tol = n / 10000 + 1
+        for q, col in [(0.5, "p50_price_cents"), (0.99, "p99_price_cents")]:
+            v = got[flag][col]
+            # the sketch must return an actual data value…
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v)
+            assert lo < hi, f"{flag} {col}: {v} not a member of the group"
+            # …whose rank interval covers the target rank within tolerance
+            target = q * (n - 1)
+            assert lo - tol <= target <= (hi - 1) + tol, (
+                f"{flag} {col}: rank [{lo},{hi - 1}] vs target {target:.0f} ± {tol:.0f}"
+            )
+        assert got[flag]["n"] == n
