@@ -101,23 +101,27 @@ def main() -> None:
 
     # best-of-2 per query: a co-tenant CPU spike during a single pass
     # otherwise inflates the recorded number by 30%+ (observed); min of
-    # two materializations reports the machine, not the neighbor.
+    # two materializations reports the machine, not the neighbor. The
+    # FIRST pass is also recorded separately so rounds measured
+    # single-pass (r1) stay comparable without re-benchmarking.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
+    first_pass: dict[str, float] = {}
+
+    def run_best_of_2(name: str, run) -> None:
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            run()
+            dt = time.perf_counter() - t0
+            if i == 0:
+                first_pass[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _gen_1m(spark)
-        best = min(best, time.perf_counter() - t0)
-    timings["gen_1m_rows"] = round(best, 3)
+    for name in HEADLINE:
+        fn = queries[name]
+        run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
+    run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -128,6 +132,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "method": "best_of_2",
+                "single_pass_total": round(sum(first_pass.values()), 3),
+                "queries_single_pass": first_pass,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -361,7 +361,10 @@ def _ivf_serve(e: DataFrame, cvs: list[list[float]]) -> DataFrame:
     ).filter(F.col("rn") <= _TOP_K)
 
 
-QUERIES["sim_search_ivf"] = sim_search_ivf
+# sim_search_ivf (the unrefined single-pass IVF) stays available as a
+# function — the Lloyd variant composes it — but only the refined form is
+# registered: the two were separate rows-only entries in r1/r2 and the
+# catalog must fit the driver's 50-query sweep window.
 QUERIES["sim_search_ivf_lloyd"] = sim_search_ivf_lloyd
 
 

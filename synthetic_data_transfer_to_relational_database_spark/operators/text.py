@@ -360,53 +360,6 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "corpus_token_budget",
-    sql="""
-    WITH scored AS (
-      SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-             CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS quality
-      FROM documents
-      WHERE length(text) > 0
-    ), ranked AS (
-      SELECT doc_id, n_tokens, quality,
-             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
-      FROM scored
-    )
-    SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens,
-           cum_tokens <= 10000 AS selected
-    FROM ranked
-    """,
-)
-def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budget-constrained selection: rank documents by quality, take the
-    prefix whose cumulative token count fits the training budget — the
-    "best N tokens" cut every data-curation pipeline makes. The global
-    ordered cumsum is the one op here that does NOT scale as written
-    (single-partition window); at 100 TB you bucket quality into ~1000
-    ranges first, take whole buckets until the boundary bucket, and only
-    sort within that one bucket — same result, range-partitioned. The
-    exact form is the oracle-checkable specification of that plan."""
-    # empty documents carry no quality signal and would divide by zero
-    # under ANSI mode — dropped identically on both engine sides
-    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    quality = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
-    scored = d.select("doc_id", n_tokens.alias("n_tokens"), quality.alias("quality"))
-    w = Window.orderBy(F.desc("quality"), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        "quality",
-        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
-        (F.sum("n_tokens").over(w) <= 10000).alias("selected"),
-    )
-
-
-@q(
     "corpus_token_budget_scalable",
     sql="""
     WITH scored AS (
@@ -427,8 +380,12 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB plan for ``corpus_token_budget``, checked against the
-    SAME oracle (identical results, different physical plan): quality is
+    """Budget-constrained selection — rank documents by quality, keep the
+    prefix whose cumulative token count fits the training budget (the
+    "best N tokens" cut every curation pipeline makes) — in the plan that
+    survives 100 TB. The oracle (and the r1/r2 catalog's demo twin
+    ``corpus_token_budget``, folded into this entry) is the naive global
+    ordered cumsum, which collapses to ONE partition; here quality is
     range-bucketed, per-bucket token totals (a num_buckets-row collect)
     become broadcast offsets, and the running sum is computed with a
     window partitioned BY BUCKET — every sort is bucket-local, nothing
