@@ -59,17 +59,35 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def _spread_bits(q: "Column", bits: int, n: int, i: int) -> "Column":
+    """Morton bit-spread: bit j of ``q`` lands at position j*n + i
+    (unrolled: shift amounts must be Python ints for
+    shiftleft/shiftrightunsigned)."""
+    from pyspark.sql import functions as F
+
+    import functools
+
+    return functools.reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.shiftleft(F.shiftrightunsigned(q, j).bitwiseAND(F.lit(1)), j * n + i)
+            for j in range(bits)
+        ],
+    )
+
+
 def zorder_value(cols: list[str], bits: int = 16) -> "Column":
     """Z-order (Morton) key over numeric columns: rank each column into
     ``bits`` levels, interleave the bits. Rows close in EVERY dimension
     get close z-values, so sorting by z clusters multi-dimensional
     neighborhoods into the same parquet row groups — min/max skipping
     then prunes on ANY of the columns, not just the leading sort key.
-    Pure expression (percent_rank window per column + bit arithmetic)."""
+    Pure expression (percent_rank window per column + bit arithmetic) —
+    exact ranks, but the unpartitioned window sorts each column through
+    ONE task: use ``with_zorder_sampled`` for any dataset that doesn't
+    fit a single executor's sort buffer."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
-
-    import functools
 
     n = len(cols)
     # the interleaved key must fit in 64 bits: JVM shiftleft wraps shift
@@ -80,17 +98,70 @@ def zorder_value(cols: list[str], bits: int = 16) -> "Column":
         # quantize to [0, 2^bits): percent_rank is order-preserving and
         # scale-free, so columns of any numeric range interleave fairly
         q = F.floor(F.percent_rank().over(Window.orderBy(c)) * ((1 << bits) - 1)).cast("long")
-        # bit j of q lands at position j*n + i (unrolled: shift amounts
-        # must be Python ints for shiftleft/shiftrightunsigned)
-        spread = functools.reduce(
-            lambda a, b: a.bitwiseOR(b),
-            [
-                F.shiftleft(F.shiftrightunsigned(q, j).bitwiseAND(F.lit(1)), j * n + i)
-                for j in range(bits)
-            ],
-        )
-        interleaved = interleaved.bitwiseOR(spread)
+        interleaved = interleaved.bitwiseOR(_spread_bits(q, bits, n, i))
     return interleaved
+
+
+def with_zorder_sampled(
+    df: DataFrame,
+    cols: list[str],
+    out_col: str = "__z",
+    bits: int = 16,
+    rel_err: float = 1e-3,
+) -> DataFrame:
+    """The 100 TB form of ``zorder_value``: identical Morton semantics,
+    but each column's rank quantization comes from ``approxQuantile``
+    cutpoints (one distributed Greenwald-Khanna sketch pass over all
+    columns — NO global window, NO single-task sort) applied with
+    ``ml.feature.Bucketizer`` (a broadcast binary search, JVM-side).
+    The returned frame carries ``out_col``; every other column is
+    untouched.
+
+    Quantization granularity is capped at 12 bits (4096 levels per
+    dimension): parquet row groups are ~128 MB, so 4096^n z-cells is
+    already far finer than any file/row-group boundary the key needs to
+    separate, and it keeps the cutpoint fetch (2^bits quantiles per
+    column) trivially driver-sized. Ties/skew collapse duplicate
+    cutpoints — same behavior as percent_rank ties. Nulls land in the
+    top bucket (clamped), vs rank 0 under the exact form: either way all
+    nulls cluster into the same z-neighborhood, which is the property
+    row-group skipping needs."""
+    from pyspark.ml.feature import Bucketizer
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    bits = min(bits, 64 // n, 12)
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    cast_cols = [f"__zin_{i}" for i in range(n)]
+    work = df
+    for c, cc in zip(cols, cast_cols):
+        work = work.withColumn(cc, F.col(c).cast("double"))
+    cuts = work.stat.approxQuantile(cast_cols, probs, rel_err)
+    splits = [
+        [float("-inf"), *sorted(set(c)), float("inf")] if c else [float("-inf"), float("inf")]
+        for c in cuts
+    ]
+    buck_cols = [f"__zq_{i}" for i in range(n)]
+    work = Bucketizer(
+        inputCols=cast_cols,
+        outputCols=buck_cols,
+        splitsArray=splits,
+        handleInvalid="keep",  # nulls/NaN -> extra top bucket, clamped below
+    ).transform(work)
+    z = F.lit(0).cast("long")
+    for i, bc in enumerate(buck_cols):
+        # rescale the bucket index across the FULL 2^bits range (what
+        # percent_rank * (2^bits - 1) does in the exact form): with fewer
+        # populated levels than 2^bits, raw indices would crowd the low
+        # bits and the z-curve's high-bit splits would be lopsided —
+        # measurably worse file clustering
+        n_levels = len(splits[i]) - 1  # buckets 0..n_levels-1 (+ invalid)
+        scaled = F.floor(
+            F.col(bc).cast("long") * F.lit((1 << bits) - 1) / F.lit(max(n_levels - 1, 1))
+        ).cast("long")
+        q = F.least(scaled, F.lit((1 << bits) - 1))
+        z = z.bitwiseOR(_spread_bits(q, bits, n, i))
+    return work.withColumn(out_col, z).drop(*cast_cols, *buck_cols)
 
 
 def write_zordered(
@@ -99,6 +170,7 @@ def write_zordered(
     zorder_cols: list[str],
     n_files: int = 8,
     mode: str = "overwrite",
+    sampled: bool = True,
 ) -> None:
     """Write parquet clustered by z-order over ``zorder_cols``:
     range-repartition by the z-value (ordered files), sort within
@@ -106,13 +178,18 @@ def write_zordered(
     groups via parquet min/max stats — the data-skipping layout Delta's
     OPTIMIZE ZORDER produces, expressed with open Spark primitives.
 
-    Note: the per-column percent_rank quantization runs one global-window
-    pass per column at write time — acceptable for a write-once layout
-    job; at 100 TB swap it for approxQuantile-derived range bounds
-    (same z-value semantics, sampled cutpoints, no global window)."""
+    ``sampled`` (the default, and the only form that survives 100 TB)
+    quantizes via ``with_zorder_sampled`` — one approxQuantile sketch
+    pass, no global window. ``sampled=False`` keeps the exact
+    percent_rank quantization: rank-faithful, but each column sorts
+    through a single task — small/medium layout jobs only."""
     from pyspark.sql import functions as F
 
-    z = df.withColumn("__z", zorder_value(zorder_cols))
+    z = (
+        with_zorder_sampled(df, zorder_cols)
+        if sampled
+        else df.withColumn("__z", zorder_value(zorder_cols))
+    )
     (
         z.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -89,35 +89,109 @@ def test_salted_join_matches_plain_join(spark):
     assert a == b
 
 
-def test_zorder_clusters_row_groups(spark, tmp_path):
-    """Z-ordered layout: rows filtered by EITHER dimension concentrate in
-    few files, so parquet min/max stats prune most of the dataset — the
-    property that makes the layout worth a write-once job."""
-    import pyarrow.parquet as pq
-
-    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
-        write_zordered,
-    )
-
-    df = spark.range(0, 20_000).selectExpr(
-        "id", "cast(id % 141 as long) as x", "cast((id * 7919) % 151 as long) as y"
-    )
-    out = str(tmp_path / "zorder")
-    write_zordered(df, out, ["x", "y"], n_files=8)
-
-    back = spark.read.parquet(out)
-    assert back.count() == 20_000
-
-    # per-file min/max of BOTH dims: a z-ordered layout bounds both, so a
-    # point/range predicate on either column eliminates most files
+def _zorder_selectivity(out: str) -> int:
+    """Count output files whose x-range spans at most half the domain —
+    the row-group-skipping property a z-ordered layout must produce."""
     import glob as _glob
+
+    import pyarrow.parquet as pq
 
     selective = 0
     for f in _glob.glob(out + "/part-*.parquet"):
         meta = pq.read_metadata(f)
         stats = meta.row_group(0).column(1).statistics  # column x
-        span_x = stats.max - stats.min
-        if span_x <= 141 // 2:
+        if stats.max - stats.min <= 141 // 2:
             selective += 1
+    return selective
+
+
+def _zorder_fixture(spark):
+    return spark.range(0, 20_000).selectExpr(
+        "id", "cast(id % 141 as long) as x", "cast((id * 7919) % 151 as long) as y"
+    )
+
+
+def test_zorder_clusters_row_groups(spark, tmp_path):
+    """Z-ordered layout (sampled default): rows filtered by EITHER
+    dimension concentrate in few files, so parquet min/max stats prune
+    most of the dataset — the property that makes the layout worth a
+    write-once job."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        write_zordered,
+    )
+
+    out = str(tmp_path / "zorder")
+    write_zordered(_zorder_fixture(spark), out, ["x", "y"], n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    selective = _zorder_selectivity(out)
     # at least half the files cover at most half the x-range
     assert selective >= 4, f"z-order produced only {selective} selective files"
+
+
+def test_zorder_exact_path_clusters_too(spark, tmp_path):
+    """The exact percent_rank form (sampled=False) — retained for
+    rank-faithful small layout jobs — must produce the same clustering
+    property."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        write_zordered,
+    )
+
+    out = str(tmp_path / "zorder_exact")
+    write_zordered(_zorder_fixture(spark), out, ["x", "y"], n_files=8, sampled=False)
+    assert spark.read.parquet(out).count() == 20_000
+    selective = _zorder_selectivity(out)
+    assert selective >= 4, f"exact z-order produced only {selective} selective files"
+
+
+def test_zorder_sampled_has_no_global_window(spark):
+    """The sampled quantization must keep the scale-safe plan shape: no
+    Window operator anywhere (the exact form's global percent_rank sorts
+    every column through ONE task — the single-partition collapse this
+    path exists to avoid), and bucketing stays a plain projection."""
+    import contextlib
+    import io
+
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        with_zorder_sampled,
+        zorder_value,
+    )
+
+    df = _zorder_fixture(spark)
+    z = with_zorder_sampled(df, ["x", "y"])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        z.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Exchange" not in plan  # projection only: no shuffle at all
+
+    # the exact form DOES window — the contrast this test locks in
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.withColumn("__z", zorder_value(["x", "y"])).explain("formatted")
+    assert "Window" in buf.getvalue()
+
+    # both quantizations agree on the clustering, not just file stats:
+    # z-rank order must be strongly concordant between the two forms
+    rows = (
+        z.join(
+            df.withColumn("__z_exact", zorder_value(["x", "y"])).select("id", "__z_exact"),
+            "id",
+        )
+        .select("__z", "__z_exact")
+        .collect()
+    )
+    import random
+
+    rng = random.Random(7)
+    pairs = [(r["__z"], r["__z_exact"]) for r in rows]
+    sample = rng.sample(pairs, 2000)
+    concordant = sum(
+        1
+        for (a1, b1), (a2, b2) in zip(sample[::2], sample[1::2])
+        if (a1 - a2) * (b1 - b2) > 0 or (a1 == a2 and b1 == b2)
+    )
+    assert concordant / (len(sample) // 2) > 0.9
