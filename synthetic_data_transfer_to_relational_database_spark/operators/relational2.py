@@ -219,15 +219,31 @@ def window_ranks_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank window functions (ntile / percent_rank /
     cume_dist). The (price, key) total order makes every rank value
     engine-deterministic; percent_rank and cume_dist are single IEEE
-    divisions of exact integers."""
+    divisions of exact integers.
+
+    The oracle SQL above is the one-window spec, but o_orderpriority has
+    FIVE distinct values — ``Window.partitionBy`` on it sorts ~20% of all
+    orders through one task each, the same single-task collapse class as
+    an unpartitioned window. Computed instead via
+    ``skew.group_distribution_ranks`` (range-partition the total order,
+    broadcast per-slice offsets, local row_number + arithmetic): exact
+    same values (tests/test_skew_ranks.py proves bit-equality against the
+    naive window), no task ever sorts more than one range slice."""
+    from .skew import group_distribution_ranks
+
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    ranked = group_distribution_ranks(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        ["o_totalprice", "o_orderkey"],
+        n_tiles=4,
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.col("__ntile").alias("quartile"),
+        F.col("__pct_rank").alias("pct_rank"),
+        F.col("__cume_dist").alias("cume"),
     )
 
 

@@ -1,4 +1,5 @@
-"""Skew-handling join utility: explicit key salting.
+"""Skew-handling utilities: explicit key salting, low-cardinality-group
+distribution ranks.
 
 AQE's skew-join splitting (enabled in session.py) handles most skew at
 runtime by splitting oversized partitions. Salting is the plan-level
@@ -38,3 +39,84 @@ def salted_join(
     )
     out = f.join(d, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def group_distribution_ranks(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    n_tiles: int = 4,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distribution ranks (row_number / ntile / percent_rank / cume_dist)
+    per ``group_col``, in a plan that survives a LOW-cardinality group
+    key. ``Window.partitionBy(group)`` puts each group through ONE
+    WindowExec task — with 5 groups over 100 TB of rows that is 5 tasks
+    sorting 20 TB each. Here no task ever holds more than one range
+    partition:
+
+    1. range-repartition by (group, *order_cols) — the global sort order,
+       split into ``n_parts`` bounded slices (a group spans many slices);
+    2. per-(slice, group) row counts — an ``n_parts × n_groups``-row
+       collect — become broadcast exclusive offsets (the same
+       bucket-offset recipe as ``corpus_token_budget_scalable`` and the
+       executor's ``_indexed_parent``);
+    3. local ``row_number`` within (slice, group) + offset = the exact
+       global rank; every distribution stat is arithmetic on (rank, n).
+
+    ``order_cols`` must be a TOTAL order within each group (include a
+    tiebreaker key) — with ties unbroken, row_number≠rank and cume_dist
+    diverges from SQL semantics. The range-partitioned input is cached so
+    the offsets job and the rank job see the SAME partition boundaries
+    (RangePartitioner samples with an RDD-derived seed — the
+    ``_indexed_parent`` hazard); at cluster scale stage it to storage
+    instead (``materialize="write"`` pattern) rather than pinning it.
+
+    Appends ``__rank``, ``__ntile``, ``__pct_rank``, ``__cume_dist``.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order_exprs = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(n_parts, F.col(group_col), *order_exprs)
+        .sortWithinPartitions(group_col, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    slices = part.groupBy("__pid", group_col).count().collect()
+    totals: dict = {}
+    rows = []
+    for r in sorted(slices, key=lambda r: r["__pid"]):
+        g = r[group_col]
+        rows.append((r["__pid"], g, totals.get(g, 0)))
+        totals[g] = totals.get(g, 0) + r["count"]
+    off = spark.createDataFrame(
+        [(p, g, o, totals[g]) for p, g, o in rows],
+        ["__pid", group_col, "__off", "__n"],
+    )
+    # local ranks: one Exchange on (__pid, group) whose partitions are
+    # bounded by the range-slice size, never by group size
+    w_local = Window.partitionBy("__pid", group_col).orderBy(*order_exprs)
+    ranked = part.join(F.broadcast(off), ["__pid", group_col]).withColumn(
+        "__rank", F.row_number().over(w_local) + F.col("__off")
+    )
+    r, n = F.col("__rank"), F.col("__n")
+    # NTILE: first (n % t) buckets hold ceil(n/t) rows — Spark/ANSI
+    # semantics, derived from the global rank. The q=0 (n < t) division
+    # sits in a CaseWhen branch that is provably never taken then.
+    q, rem = F.floor(n / n_tiles), n % n_tiles
+    cut = rem * (q + 1)
+    tile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - cut - 1) / q) + 1
+    )
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (r - 1).cast("double") / (n - 1).cast("double")
+    )
+    return (
+        ranked.withColumn("__ntile", tile.cast("int"))
+        .withColumn("__pct_rank", pct)
+        .withColumn("__cume_dist", r.cast("double") / n.cast("double"))
+        .drop("__pid", "__off", "__n")
+    )

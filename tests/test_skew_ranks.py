@@ -1,0 +1,112 @@
+"""group_distribution_ranks: the scale-safe form of distribution-rank
+windows over a LOW-cardinality partition key.
+
+Window.partitionBy(group) funnels each group through one WindowExec task;
+with a handful of groups that is a single-task collapse at 100 TB. The
+two-pass form (range-partition the total order, broadcast per-slice
+offsets, local row_number + arithmetic) must produce BIT-IDENTICAL
+values — ntile/percent_rank/cume_dist are exact integer arithmetic once
+the global rank is known — while never sorting more than one range slice
+per task.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+    group_distribution_ranks,
+)
+from synthetic_data_transfer_to_relational_database_spark.sources.tables import table
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir_mid):
+    return table(spark, sf_dir_mid, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def _naive(orders, n_tiles=4):
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(n_tiles).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def test_matches_naive_window_bit_exactly(spark, orders):
+    got = {
+        r["o_orderkey"]: (r["__ntile"], r["__pct_rank"], r["__cume_dist"])
+        for r in group_distribution_ranks(
+            orders, "o_orderpriority", ["o_totalprice", "o_orderkey"]
+        ).collect()
+    }
+    want = {
+        r["o_orderkey"]: (r["quartile"], r["pct_rank"], r["cume"])
+        for r in _naive(orders).collect()
+    }
+    # dict equality on floats = bit equality, the driver's hash standard
+    assert got == want
+
+
+def test_ntile_matches_for_awkward_tile_counts(spark, orders):
+    """n % tiles != 0 exercises the first-buckets-get-the-remainder rule;
+    7 tiles over 5 priority groups of uneven size covers q=0 edge cases
+    on tiny fixtures too."""
+    small = orders.limit(23)
+    got = {
+        r["o_orderkey"]: r["__ntile"]
+        for r in group_distribution_ranks(
+            small, "o_orderpriority", ["o_totalprice", "o_orderkey"], n_tiles=7
+        ).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r["o_orderkey"]: r["t"]
+        for r in small.select("o_orderkey", F.ntile(7).over(w).alias("t")).collect()
+    }
+    assert got == want
+
+
+def test_single_row_group_pct_rank_is_zero(spark):
+    """n=1 group: percent_rank's (n-1) denominator is zero — must yield
+    0.0 (SQL semantics), not an ANSI division error."""
+    df = spark.createDataFrame(
+        [("only", 1, 5.0), ("pair", 2, 1.0), ("pair", 3, 2.0)],
+        "g string, k long, v double",
+    )
+    rows = {
+        r["k"]: (r["__pct_rank"], r["__cume_dist"], r["__ntile"])
+        for r in group_distribution_ranks(df, "g", ["v", "k"]).collect()
+    }
+    assert rows[1] == (0.0, 1.0, 1)
+    assert rows[2] == (0.0, 0.5, 1)
+    assert rows[3] == (1.0, 1.0, 2)
+
+
+def test_no_window_partitioned_by_group_alone(spark, orders):
+    """The plan property the function exists for: the only Window sorts
+    within (slice, group) — bounded by the range slice — never by the
+    5-value group key alone, and the offsets join is a broadcast."""
+    df = group_distribution_ranks(
+        orders, "o_orderpriority", ["o_totalprice", "o_orderkey"]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "__pid" in plan, "local rank must be keyed by the range slice id"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # every windowspecdefinition must include the slice id in its
+    # partition spec (formatted plans print the full spec in Arguments)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert "__pid" in spec.split("specifiedwindowframe", 1)[0]
