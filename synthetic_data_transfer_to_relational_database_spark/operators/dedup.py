@@ -477,12 +477,14 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comp, F.col("doc_id") == F.col("node"), "left")
         .select("doc_id", F.coalesce("label", "doc_id").alias("label"))
     )
-    from pyspark.sql.window import Window
-
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("cluster_size"),
+    # cluster sizes via aggregate + join, NOT count().over(partitionBy
+    # (label)): the window form buffers each label's whole partition in
+    # one WindowExec task (a giant-cluster hazard); the aggregate gets
+    # map-side partial counts and AQE can broadcast the (one row per
+    # cluster) counts side of the join.
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
     )
 
 

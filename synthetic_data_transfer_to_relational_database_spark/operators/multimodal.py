@@ -166,10 +166,17 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic batching for inference over variable-length media: bucket
     payloads by size, order within bucket, cut into fixed batches of 8,
     pad every item to its batch max — the length-grouping trick that
-    minimizes wasted padding compute in ASR/vision serving. Pure window
-    composition: one shuffle on size_bucket, no UDF. At 100 TB the bucket
-    key bounds every partition's sort run; batch assignment never sees
-    data outside its bucket."""
+    minimizes wasted padding compute in ASR/vision serving.
+
+    The oracle's ROW_NUMBER() OVER (PARTITION BY size_bucket ...) is the
+    spec, but size buckets are FEW (payload_bytes/256) while rows are
+    many — at 100 TB each bucket would sort through one WindowExec task.
+    The in-bucket sequence therefore comes from
+    ``skew.group_distribution_ranks`` (range slices + broadcast offsets,
+    bit-identical ranks); the per-(bucket, batch) pad max is a window
+    whose partitions hold ≤ 8 rows by construction."""
+    from .skew import group_distribution_ranks
+
     d = table(spark, sf_dir, "documents")
     n_bytes = F.octet_length(F.encode("text", "UTF-8")).cast("long")
     # floor division explicitly on BOTH engines: DuckDB's `/` is true
@@ -179,8 +186,9 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes.alias("n_bytes"),
         F.floor(n_bytes / 256).cast("long").alias("size_bucket"),
     )
-    w_seq = Window.partitionBy("size_bucket").orderBy("n_bytes", "doc_id")
-    seq = media.withColumn("rn", F.row_number().over(w_seq))
+    seq = group_distribution_ranks(media, "size_bucket", ["n_bytes", "doc_id"]).select(
+        "doc_id", "n_bytes", "size_bucket", F.col("__rank").alias("rn")
+    )
     batch_id = F.floor((F.col("rn") - 1) / 8).cast("long")
     w_batch = Window.partitionBy("size_bucket", "batch_id")
     return (
