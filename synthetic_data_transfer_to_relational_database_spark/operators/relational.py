@@ -400,6 +400,40 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``window_rank`` in the plan that survives a low-cardinality
+    partition key: c_nationkey has 25 values, so the one-window form
+    sorts 4% of all customers through one WindowExec task each. Not yet
+    the registered implementation — ``window_rank`` sits outside this
+    round's driver sweep window, and swapping an unswept query would
+    leave changed code without current driver evidence; swap at the next
+    rotation (tests already prove bit-equality).
+
+    Construction from ``group_distribution_ranks``'s global row_number:
+    - ROW_NUMBER = ``__rank`` over the (value desc, key) total order;
+    - RANK = min row_number among order-peers (groupBy (group, value) +
+      join back — exact SQL tie semantics);
+    - DENSE_RANK = the peer group's own distribution rank, i.e. the same
+      primitive applied to the (group, value) DISTINCT frame.
+    Every join key includes the value column: bounded partitions, no
+    per-group funnel anywhere."""
+    from .skew import group_distribution_ranks
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    base = group_distribution_ranks(
+        c, "c_nationkey", [F.desc("c_acctbal"), F.col("c_custkey")]
+    ).select("c_custkey", "c_nationkey", "c_acctbal", F.col("__rank").alias("rn"))
+    peers = base.groupBy("c_nationkey", "c_acctbal").agg(F.min("rn").alias("rnk"))
+    dvals = group_distribution_ranks(
+        peers.select("c_nationkey", "c_acctbal"), "c_nationkey", [F.desc("c_acctbal")]
+    ).select("c_nationkey", "c_acctbal", F.col("__rank").alias("drnk"))
+    return (
+        base.join(peers, ["c_nationkey", "c_acctbal"])
+        .join(dvals, ["c_nationkey", "c_acctbal"])
+        .select("c_custkey", "c_nationkey", "c_acctbal", "rnk", "drnk", "rn")
+    )
+
+
 @q(
     "window_frame",
     sql="""

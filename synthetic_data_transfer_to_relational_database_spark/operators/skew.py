@@ -15,7 +15,7 @@ side inflates n× — use only when dim ≪ fact (the usual skew shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,7 +44,7 @@ def salted_join(
 def group_distribution_ranks(
     df: DataFrame,
     group_col: str,
-    order_cols: list[str],
+    order_cols: list[str | Column],
     n_tiles: int = 4,
     n_parts: int | None = None,
 ) -> DataFrame:
@@ -64,9 +64,12 @@ def group_distribution_ranks(
     3. local ``row_number`` within (slice, group) + offset = the exact
        global rank; every distribution stat is arithmetic on (rank, n).
 
-    ``order_cols`` must be a TOTAL order within each group (include a
-    tiebreaker key) — with ties unbroken, row_number≠rank and cume_dist
-    diverges from SQL semantics. The range-partitioned input is cached so
+    ``order_cols`` entries are column names or Column sort expressions
+    (``F.desc(...)`` supported) and must form a TOTAL order within each
+    group (include a tiebreaker key) — with ties unbroken,
+    row_number≠rank and cume_dist diverges from SQL semantics. For
+    tie-aware RANK/DENSE_RANK over a low-cardinality group, derive them
+    from ``__rank`` (see ``relational.window_rank_scalable``). The range-partitioned input is cached so
     the offsets job and the rank job see the SAME partition boundaries
     (RangePartitioner samples with an RDD-derived seed — the
     ``_indexed_parent`` hazard); at cluster scale stage it to storage
@@ -78,10 +81,10 @@ def group_distribution_ranks(
 
     spark = df.sparkSession
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    order_exprs = [F.col(c) for c in order_cols]
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
         df.repartitionByRange(n_parts, F.col(group_col), *order_exprs)
-        .sortWithinPartitions(group_col, *order_cols)
+        .sortWithinPartitions(F.col(group_col), *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
         .cache()
     )

@@ -159,3 +159,36 @@ def test_token_budget_scalable_has_no_global_window(spark):
     assert specs, "expected the bucketed cumsum Window"
     for spec in specs:
         assert "__bucket" in spec, f"unpartitioned window: {spec}"
+
+
+def test_topk_per_group_gets_partial_window_group_limit(spark):
+    """topk_per_group keeps its low-cardinality partition window because
+    Catalyst's rank-limit pushdown makes it scale-safe: the rank<=k
+    filter must compile to a PARTIAL WindowGroupLimit below the shuffle
+    (each map task forwards at most k rows per group), so no WindowExec
+    task ever sorts a whole group. This is the optimization the query
+    relies on — if a refactor breaks the pushdown (e.g. the rank column
+    leaves the filter), each p_brand funnels through one task again."""
+    plan = _plan(registry.all_queries()["topk_per_group"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_scalable_rank_helpers_have_no_group_only_windows(spark):
+    """The scalable rank derivations (window_ranks_pct's
+    group_distribution_ranks pass and multimodal_dyn_batch's in-bucket
+    sequence) must key every window by the range-slice id or a bounded
+    composite, never by the low-cardinality group alone."""
+    import re
+
+    for name, bounded_keys in [
+        ("window_ranks_pct", ("__pid",)),
+        ("multimodal_dyn_batch", ("__pid", "batch_id")),
+    ]:
+        plan = _plan(registry.all_queries()[name](spark, SF_DIR))
+        specs = re.findall(r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan)
+        assert specs, f"{name}: expected window specs"
+        for spec in specs:
+            assert any(k in spec for k in bounded_keys), (
+                f"{name}: window partitioned by group alone: {spec}"
+            )

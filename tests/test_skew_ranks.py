@@ -91,6 +91,68 @@ def test_single_row_group_pct_rank_is_zero(spark):
     assert rows[3] == (1.0, 1.0, 2)
 
 
+def test_rank_triple_matches_naive_window_with_ties(spark):
+    """window_rank_scalable's RANK / DENSE_RANK / ROW_NUMBER derivation
+    must reproduce SQL tie semantics exactly. Constructed fixture forces
+    tie runs (the TPC-H acctbal domain rarely collides at test scale)."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+        group_distribution_ranks,
+    )
+
+    rows = [
+        (k, g, float(v))
+        for k, (g, v) in enumerate(
+            [("a", 5), ("a", 5), ("a", 3), ("a", 3), ("a", 3), ("a", 1),
+             ("b", 9), ("b", 9), ("b", 9), ("c", 2)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+
+    base = group_distribution_ranks(df, "g", [F.desc("v"), F.col("k")]).select(
+        "k", "g", "v", F.col("__rank").alias("rn")
+    )
+    peers = base.groupBy("g", "v").agg(F.min("rn").alias("rnk"))
+    dvals = group_distribution_ranks(
+        peers.select("g", "v"), "g", [F.desc("v")]
+    ).select("g", "v", F.col("__rank").alias("drnk"))
+    got = {
+        r["k"]: (r["rnk"], r["drnk"], r["rn"])
+        for r in base.join(peers, ["g", "v"]).join(dvals, ["g", "v"]).collect()
+    }
+
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    w_rn = Window.partitionBy("g").orderBy(F.desc("v"), "k")
+    want = {
+        r["k"]: (r["rnk"], r["drnk"], r["rn"])
+        for r in df.select(
+            "k",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w_rn).alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_window_rank_scalable_matches_registered_query(spark, sf_dir_mid):
+    """The drop-in candidate must be value-identical to the registered
+    window_rank on real data, ready for the next sweep-window rotation."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.relational import (
+        QUERIES,
+        window_rank_scalable,
+    )
+
+    got = {
+        r["c_custkey"]: (r["rnk"], r["drnk"], r["rn"])
+        for r in window_rank_scalable(spark, sf_dir_mid).collect()
+    }
+    want = {
+        r["c_custkey"]: (r["rnk"], r["drnk"], r["rn"])
+        for r in QUERIES["window_rank"](spark, sf_dir_mid).collect()
+    }
+    assert got == want
+
+
 def test_no_window_partitioned_by_group_alone(spark, orders):
     """The plan property the function exists for: the only Window sorts
     within (slice, group) — bounded by the range slice — never by the
