@@ -75,6 +75,31 @@ def test_ntile_matches_for_awkward_tile_counts(spark, orders):
     assert got == want
 
 
+@pytest.mark.parametrize("n_parts", [1, 3, 50])
+def test_rank_values_independent_of_slice_count(spark, n_parts):
+    """Global ranks must not depend on how many range slices the input is
+    cut into — 1 slice (degenerate), 3 (groups span slices), 50 (more
+    slices than rows: empty slices must not shift offsets)."""
+    rows = [(k, "g" if k % 3 else "h", float(k * 7 % 11)) for k in range(20)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    got = {
+        r["k"]: (r["__rank"], r["__ntile"], r["__pct_rank"], r["__cume_dist"])
+        for r in group_distribution_ranks(df, "g", ["v", "k"], n_parts=n_parts).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        r["k"]: (r["rn"], r["t"], r["p"], r["c"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("t"),
+            F.percent_rank().over(w).alias("p"),
+            F.cume_dist().over(w).alias("c"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_single_row_group_pct_rank_is_zero(spark):
     """n=1 group: percent_rank's (n-1) denominator is zero — must yield
     0.0 (SQL semantics), not an ANSI division error."""
