@@ -95,15 +95,32 @@ def group_distribution_ranks(
         g = r[group_col]
         rows.append((r["__pid"], g, totals.get(g, 0)))
         totals[g] = totals.get(g, 0) + r["count"]
-    off = spark.createDataFrame(
-        [(p, g, o, totals[g]) for p, g, o in rows],
-        ["__pid", group_col, "__off", "__n"],
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # explicit schema: survives an empty input (nothing to infer from)
+    # and pins the group column's exact type
+    off_schema = StructType(
+        [
+            StructField("__opid", LongType()),
+            StructField("__g", df.schema[group_col].dataType),
+            StructField("__off", LongType()),
+            StructField("__n", LongType()),
+        ]
     )
+    off = spark.createDataFrame([(p, g, o, totals[g]) for p, g, o in rows], off_schema)
     # local ranks: one Exchange on (__pid, group) whose partitions are
-    # bounded by the range-slice size, never by group size
+    # bounded by the range-slice size, never by group size. The offsets
+    # join is NULL-SAFE on the group: SQL windows treat NULL as its own
+    # partition, so a plain equi-join would silently drop those rows.
     w_local = Window.partitionBy("__pid", group_col).orderBy(*order_exprs)
-    ranked = part.join(F.broadcast(off), ["__pid", group_col]).withColumn(
-        "__rank", F.row_number().over(w_local) + F.col("__off")
+    ranked = (
+        part.join(
+            F.broadcast(off),
+            (F.col("__pid") == F.col("__opid"))
+            & F.col(group_col).eqNullSafe(F.col("__g")),
+        )
+        .drop("__opid", "__g")
+        .withColumn("__rank", F.row_number().over(w_local) + F.col("__off"))
     )
     r, n = F.col("__rank"), F.col("__n")
     # NTILE: first (n % t) buckets hold ceil(n/t) rows — Spark/ANSI

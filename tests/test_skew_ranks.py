@@ -100,6 +100,26 @@ def test_rank_values_independent_of_slice_count(spark, n_parts):
     assert got == want
 
 
+def test_null_group_and_empty_input(spark):
+    """NULL is its own window partition in SQL — rows with a NULL group
+    must rank among themselves, not vanish through an equi-join; an
+    empty input must return empty, not crash schema inference."""
+    df = spark.createDataFrame(
+        [(1, None, 2.0), (2, None, 1.0), (3, "a", 9.0)],
+        "k long, g string, v double",
+    )
+    got = {
+        r["k"]: (r["__rank"], r["__cume_dist"])
+        for r in group_distribution_ranks(df, "g", ["v", "k"]).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (1, 0.5), 3: (1, 1.0)}
+
+    empty = df.limit(0)
+    out = group_distribution_ranks(empty, "g", ["v", "k"])
+    assert out.count() == 0
+    assert "__rank" in out.columns
+
+
 def test_single_row_group_pct_rank_is_zero(spark):
     """n=1 group: percent_rank's (n-1) denominator is zero — must yield
     0.0 (SQL semantics), not an ANSI division error."""
