@@ -8,7 +8,9 @@ but fully deterministic — seeds are explicit column inputs to the hash.
 
 Scale notes (the whole point of these algorithms):
 - exact dedup = one hash aggregation on the full text — at 100 TB you'd
-  group on a digest instead; `dedup_exact_digest` does exactly that.
+  group on `F.md5(text)` instead so the shuffle carries a 32-byte digest
+  (the r1/r2 catalogs banked that variant as `dedup_exact_digest`;
+  folded into `dedup_exact` to fit the driver's sweep window).
 - MinHash-LSH: cost is O(docs × shingles × K) map-side + a shuffle keyed
   by (band, band-signature). Candidate verification happens only within
   LSH buckets — never all-pairs. This is the standard web-scale near-dup
@@ -435,16 +437,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERING — the transitive-closure step after pair
     generation (a ~ b, b ~ c ⇒ {a, b, c} share one survivor even when
     a ~ c fails the threshold). Edges: same normalized 5-token block key
-    AND trigram Jaccard ≥ 0.4. Components via min-label propagation —
-    each round every vertex takes the min label over itself and its
-    neighbors, a pure join+groupBy pipeline that converges in O(component
-    diameter) rounds (dup clusters are shallow; the driver loop is plan
-    construction only, all data stays distributed). The DuckDB oracle
-    computes the same closure with a recursive CTE.
+    AND trigram Jaccard ≥ 0.4. The DuckDB oracle computes the same
+    closure with a recursive CTE.
 
     Components via the alternating star contraction in
-    ``connected_components`` — O(log diameter) rounds, lineage cut by
-    checkpoints, convergence verified (never silently partial).
+    ``connected_components`` — O(log diameter) rounds (the driver loop
+    is plan construction only, all data stays distributed), lineage cut
+    by checkpoints, convergence verified (never silently partial).
 
     Scale notes: candidate edges come from blocked pairing (never
     all-pairs); each contraction round shuffles only the shrinking edge

@@ -69,11 +69,17 @@ def group_distribution_ranks(
     group (include a tiebreaker key) — with ties unbroken,
     row_number≠rank and cume_dist diverges from SQL semantics. For
     tie-aware RANK/DENSE_RANK over a low-cardinality group, derive them
-    from ``__rank`` (see ``relational.window_rank_scalable``). The range-partitioned input is cached so
-    the offsets job and the rank job see the SAME partition boundaries
-    (RangePartitioner samples with an RDD-derived seed — the
-    ``_indexed_parent`` hazard); at cluster scale stage it to storage
-    instead (``materialize="write"`` pattern) rather than pinning it.
+    from ``__rank`` (see ``relational.window_rank_scalable``).
+
+    The range-partitioned input is localCheckpoint'ed so the offsets job
+    and the rank job see the SAME partition boundaries (RangePartitioner
+    samples with an RDD-derived seed — the ``_indexed_parent`` hazard).
+    A checkpoint, not a cache, deliberately: lineage is CUT, so a lost
+    block fails loudly instead of silently recomputing with fresh
+    boundaries (= wrong ranks), and the blocks are released when the
+    result is garbage-collected rather than pinned in the cache manager
+    for the session. At cluster scale prefer a reliable checkpoint dir /
+    storage staging — localCheckpoint dies with an executor.
 
     Appends ``__rank``, ``__ntile``, ``__pct_rank``, ``__cume_dist``.
     """
@@ -82,11 +88,13 @@ def group_distribution_ranks(
     spark = df.sparkSession
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # no sortWithinPartitions: the counts job is order-insensitive and
+    # the rank window sorts its own (bounded) partitions after the
+    # (__pid, group) exchange — a pre-sort here would be dead work
     part = (
         df.repartitionByRange(n_parts, F.col(group_col), *order_exprs)
-        .sortWithinPartitions(F.col(group_col), *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint()
     )
     slices = part.groupBy("__pid", group_col).count().collect()
     totals: dict = {}

@@ -518,8 +518,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → exact dedup (deterministic survivor) → stratified sample —
     proving the operator set chains without materialization barriers:
     Catalyst fuses the filter into the scan, the dedup is the only
-    shuffle (keyed on text; at 100 TB switch the key to md5(text) like
-    dedup_exact_digest), and the sample predicate is map-side again."""
+    shuffle (keyed on text; at 100 TB switch the key to md5(text) so
+    only digests shuffle — see dedup_exact's scale note), and the sample
+    predicate is map-side again."""
     d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     alpha_ratio = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")

@@ -395,16 +395,19 @@ class GenerationPlan:
     def build_one(self, name: str, materialize: bool | str = True) -> DataFrame:
         """Build (and register) a single table — parents must already be
         built. Public so sinks can interleave build → load → key-fetch."""
+        n_before = len(self._scratch)
         df = self._materialize_df(self._build_table(self.tables[name]), name, materialize)
         self._built[name] = df
         if materialize is not False:
-            # the child no longer re-reads the indexed-parent scratch
-            # caches once it is itself cached/written — release them.
-            # (Under materialize=False the lazy child plan still references
-            # them; unpersisting would reintroduce the recompute hazard.)
-            for s in self._scratch:
+            # THIS child no longer re-reads the indexed-parent scratch
+            # caches once it is itself cached/written — release the ones
+            # its build created, and ONLY those: scratch pinned by an
+            # earlier materialize=False build is still referenced by that
+            # table's lazy plan, and unpersisting it would reintroduce
+            # the range-boundary recompute hazard the cache pins against.
+            for s in self._scratch[n_before:]:
                 s.unpersist()
-            self._scratch.clear()
+            del self._scratch[n_before:]
         return df
 
     def _materialize_df(self, df: DataFrame, name: str, mode: bool | str) -> DataFrame:

@@ -107,7 +107,7 @@ def with_zorder_sampled(
     cols: list[str],
     out_col: str = "__z",
     bits: int = 16,
-    rel_err: float = 1e-3,
+    rel_err: float | None = None,
 ) -> DataFrame:
     """The 100 TB form of ``zorder_value``: identical Morton semantics,
     but each column's rank quantization comes from ``approxQuantile``
@@ -125,12 +125,20 @@ def with_zorder_sampled(
     cutpoints — same behavior as percent_rank ties. Nulls land in the
     top bucket (clamped), vs rank 0 under the exact form: either way all
     nulls cluster into the same z-neighborhood, which is the property
-    row-group skipping needs."""
+    row-group skipping needs.
+
+    ``rel_err`` defaults to a quarter of the quantile spacing
+    (1 / 2^(bits+2) after the bit clamp) so the sketch's rank error is
+    finer than the levels it feeds — a coarser error would turn the
+    bottom bits of every dimension into noise and silently degrade the
+    granularity the bit budget was chosen for."""
     from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
 
     n = len(cols)
     bits = min(bits, 64 // n, 12)
+    if rel_err is None:
+        rel_err = 1.0 / (1 << (bits + 2))
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     cast_cols = [f"__zin_{i}" for i in range(n)]
     work = df

@@ -44,7 +44,7 @@ def test_no_accidental_cartesian_products(spark):
     qs = registry.all_queries()
     offenders = {}
     for name, fn in qs.items():
-        if name.startswith("stream_") or name in ("gen_synthetic_orders", "sim_search_ivf"):
+        if name.startswith("stream_") or name == "gen_synthetic_orders":
             continue  # streaming/generator queries execute eagerly to plan
         plan = _plan(fn(spark, SF_DIR))
         if "CartesianProduct" in plan:

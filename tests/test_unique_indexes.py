@@ -288,6 +288,33 @@ def test_indexed_parent_pins_one_partitioning(spark):
     plan2.run()
     assert plan2._scratch == []
 
+    # interleaved builds: a later materialized build must release ONLY
+    # its own scratch — the lazy child's caches stay pinned (its plan
+    # still reads them; releasing would re-draw range boundaries)
+    tables3 = join_path_tables()
+    tables3["BelgeNot"] = TableSpec(
+        name="BelgeNot",
+        columns=[
+            ColumnSpec("Id", "uuid", nullable=False, length=36),
+            ColumnSpec("BelgeId", "uuid", nullable=False, length=36),
+        ],
+        pk=["Id"],
+        fks=[FKSpec(["BelgeId"], "Belge", ["Id"])],
+    )
+    wire_fk_rules(tables3)
+    plan3 = GenerationPlan(
+        spark, tables3, seed=13, row_counts={**counts, "BelgeNot": 40}, broadcast_threshold=5
+    )
+    plan3.build_one("Baslik")
+    plan3.build_one("Belge")
+    lazy_child = plan3.build_one("BelgeEk", materialize=False)
+    pinned = list(plan3._scratch)
+    assert pinned
+    plan3.build_one("BelgeNot")  # materialized: releases only its own
+    assert plan3._scratch == pinned
+    assert all(s.is_cached for s in pinned)
+    assert lazy_child.count() == 50  # lazy plan still resolves correctly
+
 
 def test_unenforceable_unique_index_not_falsely_claimed():
     """A unique index whose only member dtype has no injective rule
