@@ -167,6 +167,68 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     return sh.select("doc_id", sig.alias("sig"))
 
 
+def _band_explode(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, sig) → one row per LSH band: (doc_id, sig, band,
+    band_sig). Pure projection + posexplode — no shuffle."""
+    rows_per_band = _K_MINHASH // _N_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+            for b in range(_N_BANDS)
+        ]
+    )
+    return sig_df.select("doc_id", "sig", F.posexplode(bands).alias("band", "band_sig"))
+
+
+def _est_jaccard(a_sig: str, b_sig: str) -> F.Column:
+    """Estimated Jaccard = fraction of matching minhash components."""
+    matches = F.size(
+        F.filter(F.zip_with(F.col(a_sig), F.col(b_sig), lambda x, y: x == y), lambda t: t)
+    )
+    return matches / F.lit(float(_K_MINHASH))
+
+
+def build_lsh_index(docs: DataFrame) -> DataFrame:
+    """The persistable corpus-side LSH index: banded MinHash signatures
+    of ``docs`` (doc_id, sig, band, band_sig). At 100 TB write it ONCE,
+    bucketed by (band, band_sig) (``parquet_layout.write_bucketed``), so
+    every later ``dedup_incremental`` batch joins against it without
+    shuffling or re-signing the corpus — only the new batch pays
+    signature cost. All computation is map-side (no shuffle)."""
+    return _band_explode(_minhash_signatures(docs))
+
+
+def dedup_incremental(new_docs: DataFrame, corpus_index: DataFrame) -> DataFrame:
+    """Incremental near-dup — the daily-ingest shape: sign and band only
+    the NEW batch (O(new × K), map-side), bucket-join it against the
+    existing corpus' persisted ``build_lsh_index`` output, and estimate
+    Jaccard from the full signatures. The corpus is never re-shingled;
+    if the index is stored bucketed by (band, band_sig), the join
+    shuffles just the new batch's banded signatures.
+
+    Returns (new_doc_id, corpus_doc_id, est_jaccard) candidate pairs;
+    callers threshold est_jaccard (or verify exactly, as
+    dedup_lsh_verified does for the batch case). Semantics are
+    test-locked: restricted to cross pairs, this equals the full-corpus
+    dedup_minhash_lsh run (tests/test_llm_ops.py)."""
+    new_banded = _band_explode(_minhash_signatures(new_docs))
+    n, c = new_banded.alias("n"), corpus_index.alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_sig") == F.col("c.band_sig"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            _est_jaccard("n.sig", "c.sig").alias("est_jaccard"),
+        )
+        .dropDuplicates(["new_doc_id", "corpus_doc_id"])
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band signatures → bucket join →
     estimated Jaccard = fraction of matching minhashes. Rows-only (driver
@@ -178,23 +240,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents themselves."""
     d = table(spark, sf_dir, "documents")
     # cache: the bucket self-join reads signatures twice; without this the
-    # whole shingle+hash pipeline runs once per side
+    # whole shingle+hash pipeline runs once per side. Cache the compact
+    # (doc_id, sig) form, not the 16×-exploded banding.
     sig = _minhash_signatures(d).cache()
-    rows_per_band = _K_MINHASH // _N_BANDS
-    bands = F.array(
-        *[
-            F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
-            for b in range(_N_BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", "sig", F.posexplode(bands).alias("band", "band_sig"))
+    banded = _band_explode(sig)
     a = banded.alias("a")
     b = banded.alias("b")
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda t: t
-        )
-    )
     pairs = (
         a.join(
             b,
@@ -205,7 +256,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (matches / F.lit(float(_K_MINHASH))).alias("est_jaccard"),
+            _est_jaccard("a.sig", "b.sig").alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
