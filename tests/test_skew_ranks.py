@@ -100,6 +100,40 @@ def test_rank_values_independent_of_slice_count(spark, n_parts):
     assert got == want
 
 
+def test_randomized_equality_with_naive_window(spark):
+    """Seeded randomized sweep: tie-heavy values, negatives, group counts
+    from 1 to many, sizes straddling n_parts — every dataset must match
+    the naive window bit-for-bit on all four stats."""
+    import random
+
+    rng = random.Random(2026)
+    for trial in range(5):
+        n_rows = rng.randint(1, 120)
+        n_groups = rng.randint(1, 7)
+        rows = [
+            (k, f"g{rng.randrange(n_groups)}", float(rng.randint(-5, 5)))
+            for k in range(n_rows)
+        ]
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        n_parts = rng.choice([1, 2, 8, 64])
+        got = {
+            r["k"]: (r["__rank"], r["__ntile"], r["__pct_rank"], r["__cume_dist"])
+            for r in group_distribution_ranks(df, "g", ["v", "k"], n_parts=n_parts).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v", "k")
+        want = {
+            r["k"]: (r["rn"], r["t"], r["p"], r["c"])
+            for r in df.select(
+                "k",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(4).over(w).alias("t"),
+                F.percent_rank().over(w).alias("p"),
+                F.cume_dist().over(w).alias("c"),
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: n_rows={n_rows} n_parts={n_parts}"
+
+
 def test_null_group_and_empty_input(spark):
     """NULL is its own window partition in SQL — rows with a NULL group
     must rank among themselves, not vanish through an equi-join; an
