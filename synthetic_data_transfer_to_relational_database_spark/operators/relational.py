@@ -375,18 +375,13 @@ def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "window_rank",
-    sql="""
-    SELECT c_custkey, c_nationkey, c_acctbal,
-           RANK()       OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
-           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
-    """,
-)
-def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_rank_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-window form of ``window_rank`` — kept as the parity twin
+    for tests. ``Window.partitionBy(c_nationkey)`` funnels each of the 25
+    nations through ONE WindowExec task (4% of all customers per task at
+    any scale), so the registered implementation is the scalable
+    derivation below; bit-equality between the two is test-locked
+    (tests/test_skew_ranks.py)."""
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
     w_rn = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
@@ -400,14 +395,22 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``window_rank`` in the plan that survives a low-cardinality
-    partition key: c_nationkey has 25 values, so the one-window form
-    sorts 4% of all customers through one WindowExec task each. Not yet
-    the registered implementation — ``window_rank`` sits outside this
-    round's driver sweep window, and swapping an unswept query would
-    leave changed code without current driver evidence; swap at the next
-    rotation (tests already prove bit-equality).
+@q(
+    "window_rank",
+    sql="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / ROW_NUMBER per nation, in the plan that
+    survives a low-cardinality partition key: c_nationkey has 25 values,
+    so the one-window form (``window_rank_naive``) sorts 4% of all
+    customers through one WindowExec task each.
 
     Construction from ``group_distribution_ranks``'s global row_number:
     - ROW_NUMBER = ``__rank`` over the (value desc, key) total order;

@@ -69,7 +69,7 @@ def group_distribution_ranks(
     group (include a tiebreaker key) — with ties unbroken,
     row_number≠rank and cume_dist diverges from SQL semantics. For
     tie-aware RANK/DENSE_RANK over a low-cardinality group, derive them
-    from ``__rank`` (see ``relational.window_rank_scalable``).
+    from ``__rank`` (see ``relational.window_rank``).
 
     The range-partitioned input is localCheckpoint'ed so the offsets job
     and the rank job see the SAME partition boundaries (RangePartitioner

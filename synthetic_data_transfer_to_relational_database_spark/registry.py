@@ -35,9 +35,13 @@ _MODULES = [
 ]
 
 # Registration order is also the driver's sweep order, and the driver's
-# per-round budget stops at 50 queries. The catalog is 84 entries, so the
+# per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
-# complete. Round-3 window (this order):
+# complete. This window was built for round 3 but the round-3 driver run
+# produced no CORRECTNESS_r03, so it stands for round 4 with one swap:
+# window_rank (implementation changed in r4 to the scalable-rank
+# derivation) replaces the unchanged r2-green guard join_broadcast.
+# Window contents (this order):
 #   1) every query with NO driver evidence yet — the 18 entries added in
 #      late r2 / r3 (streaming, corpus curation, PII/TF-IDF/contamination,
 #      salted join, stratified sample, dynamic batching, frame sampling,
@@ -100,7 +104,7 @@ _SWEEP_FIRST = [
     "events_session",
     "dedup_minhash_lsh",
     "sim_search",
-    "join_broadcast",
+    "window_rank",
     "multimodal_bytes",
     "rag_retrieve",
 ]

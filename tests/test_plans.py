@@ -183,6 +183,7 @@ def test_scalable_rank_helpers_have_no_group_only_windows(spark):
 
     for name, bounded_keys in [
         ("window_ranks_pct", ("__pid",)),
+        ("window_rank", ("__pid",)),
         ("multimodal_dyn_batch", ("__pid", "batch_id")),
     ]:
         plan = _plan(registry.all_queries()[name](spark, SF_DIR))

@@ -171,7 +171,7 @@ def test_single_row_group_pct_rank_is_zero(spark):
 
 
 def test_rank_triple_matches_naive_window_with_ties(spark):
-    """window_rank_scalable's RANK / DENSE_RANK / ROW_NUMBER derivation
+    """window_rank's scalable RANK / DENSE_RANK / ROW_NUMBER derivation
     must reproduce SQL tie semantics exactly. Constructed fixture forces
     tie runs (the TPC-H acctbal domain rarely collides at test scale)."""
     from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
@@ -213,21 +213,21 @@ def test_rank_triple_matches_naive_window_with_ties(spark):
     assert got == want
 
 
-def test_window_rank_scalable_matches_registered_query(spark, sf_dir_mid):
-    """The drop-in candidate must be value-identical to the registered
-    window_rank on real data, ready for the next sweep-window rotation."""
+def test_window_rank_scalable_matches_naive_window(spark, sf_dir_mid):
+    """The registered window_rank (scalable-rank derivation) must be
+    value-identical to the one-window naive form on real data."""
     from synthetic_data_transfer_to_relational_database_spark.operators.relational import (
         QUERIES,
-        window_rank_scalable,
+        window_rank_naive,
     )
 
     got = {
         r["c_custkey"]: (r["rnk"], r["drnk"], r["rn"])
-        for r in window_rank_scalable(spark, sf_dir_mid).collect()
+        for r in QUERIES["window_rank"](spark, sf_dir_mid).collect()
     }
     want = {
         r["c_custkey"]: (r["rnk"], r["drnk"], r["rn"])
-        for r in QUERIES["window_rank"](spark, sf_dir_mid).collect()
+        for r in window_rank_naive(spark, sf_dir_mid).collect()
     }
     assert got == want
 
