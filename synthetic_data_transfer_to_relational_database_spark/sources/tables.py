@@ -27,21 +27,44 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Parquet time unit of events.ts ('ns' or 'us') from the file footer.
+
+    The driver has shipped both generations of the events table: parquet
+    TIMESTAMP(NANOS) (Spark 4 refuses to read it as a timestamp) and plain
+    TIMESTAMP(MICROS) with no UTC adjustment (Spark reads TIMESTAMP_NTZ).
+    A footer read costs one metadata page, so sources adapt per file
+    rather than assuming one layout.
+    """
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    return getattr(field.type, "unit", "us")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one testdata table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    read as a timestamp. We read it as raw nanos (legacy conf) and floor
-    to microseconds with integer division — exactly the truncation DuckDB
-    1.0 applies when it reads the same file, so oracle comparisons stay
-    bit-identical. (Float division would corrupt: epoch-ns ≈ 1.7e18 > 2^53.)
+    ``events.ts`` is normalized to session-TZ TimestampType regardless of
+    the file's physical annotation:
+
+    - TIMESTAMP(NANOS): read as raw nanos (legacy conf) and floor to
+      microseconds with integer division — exactly the truncation DuckDB
+      applies to the same file, so oracle comparisons stay bit-identical.
+      (Float division would corrupt: epoch-ns ≈ 1.7e18 > 2^53.)
+    - TIMESTAMP(MICROS, no UTC adjustment): Spark reads TIMESTAMP_NTZ;
+      cast to timestamp is value-identical because the session TZ is
+      pinned to UTC (session.py).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

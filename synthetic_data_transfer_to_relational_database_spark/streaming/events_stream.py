@@ -39,36 +39,50 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
+from ..sources.tables import events_ts_unit
+
 # Schema must be declared for file streams (no inference mid-stream).
-# ts is parquet TIMESTAMP(NANOS): read as raw long (legacy conf) and floor
-# to micros — identical to the batch loader in sources/tables.py.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# The ts field's declared type depends on the file's physical annotation
+# (see sources/tables.py::events_ts_unit): TIMESTAMP(NANOS) files are read
+# as raw long (legacy conf) and floored to micros; TIMESTAMP(MICROS) files
+# are read as TIMESTAMP_NTZ and cast (session TZ is pinned UTC, so the
+# cast is value-identical). Both paths end at session-TZ TimestampType —
+# the same normalization as the batch loader.
+def _events_schema(ts_unit: str) -> StructType:
+    ts_type = LongType() if ts_unit == "ns" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
 
 _SINK_IDS = itertools.count()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source, declared schema)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_unit = events_ts_unit(sf_dir)
+    if ts_unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File streams take a DIRECTORY (they watch it for new files); select
     # just the events table out of it with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_unit))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _cents(c):
