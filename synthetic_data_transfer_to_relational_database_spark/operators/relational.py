@@ -407,10 +407,33 @@ def window_rank_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK / DENSE_RANK / ROW_NUMBER per nation, in the plan that
-    survives a low-cardinality partition key: c_nationkey has 25 values,
-    so the one-window form (``window_rank_naive``) sorts 4% of all
-    customers through one WindowExec task each.
+    """RANK / DENSE_RANK / ROW_NUMBER per nation, with COST-BASED physical
+    selection — the same stats-driven strategy choice Catalyst makes for
+    broadcast-vs-sort-merge joins, applied to window ranking:
+
+    - input below ``spark.sdt.rank.smallInputBytes`` (default 1 GiB, per
+      Catalyst's optimized-plan size estimate): the one-window form.
+      Even if every row landed in ONE WindowExec task, a ≤1 GiB sort is
+      a normal task; the distributed derivation's extra jobs (range
+      sampling + checkpoint + offsets collect, twice) would dominate.
+    - larger input: ``window_rank_scalable`` — c_nationkey has 25 values,
+      so at cluster scale the one-window form funnels 4% of ALL customers
+      through each of 25 tasks; the distributed derivation's per-task
+      volume is bounded by the range-slice size instead.
+
+    Bit-equality of the two branches is locked by
+    tests/test_skew_ranks.py; the dispatch itself by test_plans.py."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    from .skew import estimated_plan_bytes
+
+    threshold = int(spark.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30)))
+    if estimated_plan_bytes(c) <= threshold:
+        return window_rank_naive(spark, sf_dir)
+    return window_rank_scalable(spark, sf_dir)
+
+
+def window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-rank branch of ``window_rank``.
 
     Construction from ``group_distribution_ranks``'s global row_number:
     - ROW_NUMBER = ``__rank`` over the (value desc, key) total order;

@@ -224,16 +224,34 @@ def window_ranks_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle SQL above is the one-window spec, but o_orderpriority has
     FIVE distinct values — ``Window.partitionBy`` on it sorts ~20% of all
     orders through one task each, the same single-task collapse class as
-    an unpartitioned window. Computed instead via
+    an unpartitioned window. At scale this is computed via
     ``skew.group_distribution_ranks`` (range-partition the total order,
     broadcast per-slice offsets, local row_number + arithmetic): exact
     same values (tests/test_skew_ranks.py proves bit-equality against the
-    naive window), no task ever sorts more than one range slice."""
-    from .skew import group_distribution_ranks
+    naive window), no task ever sorts more than one range slice.
 
+    Like ``relational.window_rank``, the physical form is COST-BASED:
+    below ``spark.sdt.rank.smallInputBytes`` (Catalyst size estimate)
+    the one-window plan wins — the distributed derivation's fixed jobs
+    (range sampling + checkpoint + offsets collect) cost more than just
+    sorting a small input in one task."""
     o = table(spark, sf_dir, "orders")
+    proj = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    from .skew import estimated_plan_bytes, group_distribution_ranks
+
+    threshold = int(spark.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30)))
+    if estimated_plan_bytes(proj) <= threshold:
+        w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+        n = F.count("*").over(Window.partitionBy("o_orderpriority"))
+        return proj.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            (F.row_number().over(w).cast("double") / n.cast("double")).alias("cume"),
+        )
     ranked = group_distribution_ranks(
-        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        proj,
         "o_orderpriority",
         ["o_totalprice", "o_orderkey"],
         n_tiles=4,

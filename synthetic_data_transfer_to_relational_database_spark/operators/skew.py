@@ -19,6 +19,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for ``df`` in bytes.
+
+    Parquet scans report the (compressed) file footprint; derived plans
+    fall back to Catalyst's propagated estimates. Used for cost-based
+    physical selection (e.g. ``relational.window_rank``): exact numbers
+    don't matter, only the orders-of-magnitude split between "fits one
+    task" and "needs the distributed derivation". Unknown ⇒ assume huge,
+    the scale-safe default."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j access is best-effort
+        return 1 << 62
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -74,6 +89,9 @@ def group_distribution_ranks(
     The range-partitioned input is localCheckpoint'ed so the offsets job
     and the rank job see the SAME partition boundaries (RangePartitioner
     samples with an RDD-derived seed — the ``_indexed_parent`` hazard).
+    The checkpoint is lazy (``eager=False``): the counts action is the
+    first job over the partitioned data anyway, so it materializes the
+    blocks as a side effect instead of paying a separate eager job.
     A checkpoint, not a cache, deliberately: lineage is CUT, so a lost
     block fails loudly instead of silently recomputing with fresh
     boundaries (= wrong ranks), and the blocks are released when the
@@ -94,7 +112,7 @@ def group_distribution_ranks(
     part = (
         df.repartitionByRange(n_parts, F.col(group_col), *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     slices = part.groupBy("__pid", group_col).count().collect()
     totals: dict = {}

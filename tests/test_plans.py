@@ -175,21 +175,46 @@ def test_topk_per_group_gets_partial_window_group_limit(spark):
 
 
 def test_scalable_rank_helpers_have_no_group_only_windows(spark):
-    """The scalable rank derivations (window_ranks_pct's
-    group_distribution_ranks pass and multimodal_dyn_batch's in-bucket
+    """The scalable rank derivations (the large-input branches of
+    window_rank / window_ranks_pct, and multimodal_dyn_batch's in-bucket
     sequence) must key every window by the range-slice id or a bounded
-    composite, never by the low-cardinality group alone."""
+    composite, never by the low-cardinality group alone. The rank
+    queries are forced onto their scalable branch by zeroing the
+    cost-model threshold — at test scale the dispatcher would otherwise
+    (correctly) pick the one-window plan."""
     import re
 
-    for name, bounded_keys in [
-        ("window_ranks_pct", ("__pid",)),
-        ("window_rank", ("__pid",)),
-        ("multimodal_dyn_batch", ("__pid", "batch_id")),
-    ]:
-        plan = _plan(registry.all_queries()[name](spark, SF_DIR))
-        specs = re.findall(r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan)
-        assert specs, f"{name}: expected window specs"
-        for spec in specs:
-            assert any(k in spec for k in bounded_keys), (
-                f"{name}: window partitioned by group alone: {spec}"
-            )
+    spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
+    try:
+        for name, bounded_keys in [
+            ("window_ranks_pct", ("__pid",)),
+            ("window_rank", ("__pid",)),
+            ("multimodal_dyn_batch", ("__pid", "batch_id")),
+        ]:
+            plan = _plan(registry.all_queries()[name](spark, SF_DIR))
+            specs = re.findall(r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan)
+            assert specs, f"{name}: expected window specs"
+            for spec in specs:
+                assert any(k in spec for k in bounded_keys), (
+                    f"{name}: window partitioned by group alone: {spec}"
+                )
+    finally:
+        spark.conf.unset("spark.sdt.rank.smallInputBytes")
+
+
+def test_rank_dispatch_is_cost_based(spark):
+    """window_rank picks its physical form from Catalyst's size estimate:
+    small input (test scale, default 1 GiB threshold) ⇒ the one-window
+    plan, zero distributed-rank scaffolding; threshold forced to 0 ⇒ the
+    range-slice derivation (no group-only window, __pid scaffolding
+    present). Same contract as Spark's own broadcast-threshold dispatch."""
+    small = _plan(registry.all_queries()["window_rank"](spark, SF_DIR))
+    assert "__pid" not in small
+    assert "windowspecdefinition(c_nationkey" in small
+
+    spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
+    try:
+        big = _plan(registry.all_queries()["window_rank"](spark, SF_DIR))
+        assert "__pid" in big
+    finally:
+        spark.conf.unset("spark.sdt.rank.smallInputBytes")

@@ -214,22 +214,45 @@ def test_rank_triple_matches_naive_window_with_ties(spark):
 
 
 def test_window_rank_scalable_matches_naive_window(spark, sf_dir_mid):
-    """The registered window_rank (scalable-rank derivation) must be
-    value-identical to the one-window naive form on real data."""
+    """window_rank's large-input branch (the scalable-rank derivation)
+    must be value-identical to the one-window naive form on real data —
+    this is the equality that licenses the cost-based dispatch."""
     from synthetic_data_transfer_to_relational_database_spark.operators.relational import (
-        QUERIES,
         window_rank_naive,
+        window_rank_scalable,
     )
 
     got = {
         r["c_custkey"]: (r["rnk"], r["drnk"], r["rn"])
-        for r in QUERIES["window_rank"](spark, sf_dir_mid).collect()
+        for r in window_rank_scalable(spark, sf_dir_mid).collect()
     }
     want = {
         r["c_custkey"]: (r["rnk"], r["drnk"], r["rn"])
         for r in window_rank_naive(spark, sf_dir_mid).collect()
     }
     assert got == want
+
+
+def test_window_ranks_pct_branches_match(spark, sf_dir_mid):
+    """window_ranks_pct's two physical branches (one-window vs
+    distribution-rank derivation) must be bit-identical on real data."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.relational2 import (
+        QUERIES,
+    )
+
+    def run():
+        return {
+            r["o_orderkey"]: (r["quartile"], r["pct_rank"], r["cume"])
+            for r in QUERIES["window_ranks_pct"](spark, sf_dir_mid).collect()
+        }
+
+    small_branch = run()
+    spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
+    try:
+        big_branch = run()
+    finally:
+        spark.conf.unset("spark.sdt.rank.smallInputBytes")
+    assert small_branch == big_branch
 
 
 def test_no_window_partitioned_by_group_alone(spark, orders):
