@@ -171,11 +171,14 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle's ROW_NUMBER() OVER (PARTITION BY size_bucket ...) is the
     spec, but size buckets are FEW (payload_bytes/256) while rows are
     many — at 100 TB each bucket would sort through one WindowExec task.
-    The in-bucket sequence therefore comes from
+    Like ``relational.window_rank`` the physical form is COST-BASED on
+    Catalyst's size estimate (``spark.sdt.rank.smallInputBytes``): small
+    input takes the one-window plan (the derivation's fixed driver jobs
+    would dominate), large input takes
     ``skew.group_distribution_ranks`` (range slices + broadcast offsets,
-    bit-identical ranks); the per-(bucket, batch) pad max is a window
-    whose partitions hold ≤ 8 rows by construction."""
-    from .skew import group_distribution_ranks
+    bit-identical ranks). The per-(bucket, batch) pad max is a window
+    whose partitions hold ≤ 8 rows by construction either way."""
+    from .skew import estimated_plan_bytes, group_distribution_ranks
 
     d = table(spark, sf_dir, "documents")
     n_bytes = F.octet_length(F.encode("text", "UTF-8")).cast("long")
@@ -186,9 +189,14 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes.alias("n_bytes"),
         F.floor(n_bytes / 256).cast("long").alias("size_bucket"),
     )
-    seq = group_distribution_ranks(media, "size_bucket", ["n_bytes", "doc_id"]).select(
-        "doc_id", "n_bytes", "size_bucket", F.col("__rank").alias("rn")
-    )
+    threshold = int(spark.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30)))
+    if estimated_plan_bytes(media) <= threshold:
+        w_seq = Window.partitionBy("size_bucket").orderBy("n_bytes", "doc_id")
+        seq = media.withColumn("rn", F.row_number().over(w_seq))
+    else:
+        seq = group_distribution_ranks(media, "size_bucket", ["n_bytes", "doc_id"]).select(
+            "doc_id", "n_bytes", "size_bucket", F.col("__rank").alias("rn")
+        )
     batch_id = F.floor((F.col("rn") - 1) / 8).cast("long")
     w_batch = Window.partitionBy("size_bucket", "batch_id")
     return (

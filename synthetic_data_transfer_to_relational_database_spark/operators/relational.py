@@ -382,7 +382,7 @@ def window_rank_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale), so the registered implementation is the scalable
     derivation below; bit-equality between the two is test-locked
     (tests/test_skew_ranks.py)."""
-    c = table(spark, sf_dir, "customer")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
     w_rn = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
     return c.select(
@@ -433,30 +433,19 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed-rank branch of ``window_rank``.
-
-    Construction from ``group_distribution_ranks``'s global row_number:
-    - ROW_NUMBER = ``__rank`` over the (value desc, key) total order;
-    - RANK = min row_number among order-peers (groupBy (group, value) +
-      join back — exact SQL tie semantics);
-    - DENSE_RANK = the peer group's own distribution rank, i.e. the same
-      primitive applied to the (group, value) DISTINCT frame.
-    Every join key includes the value column: bounded partitions, no
-    per-group funnel anywhere."""
-    from .skew import group_distribution_ranks
+    """The distributed-rank branch of ``window_rank`` — the
+    ``skew.group_rank_triple`` derivation (see its docstring for the
+    construction and the null-safe join-back contract)."""
+    from .skew import group_rank_triple
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    base = group_distribution_ranks(
-        c, "c_nationkey", [F.desc("c_acctbal"), F.col("c_custkey")]
-    ).select("c_custkey", "c_nationkey", "c_acctbal", F.col("__rank").alias("rn"))
-    peers = base.groupBy("c_nationkey", "c_acctbal").agg(F.min("rn").alias("rnk"))
-    dvals = group_distribution_ranks(
-        peers.select("c_nationkey", "c_acctbal"), "c_nationkey", [F.desc("c_acctbal")]
-    ).select("c_nationkey", "c_acctbal", F.col("__rank").alias("drnk"))
-    return (
-        base.join(peers, ["c_nationkey", "c_acctbal"])
-        .join(dvals, ["c_nationkey", "c_acctbal"])
-        .select("c_custkey", "c_nationkey", "c_acctbal", "rnk", "drnk", "rn")
+    return group_rank_triple(c, "c_nationkey", "c_acctbal", "c_custkey", desc=True).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.col("__rnk").alias("rnk"),
+        F.col("__drnk").alias("drnk"),
+        F.col("__rn").alias("rn"),
     )
 
 

@@ -56,6 +56,66 @@ def salted_join(
     return out.drop("__salt")
 
 
+def group_rank_triple(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    desc: bool = True,
+) -> DataFrame:
+    """RANK / DENSE_RANK / ROW_NUMBER per ``group_col`` ordered by
+    ``value_col`` (``tiebreak_col`` totalizes row_number), in the
+    low-cardinality-safe derivation built on
+    ``group_distribution_ranks``:
+
+    - ROW_NUMBER = the global ``__rank`` over (value, tiebreak);
+    - RANK = min row_number among order-peers (groupBy (group, value) +
+      join back — exact SQL tie semantics);
+    - DENSE_RANK = the peer group's own rank, i.e. the same primitive
+      applied to the (group, value) DISTINCT frame.
+
+    Every join key includes the value column: bounded partitions, no
+    per-group funnel anywhere. Join-backs are NULL-SAFE (<=>): windows
+    rank NULL order values as a normal peer group (desc ⇒ nulls last),
+    and groupBy already folds NULLs into one group, so a plain equi-join
+    would silently drop those rows — breaking the bit-equality contract
+    with the one-window form. <=> is still an equi-join key for Spark's
+    planner, so the hash/sort-merge join strategy is kept.
+
+    Appends ``__rnk``, ``__drnk``, ``__rn`` to ``df``'s columns.
+    """
+    val = F.desc(value_col) if desc else F.col(value_col)
+    base = group_distribution_ranks(
+        df, group_col, [val, F.col(tiebreak_col)]
+    ).select(*df.columns, F.col("__rank").alias("__rn"))
+    peers = base.groupBy(group_col, value_col).agg(F.min("__rn").alias("__rnk"))
+    dvals = group_distribution_ranks(
+        peers.select(group_col, value_col),
+        group_col,
+        [F.desc(value_col) if desc else F.col(value_col)],
+    ).select(
+        F.col(group_col).alias("__dg"),
+        F.col(value_col).alias("__dv"),
+        F.col("__rank").alias("__drnk"),
+    )
+    p = peers.select(
+        F.col(group_col).alias("__pg"), F.col(value_col).alias("__pv"), "__rnk"
+    )
+    return (
+        base.join(
+            p,
+            F.col(group_col).eqNullSafe(F.col("__pg"))
+            & F.col(value_col).eqNullSafe(F.col("__pv")),
+        )
+        .join(
+            dvals,
+            F.col(group_col).eqNullSafe(F.col("__dg"))
+            & F.col(value_col).eqNullSafe(F.col("__dv")),
+        )
+        .select(*df.columns, "__rnk", "__drnk", "__rn")
+    )
+
+
 def group_distribution_ranks(
     df: DataFrame,
     group_col: str,

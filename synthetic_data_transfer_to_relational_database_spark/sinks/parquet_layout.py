@@ -145,10 +145,16 @@ def with_zorder_sampled(
     for c, cc in zip(cols, cast_cols):
         work = work.withColumn(cc, F.col(c).cast("double"))
     cuts = work.stat.approxQuantile(cast_cols, probs, rel_err)
-    splits = [
-        [float("-inf"), *sorted(set(c)), float("inf")] if c else [float("-inf"), float("inf")]
-        for c in cuts
-    ]
+    # Bucketizer demands strictly increasing splits: dedupe the cutpoints
+    # AND drop non-finite ones — a column with ±inf values yields ±inf
+    # cutpoints that collide with the sentinel endpoints, and NaN (which
+    # set() can't dedupe, NaN != NaN) would poison the ordering. Rows
+    # with such values still bucket fine: ±inf clamps into the end
+    # buckets, NaN goes to handleInvalid's extra bucket.
+    import math
+
+    finite = [sorted({v for v in c if math.isfinite(v)}) for c in cuts]
+    splits = [[float("-inf"), *c, float("inf")] for c in finite]
     buck_cols = [f"__zq_{i}" for i in range(n)]
     work = Bucketizer(
         inputCols=cast_cols,

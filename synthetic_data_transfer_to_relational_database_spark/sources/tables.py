@@ -7,6 +7,7 @@ materializes: at 100 TB these are just logical scan nodes.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,12 +34,19 @@ def events_ts_unit(sf_dir: str) -> str:
     The driver has shipped both generations of the events table: parquet
     TIMESTAMP(NANOS) (Spark 4 refuses to read it as a timestamp) and plain
     TIMESTAMP(MICROS) with no UTC adjustment (Spark reads TIMESTAMP_NTZ).
-    A footer read costs one metadata page, so sources adapt per file
-    rather than assuming one layout.
+    Sources adapt per file rather than assuming one layout; the footer
+    read is cached on (path, mtime) — every events-backed query calls
+    this, and the answer is a property of an immutable file.
     """
+    path = os.path.join(sf_dir, "events.parquet")
+    return _events_ts_unit_cached(path, os.stat(path).st_mtime_ns)
+
+
+@functools.lru_cache(maxsize=64)
+def _events_ts_unit_cached(path: str, mtime_ns: int) -> str:
     import pyarrow.parquet as pq
 
-    field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    field = pq.read_schema(path).field("ts")
     return getattr(field.type, "unit", "us")
 
 

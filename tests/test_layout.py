@@ -145,6 +145,37 @@ def test_zorder_exact_path_clusters_too(spark, tmp_path):
     assert selective >= 4, f"exact z-order produced only {selective} selective files"
 
 
+def test_zorder_sampled_survives_inf_and_nan(spark):
+    """A z-order column containing ±inf/NaN must not crash the sampled
+    quantizer: inf cutpoints would collide with Bucketizer's sentinel
+    split endpoints and NaN poisons cutpoint ordering. Rows themselves
+    still bucket (inf clamps to the end buckets, NaN to the invalid
+    bucket) and every finite row keeps a valid z-value."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        with_zorder_sampled,
+    )
+
+    df = spark.range(0, 4000).selectExpr(
+        "id",
+        # ~25% inf, a few -inf and NaN, rest finite
+        "case when id % 4 = 0 then cast('Infinity' as double)"
+        "     when id % 997 = 1 then cast('-Infinity' as double)"
+        "     when id % 997 = 2 then cast('NaN' as double)"
+        "     else cast(id % 141 as double) end as x",
+        "cast((id * 7919) % 151 as double) as y",
+    )
+    z = with_zorder_sampled(df, ["x", "y"])
+    out = z.select("id", "x", "__z").collect()
+    assert len(out) == 4000
+    assert all(r["__z"] is not None for r in out)
+    # inf rows all clamp into the same top x-level: identical x-bit
+    # pattern, so they cluster together (the property the layout needs)
+    inf_z = {r["__z"] for r in out if r["x"] == float("inf")}
+    finite_top = max(r["__z"] for r in out if r["x"] is not None and r["x"] < 100)
+    assert inf_z, "inf rows lost"
+    assert max(inf_z) >= finite_top, "inf rows should rank at the top of x"
+
+
 def test_zorder_sampled_has_no_global_window(spark):
     """The sampled quantization must keep the scale-safe plan shape: no
     Window operator anywhere (the exact form's global percent_rank sorts

@@ -212,6 +212,10 @@ def test_rank_dispatch_is_cost_based(spark):
     assert "__pid" not in small
     assert "windowspecdefinition(c_nationkey" in small
 
+    # all three converted sites dispatch, not just window_rank
+    small_batch = _plan(registry.all_queries()["multimodal_dyn_batch"](spark, SF_DIR))
+    assert "__pid" not in small_batch
+
     spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
     try:
         big = _plan(registry.all_queries()["window_rank"](spark, SF_DIR))

@@ -170,12 +170,26 @@ def test_single_row_group_pct_rank_is_zero(spark):
     assert rows[3] == (1.0, 1.0, 2)
 
 
+def _naive_rank_triple(df):
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    w_rn = Window.partitionBy("g").orderBy(F.desc("v"), "k")
+    return {
+        r["k"]: (r["rnk"], r["drnk"], r["rn"])
+        for r in df.select(
+            "k",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w_rn).alias("rn"),
+        ).collect()
+    }
+
+
 def test_rank_triple_matches_naive_window_with_ties(spark):
     """window_rank's scalable RANK / DENSE_RANK / ROW_NUMBER derivation
     must reproduce SQL tie semantics exactly. Constructed fixture forces
     tie runs (the TPC-H acctbal domain rarely collides at test scale)."""
     from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
-        group_distribution_ranks,
+        group_rank_triple,
     )
 
     rows = [
@@ -186,31 +200,35 @@ def test_rank_triple_matches_naive_window_with_ties(spark):
         )
     ]
     df = spark.createDataFrame(rows, "k long, g string, v double")
-
-    base = group_distribution_ranks(df, "g", [F.desc("v"), F.col("k")]).select(
-        "k", "g", "v", F.col("__rank").alias("rn")
-    )
-    peers = base.groupBy("g", "v").agg(F.min("rn").alias("rnk"))
-    dvals = group_distribution_ranks(
-        peers.select("g", "v"), "g", [F.desc("v")]
-    ).select("g", "v", F.col("__rank").alias("drnk"))
     got = {
-        r["k"]: (r["rnk"], r["drnk"], r["rn"])
-        for r in base.join(peers, ["g", "v"]).join(dvals, ["g", "v"]).collect()
+        r["k"]: (r["__rnk"], r["__drnk"], r["__rn"])
+        for r in group_rank_triple(df, "g", "v", "k").collect()
     }
+    assert got == _naive_rank_triple(df)
 
-    w = Window.partitionBy("g").orderBy(F.desc("v"))
-    w_rn = Window.partitionBy("g").orderBy(F.desc("v"), "k")
-    want = {
-        r["k"]: (r["rnk"], r["drnk"], r["rn"])
-        for r in df.select(
-            "k",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.row_number().over(w_rn).alias("rn"),
-        ).collect()
-    }
-    assert got == want
+
+def test_rank_triple_keeps_null_groups_and_null_values(spark):
+    """NULL group and NULL order values must survive the derivation's
+    join-backs (null-safe <=>) and rank exactly as the one-window form
+    ranks them — a plain equi-join would silently drop these rows from
+    the scalable branch only."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+        group_rank_triple,
+    )
+
+    rows = [
+        (0, "a", 5.0),
+        (1, "a", None),   # null order value: desc ⇒ nulls last, a peer run
+        (2, "a", None),
+        (3, None, 7.0),   # null group: its own window partition
+        (4, None, 7.0),
+        (5, None, None),  # null group AND null value
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    out = group_rank_triple(df, "g", "v", "k")
+    got = {r["k"]: (r["__rnk"], r["__drnk"], r["__rn"]) for r in out.collect()}
+    assert len(got) == len(rows), "derivation dropped rows with NULL keys"
+    assert got == _naive_rank_triple(df)
 
 
 def test_window_rank_scalable_matches_naive_window(spark, sf_dir_mid):
