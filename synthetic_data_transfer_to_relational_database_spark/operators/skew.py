@@ -56,6 +56,68 @@ def salted_join(
     return out.drop("__salt")
 
 
+def ordered_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "__cum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` over the total order given by
+    ``order_cols`` — the scale-safe form of
+    ``SUM(v) OVER (ORDER BY ...)``, whose naive plan collapses to ONE
+    partition (an unpartitioned window sorts the whole input through a
+    single task).
+
+    Same range-slice + broadcast-offset recipe as
+    ``group_distribution_ranks``: range-repartition by the order, collect
+    per-slice sums (an ``n_parts``-row collect), turn them into exclusive
+    prefix offsets, then a window cumsum partitioned BY SLICE plus the
+    slice's offset = the exact global running sum. The range-partitioned
+    input is localCheckpoint'ed so the offsets job and the cumsum job see
+    the same partition boundaries (the RangePartitioner reseed hazard —
+    see group_distribution_ranks).
+
+    ``order_cols`` must form a TOTAL order (include a unique tiebreaker):
+    with ties unbroken the running sum at tied rows is engine-dependent.
+    NULL values in ``value_col`` contribute 0 (SQL SUM semantics).
+    Appends ``out_col`` (long) to ``df``'s columns."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    slices = part.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+    rows = []
+    acc = 0
+    for r in sorted(slices, key=lambda r: r["__pid"]):
+        rows.append((r["__pid"], acc))
+        acc += r["__t"] or 0
+    off_schema = StructType(
+        [StructField("__opid", LongType()), StructField("__off", LongType())]
+    )
+    off = spark.createDataFrame(rows, off_schema)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(off), F.col("__pid") == F.col("__opid"))
+        .withColumn(
+            out_col,
+            (F.coalesce(F.sum(value_col).over(w), F.lit(0)) + F.col("__off")).cast("long"),
+        )
+        .select(*df.columns, out_col)
+    )
+
+
 def group_rank_triple(
     df: DataFrame,
     group_col: str,

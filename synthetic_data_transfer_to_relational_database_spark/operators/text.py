@@ -537,3 +537,111 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en", 60
     ).otherwise(100)
     return survivors.filter(keep).select("doc_id", "lang", "n_tokens", "n_copies")
+
+
+@q(
+    "corpus_pack_sequences",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents WHERE length(text) > 0
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+           CAST(start_tok % 2048 AS BIGINT) AS offset_in_seq,
+           ((start_tok + n_tokens - 1) // 2048) != (start_tok // 2048)
+             AS spans_boundary
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate the corpus in doc_id order
+    and cut fixed 2048-token sequences — every document gets its sequence
+    id, offset within the sequence, and whether it spans a cut point
+    (the standard concat-and-chunk packing LLM pretraining pipelines use;
+    docs spanning a boundary are the ones an attention-mask reset or a
+    boundary-aware loader must handle).
+
+    The whole op is one exact global prefix sum of token counts over the
+    doc_id order. The oracle's ``SUM() OVER (ORDER BY doc_id)`` is the
+    spec but collapses to ONE partition; ``skew.ordered_cumsum`` computes
+    the identical values with range slices + broadcast offsets — no task
+    ever sorts more than one slice, so the plan survives 100 TB. All
+    derived fields are integer arithmetic on the prefix sum:
+    bit-identical cross-engine."""
+    from .skew import ordered_cumsum
+
+    cap = 2048
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    c = ordered_cumsum(t, ["doc_id"], "n_tokens", out_col="__cum")
+    start = (F.col("__cum") - F.col("n_tokens")).alias("start_tok")
+    seq_id = F.floor(F.col("start_tok") / cap).cast("long")
+    return (
+        c.select("doc_id", "n_tokens", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            seq_id.alias("seq_id"),
+            F.pmod(F.col("start_tok"), F.lit(cap)).cast("long").alias("offset_in_seq"),
+            (
+                F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / cap).cast("long")
+                != F.floor(F.col("start_tok") / cap).cast("long")
+            ).alias("spans_boundary"),
+        )
+    )
+
+
+@q(
+    "text_repetition",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(text) > 0
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS top_word_ratio,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_word_ratio
+    FROM wc GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signals per document — the Gopher-style
+    repetition filters (most-frequent-word fraction, fraction of tokens
+    occurring more than once) that catch boilerplate / keyword-stuffed /
+    degenerate pages exact dedup never sees.
+
+    Shape: explode → two hash aggregations, both partial-agg friendly —
+    the shuffle carries (doc_id, word) partial counts then per-doc
+    aggregates, never documents. Ratios are single IEEE divisions of
+    exact integers: bit-identical cross-engine."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_word_ratio"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_word_ratio"),
+    )

@@ -42,10 +42,11 @@ _MODULES = [
 # window_rank (implementation changed in r4 to the scalable-rank
 # derivation) replaces the unchanged r2-green guard join_broadcast.
 # Window contents (this order):
-#   1) every query with NO driver evidence yet — the 18 entries added in
+#   1) every query with NO driver evidence yet — the 20 entries added in
 #      late r2 / r3 (streaming, corpus curation, PII/TF-IDF/contamination,
 #      salted join, stratified sample, dynamic batching, frame sampling,
-#      generator demo, approx percentile, scalable centroid);
+#      generator demo, approx percentile, scalable centroid, sequence
+#      packing, repetition signals);
 #   2) the 18 queries whose only green row is from round 1 (the r2 window
 #      rotation left them out);
 #   3) 14 r2-green sentinels: every query whose implementation changed
@@ -73,6 +74,8 @@ _SWEEP_FIRST = [
     "gen_synthetic_orders",
     "agg_approx_percentile",
     "sim_centroid_scalable",
+    "corpus_pack_sequences",
+    "text_repetition",
     # -- 2) green in round 1 only -------------------------------------
     "scalar_string",
     "scalar_date",
@@ -105,8 +108,6 @@ _SWEEP_FIRST = [
     "dedup_minhash_lsh",
     "sim_search",
     "window_rank",
-    "multimodal_bytes",
-    "rag_retrieve",
 ]
 
 

@@ -292,3 +292,51 @@ def test_no_window_partitioned_by_group_alone(spark, orders):
         if "windowspecdefinition(" in line:
             spec = line.split("windowspecdefinition(", 1)[1]
             assert "__pid" in spec.split("specifiedwindowframe", 1)[0]
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 50])
+def test_ordered_cumsum_matches_naive_window(spark, n_parts):
+    """ordered_cumsum must equal SUM() OVER (ORDER BY ...) bit-exactly
+    for any slice count — 1 (degenerate), 3 (values span slices), 50
+    (more slices than rows: empty slices must not shift offsets) — and
+    NULL values must contribute 0, not poison the running sum."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+        ordered_cumsum,
+    )
+
+    rows = [(k, (k * 7919) % 23 if k % 6 else None) for k in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["__cum"]
+        for r in ordered_cumsum(df, ["k"], "v", n_parts=n_parts).collect()
+    }
+    w = (
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["k"]: r["c"]
+        for r in df.select(
+            "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ordered_cumsum_plan_has_no_global_window(spark):
+    """The reason the primitive exists: no unpartitioned window anywhere —
+    every windowspecdefinition is keyed by the range-slice id."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+        ordered_cumsum,
+    )
+
+    df = spark.range(0, 1000).selectExpr("id as k", "id % 17 as v")
+    out = ordered_cumsum(df, ["k"], "v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert "__pid" in spec.split("specifiedwindowframe", 1)[0]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
