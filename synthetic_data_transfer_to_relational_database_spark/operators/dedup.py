@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import table
 from ._registry import make_registry
+from .skew import checkpoint_pinned
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -384,10 +385,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
 
     Scale shape: each round is two self-contained groupBy+join passes over
     the CURRENT edge set (which only shrinks toward node count); lineage
-    is cut with localCheckpoint every round — see the in-loop comment for
-    why per-round truncation is load-bearing, not optional. (At cluster
-    scale, prefer a reliable checkpoint dir — localCheckpoint loses blocks
-    with a dead executor; the shape is identical.) Raises if the edge set
+    is cut with ``skew.checkpoint_pinned`` every round — see the in-loop
+    comment for why per-round truncation is load-bearing, not optional.
+    With ``sc.setCheckpointDir`` configured the cut is a RELIABLE
+    checkpoint that survives executor loss (the cluster-scale setting);
+    otherwise localCheckpoint. Raises if the edge set
     has not reached a fixpoint within ``max_rounds`` — partial labels are
     WRONG labels, never returned silently.
     """
@@ -398,8 +400,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
+    e = checkpoint_pinned(e, eager=True)
 
     def large_star(e: DataFrame) -> DataFrame:
         # per node u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
@@ -434,7 +436,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         # localCheckpoint materializes the (shrinking, ≤ node count) edge
         # set and cuts lineage — the same reason GraphFrames checkpoints
         # its connectedComponents every couple of iterations.
-        e2 = small_star(large_star(e)).localCheckpoint()
+        e2 = checkpoint_pinned(small_star(large_star(e)), eager=True)
         # exact fixpoint test: both sides are distinct sets, so equal
         # count + empty anti-join ⇔ identical edge sets
         converged = (

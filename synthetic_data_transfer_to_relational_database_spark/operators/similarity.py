@@ -144,9 +144,10 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(CAST(ROUND(embedding[1] * 1000) AS BIGINT)) AS BIGINT) AS sum_d1_milli,
-           CAST(SUM(CAST(ROUND(embedding[1] * 1000) AS BIGINT)) AS DOUBLE) / 1000.0 / COUNT(*)
-             AS centroid_d1_q
+           CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_d1_milli,
+           CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS DOUBLE)
+             / 1000.0 / COUNT(*) AS centroid_d1_q
     FROM embeddings
     GROUP BY label
     """,
@@ -427,10 +428,10 @@ _CLF_W_SQL = "[" + ", ".join(str(w) for w in _CLF_W) + "]"
     sql=f"""
     SELECT vec_id,
            CAST(list_sum(list_transform(generate_series(1, 64),
-                i -> CAST(ROUND(embedding[i] * 1000) AS BIGINT) * ({_CLF_W_SQL})[i]))
+                i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * ({_CLF_W_SQL})[i]))
              AS BIGINT) AS score_milli,
            list_sum(list_transform(generate_series(1, 64),
-                i -> CAST(ROUND(embedding[i] * 1000) AS BIGINT) * ({_CLF_W_SQL})[i])) > 0
+                i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * ({_CLF_W_SQL})[i])) > 0
              AS positive
     FROM embeddings
     """,

@@ -56,6 +56,28 @@ def salted_join(
     return out.drop("__salt")
 
 
+def checkpoint_pinned(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialization barrier that PINS a DataFrame's contents (and
+    therefore its range-partition boundaries) across the multiple jobs
+    that read it — the RangePartitioner-reseed hazard every range-slice
+    derivation here guards against.
+
+    Uses a RELIABLE checkpoint when the session has a checkpoint dir
+    configured (``sc.setCheckpointDir`` — blocks live in shared storage
+    and survive executor loss: the cluster-scale setting), else
+    ``localCheckpoint`` (executor-resident blocks: fine single-node and
+    at test scale, and a lost block fails LOUDLY instead of silently
+    recomputing with fresh boundaries = wrong results)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc.getCheckpointDir() is not None
+    except Exception:  # pragma: no cover - py4j access is best-effort
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def ordered_cumsum(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -74,9 +96,9 @@ def ordered_cumsum(
     per-slice sums (an ``n_parts``-row collect), turn them into exclusive
     prefix offsets, then a window cumsum partitioned BY SLICE plus the
     slice's offset = the exact global running sum. The range-partitioned
-    input is localCheckpoint'ed so the offsets job and the cumsum job see
-    the same partition boundaries (the RangePartitioner reseed hazard —
-    see group_distribution_ranks).
+    input is pinned via ``checkpoint_pinned`` so the offsets job and the
+    cumsum job see the same partition boundaries (the RangePartitioner
+    reseed hazard — see group_distribution_ranks).
 
     ``order_cols`` must form a TOTAL order (include a unique tiebreaker):
     with ties unbroken the running sum at tied rows is engine-dependent.
@@ -88,10 +110,10 @@ def ordered_cumsum(
     spark = df.sparkSession
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    part = (
-        df.repartitionByRange(n_parts, *order_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    part = checkpoint_pinned(
+        df.repartitionByRange(n_parts, *order_exprs).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     slices = part.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
     rows = []
@@ -208,18 +230,19 @@ def group_distribution_ranks(
     tie-aware RANK/DENSE_RANK over a low-cardinality group, derive them
     from ``__rank`` (see ``relational.window_rank``).
 
-    The range-partitioned input is localCheckpoint'ed so the offsets job
-    and the rank job see the SAME partition boundaries (RangePartitioner
-    samples with an RDD-derived seed — the ``_indexed_parent`` hazard).
-    The checkpoint is lazy (``eager=False``): the counts action is the
-    first job over the partitioned data anyway, so it materializes the
-    blocks as a side effect instead of paying a separate eager job.
-    A checkpoint, not a cache, deliberately: lineage is CUT, so a lost
-    block fails loudly instead of silently recomputing with fresh
-    boundaries (= wrong ranks), and the blocks are released when the
-    result is garbage-collected rather than pinned in the cache manager
-    for the session. At cluster scale prefer a reliable checkpoint dir /
-    storage staging — localCheckpoint dies with an executor.
+    The range-partitioned input is pinned via ``checkpoint_pinned`` so
+    the offsets job and the rank job see the SAME partition boundaries
+    (RangePartitioner samples with an RDD-derived seed — the
+    ``_indexed_parent`` hazard). The checkpoint is lazy (``eager=False``):
+    the counts action is the first job over the partitioned data anyway,
+    so it materializes the blocks as a side effect instead of paying a
+    separate eager job. A checkpoint, not a cache, deliberately: lineage
+    is CUT, so a lost block fails loudly instead of silently recomputing
+    with fresh boundaries (= wrong ranks), and the blocks are released
+    when the result is garbage-collected rather than pinned in the cache
+    manager for the session. With ``sc.setCheckpointDir`` configured the
+    pin is a RELIABLE checkpoint that survives executor loss (the
+    cluster-scale setting).
 
     Appends ``__rank``, ``__ntile``, ``__pct_rank``, ``__cume_dist``.
     """
@@ -231,10 +254,10 @@ def group_distribution_ranks(
     # no sortWithinPartitions: the counts job is order-insensitive and
     # the rank window sorts its own (bounded) partitions after the
     # (__pid, group) exchange — a pre-sort here would be dead work
-    part = (
-        df.repartitionByRange(n_parts, F.col(group_col), *order_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    part = checkpoint_pinned(
+        df.repartitionByRange(n_parts, F.col(group_col), *order_exprs).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     slices = part.groupBy("__pid", group_col).count().collect()
     totals: dict = {}

@@ -340,3 +340,32 @@ def test_ordered_cumsum_plan_has_no_global_window(spark):
             spec = line.split("windowspecdefinition(", 1)[1]
             assert "__pid" in spec.split("specifiedwindowframe", 1)[0]
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_checkpoint_pinned_uses_reliable_dir_when_configured(spark, tmp_path):
+    """With sc.setCheckpointDir configured (the cluster-scale setting,
+    where localCheckpoint blocks die with an executor) every range-slice
+    derivation must switch to RELIABLE checkpoints — files under the
+    configured dir — and produce identical values."""
+    import os
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+        checkpoint_pinned,
+        ordered_cumsum,
+    )
+
+    df = spark.createDataFrame([(k, k % 7) for k in range(50)], "k long, v long")
+    baseline = {r["k"]: r["__cum"] for r in ordered_cumsum(df, ["k"], "v").collect()}
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        out = checkpoint_pinned(df, eager=True)
+        assert out.count() == 50
+        assert any(
+            files for _, _, files in os.walk(ckpt)
+        ), "no reliable checkpoint files written"
+        reliable = {r["k"]: r["__cum"] for r in ordered_cumsum(df, ["k"], "v").collect()}
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert reliable == baseline
