@@ -83,6 +83,12 @@ def main() -> int:
     names = sys.argv[1:] or [n for n in queries if n in oracles]
 
     spark = get_spark("driver-sim")
+    # DRIVER_SIM_CONF: JSON dict of session confs — e.g.
+    # '{"spark.sdt.rank.smallInputBytes": "0"}' forces every cost-based
+    # rank dispatch onto its scalable branch so THAT plan is what gets
+    # strict-oracle-checked.
+    for k, v in json.loads(os.environ.get("DRIVER_SIM_CONF", "{}")).items():
+        spark.conf.set(k, str(v))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
