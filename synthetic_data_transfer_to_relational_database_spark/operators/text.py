@@ -586,18 +586,20 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = ordered_cumsum(t, ["doc_id"], "n_tokens", out_col="__cum")
     start = (F.col("__cum") - F.col("n_tokens")).alias("start_tok")
-    seq_id = F.floor(F.col("start_tok") / cap).cast("long")
+    # `div`, not floor(x / cap): `/` is DOUBLE division, inexact once the
+    # corpus's total token count passes 2^53 — integer division stays
+    # exact at any scale and matches DuckDB's `//` on BIGINT
     return (
         c.select("doc_id", "n_tokens", start)
         .select(
             "doc_id",
             "n_tokens",
             "start_tok",
-            seq_id.alias("seq_id"),
+            F.expr(f"start_tok div {cap}").alias("seq_id"),
             F.pmod(F.col("start_tok"), F.lit(cap)).cast("long").alias("offset_in_seq"),
             (
-                F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / cap).cast("long")
-                != F.floor(F.col("start_tok") / cap).cast("long")
+                F.expr(f"(start_tok + n_tokens - 1) div {cap}")
+                != F.expr(f"start_tok div {cap}")
             ).alias("spans_boundary"),
         )
     )
