@@ -178,7 +178,7 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``skew.group_distribution_ranks`` (range slices + broadcast offsets,
     bit-identical ranks). The per-(bucket, batch) pad max is a window
     whose partitions hold ≤ 8 rows by construction either way."""
-    from .skew import estimated_plan_bytes, group_distribution_ranks
+    from .skew import group_distribution_ranks, small_rank_input
 
     d = table(spark, sf_dir, "documents")
     n_bytes = F.octet_length(F.encode("text", "UTF-8")).cast("long")
@@ -189,8 +189,7 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes.alias("n_bytes"),
         F.floor(n_bytes / 256).cast("long").alias("size_bucket"),
     )
-    threshold = int(spark.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30)))
-    if estimated_plan_bytes(media) <= threshold:
+    if small_rank_input(media):
         w_seq = Window.partitionBy("size_bucket").orderBy("n_bytes", "doc_id")
         seq = media.withColumn("rn", F.row_number().over(w_seq))
     else:

@@ -423,11 +423,10 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit-equality of the two branches is locked by
     tests/test_skew_ranks.py; the dispatch itself by test_plans.py."""
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    from .skew import estimated_plan_bytes
+    from .skew import small_rank_input
 
-    threshold = int(spark.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30)))
-    if estimated_plan_bytes(c) <= threshold:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    if small_rank_input(c):
         return window_rank_naive(spark, sf_dir)
     return window_rank_scalable(spark, sf_dir)
 

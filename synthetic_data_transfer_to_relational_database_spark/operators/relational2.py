@@ -237,10 +237,9 @@ def window_ranks_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorting a small input in one task."""
     o = table(spark, sf_dir, "orders")
     proj = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
-    from .skew import estimated_plan_bytes, group_distribution_ranks
+    from .skew import group_distribution_ranks, small_rank_input
 
-    threshold = int(spark.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30)))
-    if estimated_plan_bytes(proj) <= threshold:
+    if small_rank_input(proj):
         w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
         n = F.count("*").over(Window.partitionBy("o_orderpriority"))
         return proj.select(

@@ -34,6 +34,21 @@ def estimated_plan_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def small_rank_input(df: DataFrame) -> bool:
+    """The cost-based rank dispatch shared by ``window_rank`` /
+    ``window_ranks_pct`` / ``multimodal_dyn_batch``: True when Catalyst's
+    optimized-plan size estimate is below
+    ``spark.sdt.rank.smallInputBytes`` (default 1 GiB) — there the
+    one-window plan wins (even a single-task sort of ≤ 1 GiB is a normal
+    task, and the range-slice derivation's fixed jobs would dominate);
+    above it the derivation amortizes. One definition so the conf name,
+    default, and comparison cannot drift between dispatch sites."""
+    threshold = int(
+        df.sparkSession.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30))
+    )
+    return estimated_plan_bytes(df) <= threshold
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -67,14 +82,29 @@ def checkpoint_pinned(df: DataFrame, eager: bool = False) -> DataFrame:
     and survive executor loss: the cluster-scale setting), else
     ``localCheckpoint`` (executor-resident blocks: fine single-node and
     at test scale, and a lost block fails LOUDLY instead of silently
-    recomputing with fresh boundaries = wrong results)."""
+    recomputing with fresh boundaries = wrong results).
+
+    Reliable mode is always EAGER and persists the frame around the
+    checkpoint: ``df.checkpoint`` runs a SEPARATE job to write the files,
+    so an unpersisted plan would be computed twice — persist makes the
+    write job read cached blocks, and the cache is dropped immediately
+    after. (The lazy piggyback — first action materializes the blocks —
+    is a localCheckpoint-only optimization.) Checkpoint FILES outlive the
+    DataFrame: our session factory sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so they are
+    GC'd with the RDD; sessions built elsewhere should set it too or
+    sweep the checkpoint dir."""
     sc = df.sparkSession.sparkContext
     try:
         reliable = sc.getCheckpointDir() is not None
     except Exception:  # pragma: no cover - py4j access is best-effort
         reliable = False
     if reliable:
-        return df.checkpoint(eager=eager)
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=eager)
 
 

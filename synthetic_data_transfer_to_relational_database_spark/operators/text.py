@@ -385,56 +385,27 @@ def corpus_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "best N tokens" cut every curation pipeline makes) — in the plan that
     survives 100 TB. The oracle (and the r1/r2 catalog's demo twin
     ``corpus_token_budget``, folded into this entry) is the naive global
-    ordered cumsum, which collapses to ONE partition; here quality is
-    range-bucketed, per-bucket token totals (a num_buckets-row collect)
-    become broadcast offsets, and the running sum is computed with a
-    window partitioned BY BUCKET — every sort is bucket-local, nothing
-    ever collapses to one partition. Equality holds because equal quality
-    values land in the same bucket, so the bucket order composed with the
-    in-bucket (quality DESC, doc_id) order IS the global order."""
-    n_buckets = 32
+    ordered cumsum, which collapses to ONE partition; here the running
+    sum is ``skew.ordered_cumsum`` over the (quality DESC, doc_id) total
+    order — range slices + broadcast offsets, every sort bounded by the
+    slice size. (An earlier form hand-rolled the same recipe with 32
+    fixed quality buckets, which still funneled ~3% of the corpus per
+    bucket task; bounded range slices dominate it.)"""
+    from .skew import ordered_cumsum
+
     d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tokens = F.size(_tokens()).cast("long")
     quality = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
-    # bucket 0 = highest quality; clamp quality == 1.0 into bucket 0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(F.lit(0), (F.lit(n_buckets) - 1 - F.floor(quality * n_buckets)).cast("int")),
+    scored = d.select("doc_id", n_tokens.alias("n_tokens"), quality.alias("quality"))
+    c = ordered_cumsum(
+        scored, [F.desc("quality"), "doc_id"], "n_tokens", out_col="__cum"
     )
-    scored = d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        quality.alias("quality"),
-        bucket.alias("__bucket"),
-    )
-    totals = dict(
-        (r["__bucket"], r["t"])
-        for r in scored.groupBy("__bucket").agg(F.sum("n_tokens").alias("t")).collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(totals):
-        offsets[b] = acc
-        acc += totals[b]
-    off_expr = F.element_at(
-        F.map_from_arrays(
-            F.lit([int(b) for b in sorted(totals)]),
-            F.lit([int(offsets[b]) for b in sorted(totals)]),
-        ),
-        F.col("__bucket"),
-    )
-    w = (
-        Window.partitionBy("__bucket")
-        .orderBy(F.desc("quality"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (F.sum("n_tokens").over(w) + off_expr).cast("long")
-    return scored.select(
+    return c.select(
         "doc_id",
         "n_tokens",
         "quality",
-        cum.alias("cum_tokens"),
-        (cum <= 10000).alias("selected"),
+        F.col("__cum").alias("cum_tokens"),
+        (F.col("__cum") <= 10000).alias("selected"),
     )
 
 
@@ -580,10 +551,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cap = 2048
     d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    t = d.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
-    )
+    t = d.select("doc_id", F.size(_tokens()).cast("long").alias("n_tokens"))
     c = ordered_cumsum(t, ["doc_id"], "n_tokens", out_col="__cum")
     start = (F.col("__cum") - F.col("n_tokens")).alias("start_tok")
     # `div`, not floor(x / cap): `/` is DOUBLE division, inexact once the
@@ -636,7 +604,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, never documents. Ratios are single IEEE divisions of
     exact integers: bit-identical cross-engine."""
     d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    tok = d.select("doc_id", F.explode(_tokens()).alias("w"))
     wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     return wc.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),

@@ -45,11 +45,13 @@ _MODULES = [
 #      packing, repetition signals);
 #   2) the 18 queries whose only green row is from round 1 (the r2 window
 #      rotation left them out);
-#   3) 12 r2-green sentinels: every query whose implementation changed
-#      in round 3 (dedup_cluster, dedup_embedding, fk_sample_join via the
-#      executor, sim_centroid_by_label as the new twin's exact pair,
-#      window_rank's cost-based dispatch) plus flagship regression guards
-#      across the packs.
+#   3) 12 r2-green sentinels: every query whose implementation or oracle
+#      changed this round (dedup_cluster, dedup_embedding, fk_sample_join
+#      via the executor, sim_centroid_by_label as the new twin's exact
+#      pair, window_rank's cost-based dispatch, sim_classifier_udf's
+#      float64-cast oracle) plus flagship regression guards. entry()
+#      smoke-runs revenue_by_nation every round regardless, so it cedes
+#      its window slot.
 # Everything past position 50 is r1∪r2-green and unchanged this round.
 # All 74 oracle-paired queries are locally strict-green via
 # tools/driver_sim.py regardless of window position.
@@ -99,7 +101,7 @@ _SWEEP_FIRST = [
     "dedup_embedding",
     "sim_centroid_by_label",
     "fk_sample_join",
-    "revenue_by_nation",
+    "sim_classifier_udf",
     "agg_hash",
     "agg_rollup",
     "window_frame",

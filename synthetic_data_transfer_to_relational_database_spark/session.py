@@ -32,6 +32,10 @@ def get_spark(app_name: str = "sdt-spark", shuffle_partitions: int | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.maxResultSize", "2g")
+        # When a checkpoint dir is configured (skew.checkpoint_pinned's
+        # reliable mode), GC checkpoint files with their RDDs instead of
+        # accumulating a snapshot per derivation call in shared storage.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

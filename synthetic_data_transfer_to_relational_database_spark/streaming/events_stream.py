@@ -72,17 +72,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source, declared schema).
 
     A file stream's schema is immutable for the stream's lifetime, so the
-    ts layout is sniffed from the file present at start. If the watched
-    directory later receives a file in the OTHER shipped layout:
+    ts layout is sniffed from the file present at start and the
+    normalization is EXACTLY the batch loader's (unconditional
+    ``div 1000`` for ns files) — batch output stays bit-identical ground
+    truth for streaming output for every value, including pre-1973
+    instants. The corollary is that a watched directory must hold ONE
+    layout for the stream's lifetime:
 
     - us-declared stream, NANOS file arrives: Spark 4 refuses to read
       TIMESTAMP(NANOS) into the declared NTZ column — loud failure.
     - ns-declared stream, MICROS file arrives: both annotations are
-      physically INT64, so the raw-long read SUCCEEDS and blind
-      ``div 1000`` would silently shift values 1000×. The normalization
-      below is therefore magnitude-guarded per value: epoch-ns for any
-      post-1973 instant is > 1e17 while epoch-us is < 1e17 until year
-      5138, so each value self-describes its unit.
+      physically INT64, so the raw-long read succeeds and the div-1000
+      produces garbage — NOT detectable in-plan (a magnitude heuristic
+      would instead silently misread legitimate pre-1973 ns values and
+      diverge from batch). Mixed-layout directories are operator error:
+      regenerate the directory in one layout, as with any fixed-schema
+      file stream.
     """
     ts_unit = events_ts_unit(sf_dir)
     if ts_unit == "ns":
@@ -95,14 +100,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if ts_unit == "ns":
-        return raw.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.when(F.col("ts") > F.lit(10**17), F.expr("ts div 1000")).otherwise(
-                    F.col("ts")
-                )
-            ),
-        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

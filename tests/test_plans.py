@@ -150,15 +150,16 @@ def test_simhash_has_single_exchange(spark):
 
 
 def test_token_budget_scalable_has_no_global_window(spark):
-    """The bucketed token-budget variant must never sort globally: every
-    windowspecdefinition carries the __bucket partition column."""
+    """The token-budget variant must never sort globally: its cumsum is
+    ordered_cumsum's range-slice derivation, so every
+    windowspecdefinition carries the __pid slice column."""
     import re
 
     plan = _plan(registry.all_queries()["corpus_token_budget_scalable"](spark, SF_DIR))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, "expected the bucketed cumsum Window"
+    assert specs, "expected the range-slice cumsum Window"
     for spec in specs:
-        assert "__bucket" in spec, f"unpartitioned window: {spec}"
+        assert "__pid" in spec, f"unpartitioned window: {spec}"
 
 
 def test_topk_per_group_gets_partial_window_group_limit(spark):
