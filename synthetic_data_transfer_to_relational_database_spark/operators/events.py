@@ -169,3 +169,75 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type", "island")
         .agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"))
     )
+
+
+@q(
+    "events_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           c.user_id IS NOT NULL AS reached_click,
+           p.user_id IS NOT NULL AS reached_purchase
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user, the
+    first view, the first click AFTER that view, the first purchase AFTER
+    that click, plus stage-reached flags — the product-analytics query
+    every event pipeline serves.
+
+    Shape: one conditional MIN aggregation per stage, each keyed by
+    user_id with the previous stage's timestamp joined in as the lower
+    bound. Every aggregation is map-side-partial friendly and every join
+    is a user_id equi-join over per-user single rows (dimension-sized:
+    broadcastable at any event volume) — no window over a user's full
+    event history, no per-user sort, unlike the sessionize-then-scan
+    formulation."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )

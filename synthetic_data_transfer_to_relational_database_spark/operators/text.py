@@ -615,3 +615,61 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c").cast("double")
         ).alias("dup_word_ratio"),
     )
+
+
+@q(
+    "corpus_diff",
+    sql="""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS dig
+      FROM documents WHERE doc_id % 10 != 0
+    ), b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS dig
+      FROM documents WHERE doc_id % 7 != 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.dig != b.dig
+    """,
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta between two corpus versions — added / removed /
+    changed documents — the primitive every incremental pipeline run
+    starts from (reprocess the delta, not the corpus). The two snapshots
+    are derived deterministically from the documents table (A drops
+    doc_id%10==0, B drops doc_id%7==0 and edits doc_id%13==0) so the
+    oracle sees identical inputs.
+
+    Scale shape: each side reduces to (doc_id, 32-byte md5) map-side, so
+    the full-outer join — the only shuffle — carries digests, never
+    documents; 'changed' is a digest comparison. At 100 TB both
+    snapshots' digest frames come straight off parquet scans and the
+    join is one digest-keyed sort-merge; content bytes move zero times."""
+    d = table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("dig_a")
+    )
+    b_text = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(b_text.cast("binary")).alias("dig_b")
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("dig_a").isNull(), F.lit("added"))
+        .when(F.col("dig_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("dig_a").isNull()
+            | F.col("dig_b").isNull()
+            | (F.col("dig_a") != F.col("dig_b"))
+        )
+        .select("doc_id", status.alias("status"))
+    )

@@ -38,14 +38,14 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Window contents (this order):
-#   1) every query with NO driver evidence yet — the 20 entries added in
+#   1) every query with NO driver evidence yet — the 22 entries added in
 #      late r2 / r3 (streaming, corpus curation, PII/TF-IDF/contamination,
 #      salted join, stratified sample, dynamic batching, frame sampling,
 #      generator demo, approx percentile, scalable centroid, sequence
-#      packing, repetition signals);
+#      packing, repetition signals, snapshot diff, conversion funnel);
 #   2) the 18 queries whose only green row is from round 1 (the r2 window
 #      rotation left them out);
-#   3) 12 r2-green sentinels: every query whose implementation or oracle
+#   3) 10 r2-green sentinels: every query whose implementation or oracle
 #      changed this round (dedup_cluster, dedup_embedding, fk_sample_join
 #      via the executor, sim_centroid_by_label as the new twin's exact
 #      pair, window_rank's cost-based dispatch, sim_classifier_udf's
@@ -77,6 +77,8 @@ _SWEEP_FIRST = [
     "sim_centroid_scalable",
     "corpus_pack_sequences",
     "text_repetition",
+    "corpus_diff",
+    "events_funnel",
     # -- 2) green in round 1 only -------------------------------------
     "scalar_string",
     "scalar_date",
@@ -102,8 +104,6 @@ _SWEEP_FIRST = [
     "sim_centroid_by_label",
     "fk_sample_join",
     "sim_classifier_udf",
-    "agg_hash",
-    "agg_rollup",
     "window_frame",
     "events_session",
     "dedup_minhash_lsh",
