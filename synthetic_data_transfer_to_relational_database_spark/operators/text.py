@@ -650,25 +650,31 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots' digest frames come straight off parquet scans and the
     join is one digest-keyed sort-merge; content bytes move zero times."""
     d = table(spark, sf_dir, "documents")
+    # presence markers, not digest nullability: a row with NULL text is
+    # still PRESENT in its snapshot (the oracle keys presence on doc_id)
     a = d.filter(F.col("doc_id") % 10 != 0).select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("dig_a")
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("dig_a"),
+        F.lit(True).alias("in_a"),
     )
     b_text = F.when(
         F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
     ).otherwise(F.col("text"))
     b = d.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", F.md5(b_text.cast("binary")).alias("dig_b")
+        "doc_id",
+        F.md5(b_text.cast("binary")).alias("dig_b"),
+        F.lit(True).alias("in_b"),
     )
     j = a.join(b, "doc_id", "full_outer")
     status = (
-        F.when(F.col("dig_a").isNull(), F.lit("added"))
-        .when(F.col("dig_b").isNull(), F.lit("removed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
         .otherwise(F.lit("changed"))
     )
     return (
         j.filter(
-            F.col("dig_a").isNull()
-            | F.col("dig_b").isNull()
+            F.col("in_a").isNull()
+            | F.col("in_b").isNull()
             | (F.col("dig_a") != F.col("dig_b"))
         )
         .select("doc_id", status.alias("status"))
