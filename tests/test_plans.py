@@ -223,3 +223,17 @@ def test_rank_dispatch_is_cost_based(spark):
         assert "__pid" in big
     finally:
         spark.conf.unset("spark.sdt.rank.smallInputBytes")
+
+
+def test_corpus_diff_shuffles_digests_not_text(spark):
+    """corpus_diff's contract: the full-outer join's exchanges carry
+    (doc_id, 32-byte md5, marker) — the digest Project must sit BELOW
+    every Exchange, so document bytes never shuffle."""
+    df = registry.all_queries()["corpus_diff"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exchanges = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert exchanges, "expected shuffle exchanges for the full-outer join"
+    for i in exchanges:
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert "md5(" in below, f"digest not computed below exchange:\n{below}"
