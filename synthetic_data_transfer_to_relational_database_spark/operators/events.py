@@ -205,10 +205,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one conditional MIN aggregation per stage, each keyed by
     user_id with the previous stage's timestamp joined in as the lower
     bound. Every aggregation is map-side-partial friendly and every join
-    is a user_id equi-join over per-user single rows (dimension-sized:
-    broadcastable at any event volume) — no window over a user's full
-    event history, no per-user sort, unlike the sessionize-then-scan
-    formulation."""
+    is a user_id equi-join over per-user SINGLE rows — the stage frames
+    are user-cardinality-sized (billions of users ⇒ a user_id-keyed
+    shuffle join; AQE broadcasts them only when the population is small)
+    but never event-cardinality-sized, and there is no window over a
+    user's full event history and no per-user sort, unlike the
+    sessionize-then-scan formulation."""
     e = table(spark, sf_dir, "events")
     v = (
         e.filter(F.col("event_type") == "view")

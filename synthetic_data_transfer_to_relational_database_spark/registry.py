@@ -53,7 +53,7 @@ _MODULES = [
 #      smoke-runs revenue_by_nation every round regardless, so it cedes
 #      its window slot.
 # Everything past position 50 is r1∪r2-green and unchanged this round.
-# All 74 oracle-paired queries are locally strict-green via
+# All 76 oracle-paired queries are locally strict-green via
 # tools/driver_sim.py regardless of window position.
 _SWEEP_FIRST = [
     # -- 1) no driver evidence yet ------------------------------------
