@@ -489,16 +489,20 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → exact dedup (deterministic survivor) → stratified sample —
     proving the operator set chains without materialization barriers:
     Catalyst fuses the filter into the scan, the dedup is the only
-    shuffle (keyed on text; at 100 TB switch the key to md5(text) so
-    only digests shuffle — see dedup_exact's scale note), and the sample
-    predicate is map-side again."""
+    shuffle and is keyed on md5(text) — the output carries no text, so
+    only 32-byte digests + metadata cross the wire at any scale — and
+    the sample predicate is map-side again."""
     d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     alpha_ratio = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.length("text")
     quality = d.select(
         "doc_id", "text", "lang", n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio")
     ).filter((F.col("n_tokens").between(5, 500)) & (F.col("alpha_ratio") >= 0.7))
-    survivors = quality.groupBy("text").agg(
+    # group on the digest, not the text: the output carries no text, so
+    # the dedup shuffle only needs the 32-byte md5 key + metadata — the
+    # oracle's GROUP BY text partitions the rows identically (md5
+    # collisions aside, probability ~2^-128)
+    survivors = quality.groupBy(F.md5(F.col("text").cast("binary")).alias("__dig")).agg(
         F.min("doc_id").alias("doc_id"),
         F.min("lang").alias("lang"),
         F.min("n_tokens").alias("n_tokens"),
