@@ -123,3 +123,32 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_completion(deduped, "append")
+
+
+_INTERVAL_JOIN_SQL = """
+    SELECT c.user_id AS c_user,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           v.event_id AS view_id,
+           v.ts AS view_ts
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL 30 MINUTE
+"""
+
+
+@q("stream_interval_join", sql=_INTERVAL_JOIN_SQL)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x preceding views per user,
+    30-min bound), both sides watermarked so Spark can EVICT join state
+    older than (watermark - bound) — without the event-time range
+    condition the buffers grow forever and append mode rejects the join.
+    The batch twin is the relational range-join family; the run-to-
+    completion result matches the batch range-join oracle row-for-row."""
+    from ..streaming.joins import clicks_views_within
+
+    return run_to_completion(
+        clicks_views_within(stream_events(spark, sf_dir), minutes=30), "append"
+    )

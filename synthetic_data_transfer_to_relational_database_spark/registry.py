@@ -38,14 +38,15 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Window contents (this order):
-#   1) every query with NO driver evidence yet — the 22 entries added in
-#      late r2 / r3 (streaming, corpus curation, PII/TF-IDF/contamination,
-#      salted join, stratified sample, dynamic batching, frame sampling,
-#      generator demo, approx percentile, scalable centroid, sequence
-#      packing, repetition signals, snapshot diff, conversion funnel);
+#   1) every query with NO driver evidence yet — the 23 entries added in
+#      late r2 / r3 (streaming incl. the stream-stream interval join,
+#      corpus curation, PII/TF-IDF/contamination, salted join, stratified
+#      sample, dynamic batching, frame sampling, generator demo, approx
+#      percentile, scalable centroid, sequence packing, repetition
+#      signals, snapshot diff, conversion funnel);
 #   2) the 18 queries whose only green row is from round 1 (the r2 window
 #      rotation left them out);
-#   3) 10 r2-green sentinels: every query whose implementation or oracle
+#   3) 9 r2-green sentinels: every query whose implementation or oracle
 #      changed this round (dedup_cluster, dedup_embedding, fk_sample_join
 #      via the executor, sim_centroid_by_label as the new twin's exact
 #      pair, window_rank's cost-based dispatch, sim_classifier_udf's
@@ -53,7 +54,7 @@ _MODULES = [
 #      smoke-runs revenue_by_nation every round regardless, so it cedes
 #      its window slot.
 # Everything past position 50 is r1∪r2-green and unchanged this round.
-# All 76 oracle-paired queries are locally strict-green via
+# All 77 oracle-paired queries are locally strict-green via
 # tools/driver_sim.py regardless of window position.
 _SWEEP_FIRST = [
     # -- 1) no driver evidence yet ------------------------------------
@@ -62,6 +63,7 @@ _SWEEP_FIRST = [
     "stream_session",
     "stream_dedup",
     "stream_user_profile",
+    "stream_interval_join",
     "corpus_mixture",
     "corpus_token_budget_scalable",
     "corpus_curation_pipeline",
@@ -107,7 +109,6 @@ _SWEEP_FIRST = [
     "window_frame",
     "events_session",
     "dedup_minhash_lsh",
-    "sim_search",
     "window_rank",
 ]
 
