@@ -360,3 +360,29 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir_mid):
                 f"{flag} {col}: rank [{lo},{hi - 1}] vs target {target:.0f} ± {tol:.0f}"
             )
         assert got[flag]["n"] == n
+
+
+def test_connected_components_under_reliable_checkpoint(spark, tmp_path):
+    """The contraction loop's per-round lineage cut switches to RELIABLE
+    checkpoints when a checkpoint dir is configured (the cluster
+    setting): the persist -> eager checkpoint -> unpersist path must
+    produce the same labels as localCheckpoint mode, with checkpoint
+    files actually written."""
+    import os
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(90, 91), (91, 92)],
+        "src long, dst long",
+    )
+    baseline = {r["node"]: r["label"] for r in dedup.connected_components(edges).collect()}
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        reliable = {
+            r["node"]: r["label"] for r in dedup.connected_components(edges).collect()
+        }
+        assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files"
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert reliable == baseline
