@@ -189,7 +189,7 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes.alias("n_bytes"),
         F.floor(n_bytes / 256).cast("long").alias("size_bucket"),
     )
-    if small_rank_input(media):
+    if small_rank_input(media, cache_key=("multimodal_dyn_batch", sf_dir)):
         w_seq = Window.partitionBy("size_bucket").orderBy("n_bytes", "doc_id")
         seq = media.withColumn("rn", F.row_number().over(w_seq))
     else:

@@ -9,8 +9,10 @@ DataFrame plans so Catalyst picks physical strategies (broadcast vs
 sort-merge, partial aggregation, AQE skew handling).
 
 Scale notes (100 TB):
-- dimension joins (`nation`, `region`, filtered `customer`) are explicitly
-  broadcast — no shuffle of the fact side;
+- fixed-cardinality dimension joins (`nation`, `region`) are explicitly
+  broadcast — no shuffle of the fact side; SF-scaled tables (`customer`,
+  `orders`, …) are never hinted — AQE's runtime conversion broadcasts
+  them only when their actual size allows;
 - every aggregate is expressed so map-side partial aggregation applies
   (no distinct-on-top-of-distinct shapes);
 - sorts are only global where the result is provably small (top-k after
@@ -70,7 +72,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer carries NO broadcast hint: it scales with SF (~1/7 of
+        # orders' cardinality — billions of rows at 100 TB), so a forced
+        # broadcast is a driver/executor OOM at scale. AQE converts the
+        # join to broadcast at runtime whenever customer is actually
+        # small. Only fixed-cardinality dims (nation: 25 rows) are hinted.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -426,7 +433,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .skew import small_rank_input
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    if small_rank_input(c):
+    if small_rank_input(c, cache_key=("window_rank", sf_dir)):
         return window_rank_naive(spark, sf_dir)
     return window_rank_scalable(spark, sf_dir)
 

@@ -239,7 +239,7 @@ def window_ranks_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
     from .skew import group_distribution_ranks, small_rank_input
 
-    if small_rank_input(proj):
+    if small_rank_input(proj, cache_key=("window_ranks_pct", sf_dir)):
         w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
         n = F.count("*").over(Window.partitionBy("o_orderpriority"))
         return proj.select(

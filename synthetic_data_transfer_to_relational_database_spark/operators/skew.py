@@ -15,8 +15,12 @@ side inflates n× — use only when dim ≪ fact (the usual skew shape).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def estimated_plan_bytes(df: DataFrame) -> int:
@@ -27,14 +31,30 @@ def estimated_plan_bytes(df: DataFrame) -> int:
     physical selection (e.g. ``relational.window_rank``): exact numbers
     don't matter, only the orders-of-magnitude split between "fits one
     task" and "needs the distributed derivation". Unknown ⇒ assume huge,
-    the scale-safe default."""
+    the scale-safe default — but logged: a PERMANENTLY failing estimate
+    (an internal-API break) would otherwise silently force every
+    dispatch site onto the expensive scalable branch with no signal."""
     try:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # pragma: no cover - py4j access is best-effort
+        _LOG.warning(
+            "estimated_plan_bytes: Catalyst size estimate unavailable; "
+            "assuming huge (dispatch falls back to the scalable branch)",
+            exc_info=True,
+        )
         return 1 << 62
 
 
-def small_rank_input(df: DataFrame) -> bool:
+# Dispatch verdicts keyed on (caller-supplied input identity, threshold).
+# The estimate is a py4j optimizedPlan().stats() round trip (~0.1 s);
+# uncached it is paid on EVERY query construction — the r3 bench charged
+# window_rank +74% for exactly this. Entries are (name, sf_dir, conf)
+# tuples over immutable testdata files, so the cache stays tiny and
+# cannot go stale; a changed threshold conf is a different key.
+_DISPATCH_CACHE: dict[tuple, bool] = {}
+
+
+def small_rank_input(df: DataFrame, cache_key: tuple | None = None) -> bool:
     """The cost-based rank dispatch shared by ``window_rank`` /
     ``window_ranks_pct`` / ``multimodal_dyn_batch``: True when Catalyst's
     optimized-plan size estimate is below
@@ -42,11 +62,22 @@ def small_rank_input(df: DataFrame) -> bool:
     one-window plan wins (even a single-task sort of ≤ 1 GiB is a normal
     task, and the range-slice derivation's fixed jobs would dominate);
     above it the derivation amortizes. One definition so the conf name,
-    default, and comparison cannot drift between dispatch sites."""
+    default, and comparison cannot drift between dispatch sites.
+
+    ``cache_key`` (optional): identity of the INPUT, supplied by callers
+    whose input is a pure projection of an immutable source (the three
+    dispatch sites pass (query-name, sf_dir)). The verdict is memoized
+    per (cache_key, threshold) so repeated query construction pays the
+    plan-stats round trip once, not per call."""
     threshold = int(
         df.sparkSession.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30))
     )
-    return estimated_plan_bytes(df) <= threshold
+    if cache_key is None:
+        return estimated_plan_bytes(df) <= threshold
+    k = (*cache_key, threshold)
+    if k not in _DISPATCH_CACHE:
+        _DISPATCH_CACHE[k] = estimated_plan_bytes(df) <= threshold
+    return _DISPATCH_CACHE[k]
 
 
 def salted_join(
@@ -133,10 +164,30 @@ def ordered_cumsum(
     ``order_cols`` must form a TOTAL order (include a unique tiebreaker):
     with ties unbroken the running sum at tied rows is engine-dependent.
     NULL values in ``value_col`` contribute 0 (SQL SUM semantics).
+
+    ``value_col`` must be INTEGRAL (byte/short/int/long): the per-slice
+    offsets are accumulated driver-side and re-broadcast, which is exact
+    for integers but would silently reorder float rounding — and the
+    long output cast would truncate fractional sums. Raises TypeError
+    rather than guessing for fractional inputs.
     Appends ``out_col`` (long) to ``df``'s columns."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
     from pyspark.sql.window import Window
 
+    vt = df.schema[value_col].dataType
+    if not isinstance(vt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"ordered_cumsum requires an integral value column; got {value_col}: "
+            f"{vt.simpleString()} (fractional prefix sums are order-dependent — "
+            "scale to integer units, e.g. cents, first)"
+        )
     spark = df.sparkSession
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]

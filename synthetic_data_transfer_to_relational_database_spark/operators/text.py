@@ -442,16 +442,23 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer product and one IEEE division are bit-identical cross-engine.
     Shape: word-count aggregation, a token-keyed join of tf against df
     (both partial-agg friendly), top-1 window per doc. At 100 TB the df
-    side is vocabulary-sized — broadcast below ~100M distinct tokens."""
+    side is vocabulary-sized — broadcast below ~100M distinct tokens.
+    N is a LAZY one-row aggregate cross-joined in (exactly the oracle's
+    ``CROSS JOIN n``) — no eager driver-side count() at plan time, one
+    job per invocation instead of two."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(df_, "token").select(
-        "doc_id",
-        "token",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
     return (

@@ -68,8 +68,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         if events_ts_unit(sf_dir) == "ns":
+            # The legacy conf is consulted at READ/RESOLUTION time only
+            # (the relation's schema is fixed once resolved; later
+            # actions do not re-check it — verified by the layout
+            # tests), so it is scoped to this call and restored: left
+            # set session-wide it would silently read any OTHER nanos
+            # parquet in the session as longs.
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            try:
+                df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -68,6 +68,29 @@ def _events_schema(ts_unit: str) -> StructType:
 _SINK_IDS = itertools.count()
 
 
+def _assert_uniform_ts_unit(sf_dir: str, expected: str) -> None:
+    """Startup guard for the mixed-annotation hazard documented in
+    ``stream_events``: every parquet file in the watched directory whose
+    name could ever match the events glob must carry the SAME ts
+    annotation as the sniffed one. Raises instead of letting an
+    ns-declared stream silently div-1000 a MICROS file."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    for p in sorted(_glob.glob(_os.path.join(sf_dir, "events*.parquet"))):
+        field = pq.read_schema(p).field("ts")
+        unit = getattr(field.type, "unit", "us")
+        if unit != expected:
+            raise ValueError(
+                f"mixed events ts annotations in {sf_dir}: {p} is "
+                f"TIMESTAMP({unit.upper()}) but the stream was declared "
+                f"for {expected.upper()} — regenerate the directory in "
+                "one layout (fixed-schema file streams cannot mix them)"
+            )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source, declared schema).
 
@@ -87,9 +110,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       would instead silently misread legitimate pre-1973 ns values and
       diverge from batch). Mixed-layout directories are operator error:
       regenerate the directory in one layout, as with any fixed-schema
-      file stream.
+      file stream. Two mitigations: the glob filter pins the stream to
+      the single file name ``events.parquet`` (a second, differently-
+      annotated file can never match), and ``_assert_uniform_ts_unit``
+      fails construction LOUDLY if the directory already holds
+      mixed-annotation events files — so the silent path requires
+      replacing the file in place mid-stream.
+
+    The legacy nanosAsLong conf is set session-wide here (NOT scoped like
+    the batch loader's): a file stream re-resolves parquet footers at
+    every micro-batch, so the conf must outlive this call for the
+    stream's lifetime.
     """
     ts_unit = events_ts_unit(sf_dir)
+    _assert_uniform_ts_unit(sf_dir, ts_unit)
     if ts_unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File streams take a DIRECTORY (they watch it for new files); select

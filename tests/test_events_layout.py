@@ -72,8 +72,52 @@ def test_both_layouts_normalize_identically(spark, tmp_path, ts_unit):
     assert got == want
 
 
-def test_shipped_testdata_loads(spark):
+def test_nanos_conf_scoped_to_the_read(spark, tmp_path):
+    """The legacy nanosAsLong conf must be restored right after the
+    events read (a session-global leftover would silently read any later
+    nanos parquet as longs) — while the already-resolved relation still
+    executes correctly afterwards."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, None) is not None:  # a streaming test may have set it
+        spark.conf.unset(key)
+    d = _write_events(tmp_path, "ns")
+    df = table(spark, d, "events")
+    assert spark.conf.get(key, None) is None
+    got = {r["event_id"]: r["ts"] for r in df.collect()}
+    want = {
+        r[0]: datetime.datetime.fromtimestamp(r[1] / 1e6, tz=datetime.timezone.utc).replace(tzinfo=None)
+        for r in _ROWS
+    }
+    assert got == want
+
+
+def test_stream_rejects_mixed_annotations(tmp_path):
+    """A directory holding events files with different ts annotations must
+    fail stream construction loudly (the ns-declared + MICROS-file case
+    is otherwise silent garbage — see events_stream.stream_events)."""
+    import pathlib
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.events_stream import (
+        _assert_uniform_ts_unit,
+    )
+
+    d = pathlib.Path(_write_events(tmp_path, "us"))
+    ts_arr = pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))
+    pq.write_table(
+        pa.table({"event_id": pa.array([9], pa.int64()), "ts": ts_arr}),
+        d / "events_late.parquet",
+        store_schema=False,
+    )
+    with pytest.raises(ValueError, match="mixed events ts annotations"):
+        _assert_uniform_ts_unit(str(d), "us")
+
+
+def test_shipped_testdata_loads(spark, sf_dir):
     """Whatever layout the current testdata uses, the loader reads it."""
-    df = table(spark, "/root/testdata/sf0.001", "events")
+    import os
+
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        pytest.skip(f"no shipped testdata at {sf_dir}")
+    df = table(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.limit(1).count() == 1

@@ -15,8 +15,10 @@ from synthetic_data_transfer_to_relational_database_spark import registry
 SF_DIR = "/root/testdata/sf0.001"
 
 # deliberate non-equi plans where a nested-loop side is broadcast by design
-# (the 10-row query side of the ANN scans; rag_retrieve embeds sim_search)
-_BNLJ_OK = {"sim_search", "sim_search_lsh", "rag_retrieve"}
+# (the 10-row query side of the ANN scans; rag_retrieve embeds sim_search;
+# text_tfidf_top cross-joins a ONE-row corpus-count aggregate — the lazy
+# form of the oracle's CROSS JOIN n)
+_BNLJ_OK = {"sim_search", "sim_search_lsh", "rag_retrieve", "text_tfidf_top"}
 
 
 def _plan(df) -> str:
@@ -27,7 +29,8 @@ def _plan(df) -> str:
 
 
 def test_flagship_pushdown_pruning_broadcast(spark):
-    plan = _plan(registry.all_queries()["revenue_by_nation"](spark, SF_DIR))
+    df = registry.all_queries()["revenue_by_nation"](spark, SF_DIR)
+    plan = _plan(df)
     # date-range filter reaches the parquet scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
     # column pruning: lineitem scan reads 4 columns, not 16
@@ -35,6 +38,16 @@ def test_flagship_pushdown_pruning_broadcast(spark):
     # dims broadcast, fact never does
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan or "AdaptiveSparkPlan" in plan
+    # plan-time broadcast HINTS only on fixed-cardinality dims: exactly
+    # one ResolvedHint in the analyzed plan and it covers the 25-row
+    # nation scan. customer scales with SF — hinting it is a driver OOM
+    # at 100 TB; AQE's runtime conversion broadcasts it when (and only
+    # when) it is actually small.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+    hinted_relation = analyzed.split("ResolvedHint", 1)[1].splitlines()[1]
+    assert "n_nationkey" in hinted_relation, hinted_relation
+    assert "c_custkey" not in hinted_relation
 
 
 def test_no_accidental_cartesian_products(spark):
