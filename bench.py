@@ -3,6 +3,19 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
+Methodology (two layers, both recorded so rounds stay comparable):
+
+- per query, best-of-2 materializations WITHIN a JVM — a co-tenant CPU
+  spike during a single pass otherwise inflates the number by 30%+
+  (observed); the first pass is also kept so single-pass rounds (r1)
+  remain comparable.
+- TWO independent JVM samples (subprocess invocations of this script) —
+  one sample per round cannot separate co-tenant noise from a real
+  regression (the r3 verdict's +12-27% on unchanged queries was
+  unadjudicable for exactly this reason). The reported per-query number
+  is the min across samples; both full samples ride along under
+  "samples".
+
 Each query is fully materialized through the `noop` datasource sink so the
 timing covers the whole plan (scan → shuffle → sink), not a count()
 shortcut that lets Spark prune columns. One warm-up run of the flagship
@@ -13,13 +26,11 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from synthetic_data_transfer_to_relational_database_spark import registry
-from synthetic_data_transfer_to_relational_database_spark.session import get_spark
 
 # Headline set: one per operator family, heaviest members preferred.
 HEADLINE = [
@@ -28,7 +39,7 @@ HEADLINE = [
     "join_range",          # non-equi theta join
     "agg_hash",            # hash aggregate
     "agg_rollup",          # hierarchical agg
-    "window_rank",         # window exec
+    "window_rank",         # window exec (cost-based dispatch: naive branch here)
     "topk_per_group",      # rank-filter top-k
     "sort_limit",          # global sort + limit
     "scalar_json",         # JSON parse over events
@@ -39,6 +50,13 @@ HEADLINE = [
     "dedup_minhash_lsh",   # MinHash LSH near-dup
     "sim_search",          # brute-force top-k cosine
 ]
+
+# The range-slice rank machinery never crosses its 1 GiB dispatch
+# threshold at sf0.1, so its constant factors would go untimed; this
+# entry forces window_rank onto the scalable branch (threshold 0) so the
+# distributed derivation is tracked round-over-round. Excluded from the
+# r3-comparable total (it did not exist then).
+FORCED_SCALABLE = "window_rank_scalable_forced"
 
 
 def _materialize(df) -> None:
@@ -91,19 +109,17 @@ def _gen_1m(spark):
     _materialize(built["Hareket"])
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run_sample(sf_dir: str) -> dict:
+    """One JVM sample: best-of-2 per headline query."""
+    from synthetic_data_transfer_to_relational_database_spark import registry
+    from synthetic_data_transfer_to_relational_database_spark.session import get_spark
+
     spark = get_spark("sdt-bench")
     queries = registry.all_queries()
 
     # Warm-up: JVM JIT, codegen cache, parquet footer reads.
     _materialize(queries["revenue_by_nation"](spark, sf_dir))
 
-    # best-of-2 per query: a co-tenant CPU spike during a single pass
-    # otherwise inflates the recorded number by 30%+ (observed); min of
-    # two materializations reports the machine, not the neighbor. The
-    # FIRST pass is also recorded separately so rounds measured
-    # single-pass (r1) stay comparable without re-benchmarking.
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
 
@@ -123,23 +139,80 @@ def main() -> None:
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
 
-    total = round(sum(timings.values()), 3)
+    # Forced-scalable branch: threshold 0 routes window_rank through the
+    # range-slice derivation (the dispatch cache keys on the threshold,
+    # so this does not poison the naive-branch entry above).
+    spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
+    try:
+        fn = queries["window_rank"]
+        run_best_of_2(FORCED_SCALABLE, lambda: _materialize(fn(spark, sf_dir)))
+    finally:
+        spark.conf.unset("spark.sdt.rank.smallInputBytes")
+
+    spark.stop()
+    comparable = [k for k in timings if k != FORCED_SCALABLE]
+    return {
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "total_r3_comparable": round(sum(timings[k] for k in comparable), 3),
+        "single_pass_total": round(sum(first_pass.values()), 3),
+        "queries_single_pass": first_pass,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if os.environ.get("SDT_BENCH_CHILD"):
+        print(json.dumps(run_sample(sf_dir)))
+        return
+
+    samples: list[dict] = []
+    for i in range(2):
+        env = dict(os.environ, SDT_BENCH_CHILD="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            samples.append(json.loads(line))
+        else:
+            print(
+                f"bench sample {i} failed (rc={proc.returncode}):\n"
+                + proc.stderr[-2000:],
+                file=sys.stderr,
+            )
+    if not samples:
+        # last resort: one in-process sample so the driver still gets a line
+        samples = [run_sample(sf_dir)]
+
+    # per-query min across JVM samples: reports the machine, not the neighbor
+    names = list(samples[0]["queries"])
+    queries = {
+        n: min(s["queries"][n] for s in samples if n in s["queries"]) for n in names
+    }
+    comparable = [n for n in names if n != FORCED_SCALABLE]
+    total = round(sum(queries.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "method": "best_of_2",
-                "single_pass_total": round(sum(first_pass.values()), 3),
-                "queries_single_pass": first_pass,
+                "queries": queries,
+                "method": f"best_of_2_x{len(samples)}jvm",
+                "total_r3_comparable": round(sum(queries[n] for n in comparable), 3),
+                "samples": samples,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
