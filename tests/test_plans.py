@@ -238,6 +238,55 @@ def test_rank_dispatch_is_cost_based(spark):
         spark.conf.unset("spark.sdt.rank.smallInputBytes")
 
 
+def test_tfidf_construction_runs_no_job(spark):
+    """text_tfidf_top's corpus count must be a lazy 1-row aggregate in
+    the plan (the oracle's CROSS JOIN n), not an eager d.count() — an
+    eager count is one extra full-scan job per invocation and a
+    plan-construction side effect no other query has.
+
+    ``spark.read.parquet`` legitimately runs a tiny footer-inference job
+    (stage name "parquet at ...") per construction; the probe therefore
+    only rejects DATA jobs — any stage that is not a footer read (an
+    eager count shows up as a "count at ..." stage)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("tfidf-plan-probe", "construction must be lazy")
+    try:
+        registry.all_queries()["text_tfidf_top"](spark, SF_DIR)
+        jobs = tracker.getJobIdsForGroup("tfidf-plan-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    data_stages = [
+        tracker.getStageInfo(s).name
+        for j in jobs
+        for s in tracker.getJobInfo(j).stageIds
+        if tracker.getStageInfo(s) is not None
+        and not tracker.getStageInfo(s).name.startswith("parquet at")
+    ]
+    assert data_stages == [], f"query construction ran data jobs: {data_stages}"
+
+
+def test_rank_dispatch_verdict_is_cached(spark, monkeypatch):
+    """Constructing window_rank twice must pay the optimizedPlan().stats()
+    round trip once per (input, threshold) — the uncached per-call probe
+    was the r3 bench's +74% window_rank regression."""
+    from synthetic_data_transfer_to_relational_database_spark.operators import skew
+
+    calls = {"n": 0}
+    real = skew.estimated_plan_bytes
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(skew, "estimated_plan_bytes", counting)
+    skew._DISPATCH_CACHE.clear()
+    q = registry.all_queries()["window_rank"]
+    q(spark, SF_DIR)
+    q(spark, SF_DIR)
+    assert calls["n"] == 1
+
+
 def test_corpus_diff_shuffles_digests_not_text(spark):
     """corpus_diff's contract: the full-outer join's exchanges carry
     (doc_id, 32-byte md5, marker) — the digest Project must sit BELOW
