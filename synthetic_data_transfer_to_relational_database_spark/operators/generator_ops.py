@@ -27,12 +27,19 @@ def fk_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per generated row with its sampled key and the joined
     parent name — count == generated rows and zero null n_name proves
     referential integrity held.
+
+    The parent cardinality enters the plan as a LAZY 1-row broadcast
+    aggregate (no eager count() job at query construction — the same
+    rule as text_tfidf_top's corpus count), so at scale the parent scan
+    runs once inside the single job instead of once per construction.
     """
     nation = table(spark, sf_dir, "nation")
-    n_parent = nation.count()
+    n = nation.agg(F.count(F.lit(1)).alias("__n_parent"))
     ids = spark.range(0, 2000).withColumnRenamed("id", "__id")
-    pick = F.pmod(F.xxhash64(F.col("__id"), F.lit(42), F.lit("fact.nationkey")), F.lit(n_parent))
-    fact = ids.select(
+    pick = F.pmod(
+        F.xxhash64(F.col("__id"), F.lit(42), F.lit("fact.nationkey")), F.col("__n_parent")
+    )
+    fact = ids.crossJoin(F.broadcast(n)).select(
         F.col("__id").alias("fact_id"),
         pick.cast("int").alias("n_nationkey"),
         F.round(

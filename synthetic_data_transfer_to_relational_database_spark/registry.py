@@ -48,13 +48,15 @@ _MODULES = [
 #   2) 11 r3-green sentinels re-swept because code changed under them
 #      this round: the rank-dispatch verdict is now cached per
 #      (input, threshold) (window_rank / window_ranks_pct /
-#      multimodal_dyn_batch), text_tfidf_top's corpus count went lazy
-#      (crossJoin of a 1-row aggregate), ordered_cumsum grew an
-#      integral-type gate (corpus_token_budget_scalable /
-#      corpus_pack_sequences), and every other events/stream reader sits
-#      on the scoped-conf loading path (events_session, events_funnel,
-#      events_gap_islands, scalar_json, stream_tumbling as the streaming
-#      representative — its source adds the mixed-annotation guard).
+#      multimodal_dyn_batch), text_tfidf_top's and fk_sample_join's
+#      eager counts went lazy (crossJoin of a 1-row aggregate),
+#      ordered_cumsum grew an integral-type gate
+#      (corpus_token_budget_scalable / corpus_pack_sequences), and the
+#      events/stream readers sit on the scoped-conf loading path
+#      (events_session, events_funnel, scalar_json, stream_tumbling as
+#      the streaming representative — its source adds the
+#      mixed-annotation guard; events_gap_islands cedes its slot: five
+#      other window entries already validate the same loading path).
 # Everything past position 50 is r3-green and unchanged this round; with
 # this window every key in the catalog has ≤1-round-old evidence after
 # the r4 sweep. All oracle-paired queries are locally strict-green via
@@ -109,7 +111,7 @@ _SWEEP_FIRST = [
     "corpus_pack_sequences",
     "events_session",
     "events_funnel",
-    "events_gap_islands",
+    "fk_sample_join",
     "scalar_json",
     "stream_tumbling",
 ]
