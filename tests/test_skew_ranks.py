@@ -322,6 +322,19 @@ def test_ordered_cumsum_matches_naive_window(spark, n_parts):
     assert got == want
 
 
+def test_ordered_cumsum_rejects_fractional_values(spark):
+    """The driver-side offset accumulation is only exact for integers; a
+    double value column must fail loudly at plan time, not silently
+    truncate through the long output cast."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+        ordered_cumsum,
+    )
+
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, v double")
+    with pytest.raises(TypeError, match="integral value column"):
+        ordered_cumsum(df, ["k"], "v")
+
+
 def test_ordered_cumsum_plan_has_no_global_window(spark):
     """The reason the primitive exists: no unpartitioned window anywhere —
     every windowspecdefinition is keyed by the range-slice id."""
