@@ -243,3 +243,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+@q(
+    "events_retention_cohorts",
+    sql="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+    )
+    SELECT CAST(to_timestamp(cohort_wk * 604800) AS TIMESTAMP) AS cohort_week,
+           wk - cohort_wk AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST active week,
+    counted in every later week they return — the per-cohort retention
+    curve every activity dashboard is built on (new in round 4; the
+    reference has no aggregation surface at all, SURVEY.md §2.2).
+
+    Week buckets are epoch-seconds floor-division (the module's
+    calendar-free convention — identical arithmetic on both engines),
+    not date_trunc.
+
+    Scale notes: `activity` is one distinct shuffle keyed (user_id, wk)
+    — bounded by users × active weeks, with map-side partial dedup;
+    `firsts` is a partial-agg min over it keyed user_id; the join is a
+    user_id equi-join of two user-cardinality frames (AQE broadcasts
+    `firsts` only when the population is small); the final groupBy is
+    (cohorts × offsets)-sized — tiny. No windows, no per-user sort, no
+    event-cardinality shuffle beyond the first distinct."""
+    e = table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    activity = e.select("user_id", wk.alias("wk")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.timestamp_seconds(F.col("cohort_wk") * 604800).alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )

@@ -690,3 +690,56 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", status.alias("status"))
     )
+
+
+@q(
+    "corpus_quantile_filter",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, lang, n_tokens, pr
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens, doc_id) AS pr
+      FROM scored) t
+    WHERE pr >= 0.8
+    """,
+)
+def corpus_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile cut: keep each language's top 20% of
+    documents by score (token count here; any integral score plugs in) —
+    the curation step that applies per-stratum thresholds instead of one
+    global cutoff, so low-resource languages aren't wiped out by a
+    global quantile (new in round 4).
+
+    The percentile is exact, not sketched: pr = (rank-1)/(n-1) with a
+    doc_id tiebreaker (total order ⇒ rank == row_number on both
+    engines), so the selected set is deterministic.
+
+    Physical selection reuses the shared cost-based rank dispatch
+    (`skew.small_rank_input`): `lang` is a LOW-cardinality partition
+    key, so above the size threshold the one-window plan would funnel
+    each language through one task — there the percent_rank comes from
+    `skew.group_distribution_ranks`' range-slice derivation instead
+    (bit-equal: both compute (rank-1)/(n-1) as one IEEE division)."""
+    from .skew import group_distribution_ranks, small_rank_input
+
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    if small_rank_input(scored, cache_key=("corpus_quantile_filter", sf_dir)):
+        w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+        ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    else:
+        ranked = group_distribution_ranks(
+            scored, "lang", [F.col("n_tokens"), F.col("doc_id")]
+        ).select("doc_id", "lang", "n_tokens", F.col("__pct_rank").alias("pr"))
+    return ranked.filter(F.col("pr") >= 0.8).select("doc_id", "lang", "n_tokens", "pr")

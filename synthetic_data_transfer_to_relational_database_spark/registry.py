@@ -57,10 +57,14 @@ _MODULES = [
 #      the streaming representative — its source adds the
 #      mixed-annotation guard; events_gap_islands cedes its slot: five
 #      other window entries already validate the same loading path).
-# Everything past position 50 is r3-green and unchanged this round; with
-# this window every key in the catalog has ≤1-round-old evidence after
-# the r4 sweep. All oracle-paired queries are locally strict-green via
-# tools/driver_sim.py regardless of window position.
+# Everything past position 50 is r3-green and unchanged this round,
+# EXCEPT events_retention_cohorts and corpus_quantile_filter (new in r4,
+# locally strict-green incl. the forced-scalable branch) and
+# events_gap_islands (ceded its slot; loading path covered) — per the
+# README rotation policy all three lead the r5 window. With this window
+# every other key has ≤1-round-old evidence after the r4 sweep. All
+# oracle-paired queries are locally strict-green via tools/driver_sim.py
+# regardless of window position.
 _SWEEP_FIRST = [
     # -- 1) latest evidence is round 2 --------------------------------
     "events_tumbling",

@@ -204,6 +204,7 @@ def test_scalable_rank_helpers_have_no_group_only_windows(spark):
             ("window_ranks_pct", ("__pid",)),
             ("window_rank", ("__pid",)),
             ("multimodal_dyn_batch", ("__pid", "batch_id")),
+            ("corpus_quantile_filter", ("__pid",)),
         ]:
             plan = _plan(registry.all_queries()[name](spark, SF_DIR))
             specs = re.findall(r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan)
