@@ -273,19 +273,21 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     not date_trunc.
 
     Scale notes: `activity` is one distinct shuffle keyed (user_id, wk)
-    — bounded by users × active weeks, with map-side partial dedup;
-    `firsts` is a partial-agg min over it keyed user_id; the join is a
-    user_id equi-join of two user-cardinality frames (AQE broadcasts
-    `firsts` only when the population is small); the final groupBy is
-    (cohorts × offsets)-sized — tiny. No windows, no per-user sort, no
-    event-cardinality shuffle beyond the first distinct."""
+    — bounded by users × active weeks, with map-side partial dedup; the
+    cohort week is a per-user window MIN (user_id is a HIGH-cardinality
+    partition key — billions of tiny partitions, the shape windows are
+    good at — so no low-cardinality funnel), which avoids the
+    self-join formulation's duplicated activity subtree (8 exchanges →
+    3); the final groupBy is (cohorts × offsets)-sized — tiny."""
     e = table(spark, sf_dir, "events")
     wk = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
     activity = e.select("user_id", wk.alias("wk")).distinct()
-    firsts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    w = Window.partitionBy("user_id")
+    cohorts = activity.withColumn("cohort_wk", F.min("wk").over(w))
     return (
-        activity.join(firsts, "user_id")
-        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        cohorts.groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(
             F.timestamp_seconds(F.col("cohort_wk") * 604800).alias("cohort_week"),
