@@ -295,3 +295,63 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@q(
+    "events_rolling_active",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             event_type, user_id
+      FROM events
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM du
+    ), contrib AS (
+      SELECT du.day + t.off AS day_t, du.event_type, du.user_id
+      FROM du CROSS JOIN range(0, 7) t(off)
+    )
+    SELECT CAST(to_timestamp(day_t * 86400) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(DISTINCT user_id) AS active_users_7d
+    FROM contrib CROSS JOIN bounds
+    WHERE day_t BETWEEN lo AND hi
+    GROUP BY 1, 2
+    """,
+)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per (day, event_type).
+    A distinct count over a sliding range is the one windowed metric
+    plain window frames cannot do (COUNT(DISTINCT) OVER a RANGE frame is
+    unsupported in both engines), so this uses the scale-canonical
+    contribute-forward shape: each (day, user) fact is exploded to the
+    <=7 report days it contributes to, then one distinct aggregation per
+    report day. Day buckets are epoch floor-division (module
+    convention, calendar-free).
+
+    Scale notes: the explode is map-side (x7, id-sized rows — never
+    event payloads); the only shuffles are the (day, user) dedup and the
+    final per-day distinct — both partial-agg friendly. The alternative
+    days-to-facts range join is a BroadcastNestedLoopJoin the catalog
+    bans. Bounds ride in as a broadcast 1-row aggregate crossJoin (lazy,
+    same as the oracle's CROSS JOIN bounds)."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    du = e.select(day.alias("day"), "event_type", "user_id").distinct()
+    bounds = du.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "event_type",
+        "user_id",
+    ).select((F.col("day") + F.col("off")).alias("day_t"), "event_type", "user_id")
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day_t").between(F.col("lo"), F.col("hi")))
+        .groupBy("day_t", "event_type")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.timestamp_seconds(F.col("day_t") * 86400).alias("day"),
+            "event_type",
+            "active_users_7d",
+        )
+    )

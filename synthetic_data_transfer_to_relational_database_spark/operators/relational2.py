@@ -376,3 +376,73 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["agg_approx_percentile"] = agg_approx_percentile
+
+@q(
+    "agg_mode",
+    sql="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c) t
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC
+    tie-break (count desc, then value asc). Built as count-then-top-1
+    rather than the engines' mode() aggregates, whose tie-breaking is
+    implementation-defined — the composed form is the only one that
+    hash-matches cross-engine AND the only one that scales: the heavy
+    shuffle is the partial-agg-friendly (group, value) count; the
+    window runs over group x distinct-value rows (tiny)."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@q(
+    "unpivot_long",
+    sql="""
+    WITH w AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+      FROM customer GROUP BY 1
+    )
+    SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM w
+    UNION ALL
+    SELECT c_nationkey, 'acctbal_cents' AS metric, acctbal_cents AS value FROM w
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt (the inverse of pivot_wide) via DataFrame.unpivot
+    — Spark's native Expand-based unpivot, which emits both output rows
+    per input row inside one projection, where the oracle's portable
+    UNION ALL form scans the aggregate twice. Money sums ride as integer
+    cents (module determinism rule).
+
+    Scale notes: one hash aggregation keyed c_nationkey, then a
+    map-side Expand — no join, no second scan, no extra shuffle."""
+    c = table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"], ["n_customers", "acctbal_cents"], "metric", "value"
+    )

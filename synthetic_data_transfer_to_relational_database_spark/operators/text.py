@@ -743,3 +743,104 @@ def corpus_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored, "lang", [F.col("n_tokens"), F.col("doc_id")]
         ).select("doc_id", "lang", "n_tokens", F.col("__pct_rank").alias("pr"))
     return ranked.filter(F.col("pr") >= 0.8).select("doc_id", "lang", "n_tokens", "pr")
+
+
+@q(
+    "text_doc_pairs_jaccard",
+    sql=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), rare AS (
+      SELECT tok.doc_id, tok.token
+      FROM tok JOIN df USING (token) WHERE df.df <= 100
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_tok AS n_a, sb.n_tok AS n_b,
+           CAST(n_common AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+            / (sa.n_tok + sb.n_tok - n_common) >= 0.5
+    """,
+)
+def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-pairs exact word-set similarity join via an inverted token
+    index (the PPJoin/frequency-filter family), complementing the
+    probabilistic MinHash path: candidates come ONLY from tokens with
+    df <= 100 (frequent "stop" tokens generate no pairs), then each
+    candidate pair is verified with its EXACT Jaccard over the FULL
+    token sets. dedup_ngram_jaccard verifies a fixed adjacent pairing;
+    this op discovers the pairs.
+
+    Determinism: Jaccard is one IEEE division of exact integers.
+
+    Scale notes: the candidate join is keyed on token and its fan-out is
+    bounded by sum(df^2) over rare tokens <= cap * |tok| — the df cap is
+    the knob that keeps the classic inverted-index blowup (quadratic in
+    the hottest token) off the plan; at 100 TB set it so per-token pair
+    counts fit a task (~1e3-1e4). Verification joins are keyed (pair)
+    then (doc_id, token) — all hash shuffles of id-sized rows, never
+    document text; no CartesianProduct anywhere. A pair sharing only
+    stop tokens is by-design not a candidate (similarity over rare
+    vocabulary is what dedup cares about)."""
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token")).distinct()
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rare = tok.join(df_.filter(F.col("df") <= 100), "token").select("doc_id", "token")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.token") == F.col("ta.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sa.n_tok").alias("n_a"),
+            F.col("sb.n_tok").alias("n_b"),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -58,10 +58,12 @@ _MODULES = [
 #      mixed-annotation guard; events_gap_islands cedes its slot: five
 #      other window entries already validate the same loading path).
 # Everything past position 50 is r3-green and unchanged this round,
-# EXCEPT events_retention_cohorts and corpus_quantile_filter (new in r4,
-# locally strict-green incl. the forced-scalable branch) and
+# EXCEPT the six queries new in r4 — events_retention_cohorts,
+# corpus_quantile_filter (both strict-green locally incl. the
+# forced-scalable branch), text_doc_pairs_jaccard, events_rolling_active,
+# agg_mode, unpivot_long (all strict-green locally) — and
 # events_gap_islands (ceded its slot; loading path covered) — per the
-# README rotation policy all three lead the r5 window. With this window
+# README rotation policy all seven lead the r5 window. With this window
 # every other key has ≤1-round-old evidence after the r4 sweep. All
 # oracle-paired queries are locally strict-green via tools/driver_sim.py
 # regardless of window position.
