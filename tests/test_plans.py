@@ -16,9 +16,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # deliberate non-equi plans where a nested-loop side is broadcast by design
 # (the 10-row query side of the ANN scans; rag_retrieve embeds sim_search;
-# text_tfidf_top and fk_sample_join cross-join a ONE-row count aggregate —
-# the lazy form of an eager count() at construction)
-_BNLJ_OK = {"sim_search", "sim_search_lsh", "rag_retrieve", "text_tfidf_top", "fk_sample_join"}
+# text_tfidf_top, fk_sample_join and events_rolling_active cross-join a
+# ONE-row aggregate — the lazy form of an eager count()/bounds at
+# construction)
+_BNLJ_OK = {
+    "sim_search",
+    "sim_search_lsh",
+    "rag_retrieve",
+    "text_tfidf_top",
+    "fk_sample_join",
+    "events_rolling_active",
+}
 
 
 def _plan(df) -> str:
