@@ -844,3 +844,66 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@q(
+    "corpus_dup_ngrams",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i : i+7], ' ')) AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 7)) u(i)
+    ), df AS (
+      SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+    )
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+           COUNT(*) FILTER (df.df >= 2) AS n_dup,
+           CAST(COUNT(*) FILTER (df.df >= 2) AS DOUBLE) / COUNT(*)
+             AS dup_frac
+    FROM g JOIN df USING (gram)
+    GROUP BY 1
+    """,
+)
+def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-corpus duplicated-8-gram fraction (the
+    RefinedWeb/Dolma curation signal: how much of this doc's content
+    appears verbatim elsewhere) — complements text_repetition
+    (WITHIN-doc repetition) and text_contamination (overlap vs a fixed
+    benchmark set). Docs under 8 tokens have no grams and drop out on
+    both engines.
+
+    Scale notes: every shuffle after the scan is keyed on a 16-byte md5
+    digest of the 8-gram, never the gram text — corpus-sized exchanges
+    carry (digest, doc_id) pairs only (same digest-below-exchange rule
+    corpus_diff locks). Gram extraction is a map-side array transform
+    (no explode of token rows); the df table and the join-back are
+    partial-agg-friendly hash shuffles. The guarded sequence avoids
+    Spark's DESCENDING sequence(1, 0) footgun for short docs."""
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = F.col("toks")
+    t = d.select("doc_id", _tokens().alias("toks"))
+    grams = F.when(
+        F.size(toks) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 7),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(8)))),
+            )
+        ),
+    ).otherwise(F.array())
+    g = t.select("doc_id", F.explode(grams).alias("gram"))
+    df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup").cast("double") / F.col("n_grams")
+        )
+    )
