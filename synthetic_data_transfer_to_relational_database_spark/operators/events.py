@@ -355,3 +355,75 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users_7d",
         )
     )
+
+
+@q(
+    "events_gapfill",
+    sql="""
+    WITH agg AS (
+      SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT MIN(hr) AS lo, MAX(hr) AS hi,
+             list(DISTINCT event_type) AS types
+      FROM agg
+    ), scaffold AS (
+      SELECT u.hr, t.event_type
+      FROM b, unnest(generate_series(b.lo, b.hi)) u(hr),
+           unnest(b.types) t(event_type)
+    )
+    SELECT CAST(to_timestamp(s.hr * 3600) AS TIMESTAMP) AS hour,
+           s.event_type,
+           COALESCE(a.n_events, 0) AS n_events,
+           (a.n_events IS NULL) AS gap_filled
+    FROM scaffold s
+    LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = s.event_type
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense zero-filled (hour x event_type) scaffold over the observed
+    time range — the gap-filling step every downsampled time series /
+    anomaly baseline needs (an hour with no events must report 0, not be
+    absent). `gap_filled` marks synthesized rows.
+
+    Scale notes: the only corpus-sized work is the (hr, type) hash
+    aggregation (partial-agg friendly). The scaffold derives from ONE
+    1-row aggregate by two chained explodes (sequence of hours, then the
+    collected type set) — no cross join, so no CartesianProduct in the
+    plan; it is hours x types sized and the left join back to the
+    aggregate is between two aggregate-sized frames, broadcast-able by
+    AQE."""
+    e = table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    b = agg.agg(
+        F.min("hr").alias("lo"),
+        F.max("hr").alias("hi"),
+        F.collect_set("event_type").alias("types"),
+    )
+    scaffold = (
+        b.select(F.explode(F.sequence("lo", "hi")).alias("hr"), "types")
+        .select("hr", F.explode("types").alias("event_type"))
+    )
+    a = agg.alias("a")
+    s = scaffold.alias("s")
+    return (
+        s.join(
+            a,
+            (F.col("a.hr") == F.col("s.hr"))
+            & (F.col("a.event_type") == F.col("s.event_type")),
+            "left",
+        )
+        .select(
+            F.timestamp_seconds(F.col("s.hr") * 3600).alias("hour"),
+            F.col("s.event_type").alias("event_type"),
+            F.coalesce(F.col("a.n_events"), F.lit(0)).alias("n_events"),
+            F.col("a.n_events").isNull().alias("gap_filled"),
+        )
+    )
