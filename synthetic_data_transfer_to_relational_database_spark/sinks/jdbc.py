@@ -82,6 +82,37 @@ def execute_statements(
     return results
 
 
+def execute_transaction(
+    spark: SparkSession,
+    target: JdbcTarget,
+    statements: list[str],
+) -> None:
+    """Run ``statements`` as ONE all-or-nothing transaction over a single
+    JVM connection (autocommit off, commit at the end, rollback +
+    re-raise on any failure) — the per-table transaction bracket the
+    reference wraps each load in (run_engine.py:255-266), offered on the
+    sink side for multi-statement atomicity (the streaming exactly-once
+    publish in streaming/batch_sink.py relies on it)."""
+    jvm = spark._sc._jvm  # noqa: SLF001 — java.sql lives JVM-side
+    if target.driver:
+        jvm.java.lang.Class.forName(target.driver)
+    conn = jvm.java.sql.DriverManager.getConnection(target.url)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 # --- K4: constraint/trigger gate ---------------------------------------
 
 

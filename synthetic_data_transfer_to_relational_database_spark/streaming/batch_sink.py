@@ -75,3 +75,83 @@ def write_stream_to_parquet(
 def read_sink(spark: SparkSession, path: str) -> DataFrame:
     # batch_id is the per-batch directory key, not part of the row schema.
     return spark.read.parquet(os.path.join(path, "data")).drop("batch_id")
+
+
+def write_stream_to_jdbc(
+    sdf: DataFrame,
+    target,
+    table: str,
+    available_now: bool = True,
+    output_mode: str = "complete",
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+) -> StreamingQuery:
+    """Stream → relational database, exactly-once per batch_id: the
+    reference's whole purpose (bulk load into a live DB,
+    run_engine.py:255-266) driven from a Structured Stream.
+
+    Per micro-batch:
+
+    1. the batch bulk-appends (partition-parallel JDBC, sinks/jdbc
+       ``write_table``) into a batch_id-scoped STAGING table — replayed
+       batches overwrite the same staging table, so this step is
+       harmlessly re-runnable;
+    2. ONE transaction (``execute_transaction``) publishes staging →
+       target AND records batch_id in a DB-resident ledger table —
+       target and ledger move atomically, so a crash anywhere leaves at
+       worst an orphan staging table, never duplicated target rows;
+    3. batch_ids already in the ledger drain through the noop sink
+       (Spark 4 validates every partition is processed).
+
+    The ledger lives IN the target database (``<table>_LEDGER``) — the
+    parquet-ledger recipe above cannot protect a sink whose commit point
+    is a DB transaction. Default complete mode: each batch republishes
+    the full aggregate; the publish transaction therefore DELETEs the
+    target first (same-transaction, still atomic). For append-mode
+    map-only streams pass ``output_mode="append"`` — the DELETE is
+    skipped and batches accumulate."""
+    from ..sinks.jdbc import execute_statements, execute_transaction, read_table, write_table
+
+    spark = sdf.sparkSession
+    ledger = f"{table}_LEDGER"
+    execute_statements(
+        spark,
+        target,
+        [f"CREATE TABLE {ledger} (BATCH_ID BIGINT NOT NULL PRIMARY KEY)"],
+        continue_on_error=True,  # exists-already is fine (no portable IF NOT EXISTS)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {r[0] for r in read_table(spark, target, ledger).collect()}
+        if batch_id in committed:
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        staging = f"{table}_STG_{batch_id}"
+        # ensure the target exists before INSERT..SELECT (JDBC append
+        # auto-creates from the df schema; a 0-row append is a no-op on
+        # an existing table)
+        write_table(batch_df.limit(0), target, table)
+        write_table(
+            batch_df,
+            target,
+            staging,
+            mode="overwrite",
+            batchsize=batchsize,
+            num_partitions=num_partitions,
+        )
+        publish = [f"DELETE FROM {table}"] if output_mode == "complete" else []
+        execute_transaction(
+            spark,
+            target,
+            [
+                *publish,
+                f"INSERT INTO {table} SELECT * FROM {staging}",
+                f"INSERT INTO {ledger} (BATCH_ID) VALUES ({int(batch_id)})",
+            ],
+        )
+        execute_statements(spark, target, [f"DROP TABLE {staging}"])
+
+    writer = sdf.writeStream.outputMode(output_mode).foreachBatch(write_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -194,3 +194,38 @@ def test_stateful_user_profile_transform_with_state(spark):
     assert _rows(got.select("user_id", "n_events", "value_cents", "first_ts", "last_ts")) == _rows(
         want
     )
+
+
+def test_foreachbatch_jdbc_sink_exactly_once(spark, tmp_path):
+    """Streaming ingest into the relational target — the reference's bulk
+    load driven from a stream: tumbling agg → foreachBatch → staging
+    table → ONE transaction publishing staging + ledger row (Derby).
+    Replaying the stream (fresh checkpoint, same data ⇒ same batch_ids)
+    must hit the DB ledger and not duplicate target rows."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        JdbcTarget,
+        read_table,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.batch_sink import (
+        write_stream_to_jdbc,
+    )
+
+    db = tmp_path / "derby_stream"
+    target = JdbcTarget(url=f"jdbc:derby:{db};create=true", dialect="derby")
+
+    q = write_stream_to_jdbc(
+        tumbling_agg(stream_events(spark, SF_DIR)), target, "EventAgg",
+        num_partitions=2,
+    )
+    q.awaitTermination()
+    got = read_table(spark, target, "EventAgg")
+    want = batch_events.QUERIES["events_tumbling"](spark, SF_DIR)
+    assert _rows(got) == _rows(want)
+
+    # fresh checkpoint → batch 0 replays; the DB ledger must skip it
+    q2 = write_stream_to_jdbc(
+        tumbling_agg(stream_events(spark, SF_DIR)), target, "EventAgg",
+        num_partitions=2,
+    )
+    q2.awaitTermination()
+    assert _rows(read_table(spark, target, "EventAgg")) == _rows(want)
