@@ -82,6 +82,35 @@ def execute_statements(
     return results
 
 
+def query_values(
+    spark: SparkSession,
+    target: JdbcTarget,
+    sql: str,
+) -> list:
+    """Driver-side SELECT over one JVM connection; returns the first
+    column of every row. For metadata probes (ledger membership, control
+    counts) where spinning up a Spark JDBC scan + collect per probe would
+    cost a full job — the streaming sink probes its ledger once per
+    micro-batch with this."""
+    jvm = spark._sc._jvm  # noqa: SLF001 — java.sql lives JVM-side
+    if target.driver:
+        jvm.java.lang.Class.forName(target.driver)
+    conn = jvm.java.sql.DriverManager.getConnection(target.url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(sql)
+            out = []
+            while rs.next():
+                out.append(rs.getObject(1))
+            rs.close()
+            return out
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def execute_transaction(
     spark: SparkSession,
     target: JdbcTarget,

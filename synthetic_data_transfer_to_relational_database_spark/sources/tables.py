@@ -38,7 +38,13 @@ def events_ts_unit(sf_dir: str) -> str:
     read is cached on (path, mtime) — every events-backed query calls
     this, and the answer is a property of an immutable file.
     """
-    path = os.path.join(sf_dir, "events.parquet")
+    return parquet_ts_unit(os.path.join(sf_dir, "events.parquet"))
+
+
+def parquet_ts_unit(path: str) -> str:
+    """Per-file form of the same cached sniff — the ONE implementation of
+    the ts-annotation rule (the streaming mixed-annotation guard reuses
+    it; a future change to the rule happens here only)."""
     return _events_ts_unit_cached(path, os.stat(path).st_mtime_ns)
 
 

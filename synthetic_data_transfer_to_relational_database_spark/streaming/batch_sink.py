@@ -81,6 +81,7 @@ def write_stream_to_jdbc(
     sdf: DataFrame,
     target,
     table: str,
+    checkpoint_dir: str,
     available_now: bool = True,
     output_mode: str = "complete",
     batchsize: int = 1000,
@@ -101,16 +102,34 @@ def write_stream_to_jdbc(
        target and ledger move atomically, so a crash anywhere leaves at
        worst an orphan staging table, never duplicated target rows;
     3. batch_ids already in the ledger drain through the noop sink
-       (Spark 4 validates every partition is processed).
+       (Spark 4 validates every partition is processed). The membership
+       probe is a single-row driver-side SELECT (``query_values``), not
+       a Spark scan of the whole ledger per batch.
 
     The ledger lives IN the target database (``<table>_LEDGER``) — the
     parquet-ledger recipe above cannot protect a sink whose commit point
-    is a DB transaction. Default complete mode: each batch republishes
-    the full aggregate; the publish transaction therefore DELETEs the
-    target first (same-transaction, still atomic). For append-mode
-    map-only streams pass ``output_mode="append"`` — the DELETE is
-    skipped and batches accumulate."""
-    from ..sinks.jdbc import execute_statements, execute_transaction, read_table, write_table
+    is a DB transaction.
+
+    ``checkpoint_dir`` is REQUIRED, and the guarantee is only as durable
+    as it is: the ledger de-duplicates by batch_id, and batch_ids are
+    monotonic only within one checkpoint lineage. Discard the checkpoint
+    while the ledger persists and a NEW batch restarts at id 0, collides
+    with the committed row, and is silently skipped — i.e. dropped data,
+    not duplicated data. (Replaying identical source data against a
+    fresh checkpoint — the recovery drill the test exercises — is safe
+    precisely because the colliding batch carries the same rows.)
+
+    Default complete mode: each batch republishes the full aggregate;
+    the publish transaction therefore DELETEs the target first
+    (same-transaction, still atomic). For append-mode map-only streams
+    pass ``output_mode="append"`` — the DELETE is skipped and batches
+    accumulate."""
+    from ..sinks.jdbc import (
+        execute_statements,
+        execute_transaction,
+        query_values,
+        write_table,
+    )
 
     spark = sdf.sparkSession
     ledger = f"{table}_LEDGER"
@@ -122,8 +141,12 @@ def write_stream_to_jdbc(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = {r[0] for r in read_table(spark, target, ledger).collect()}
-        if batch_id in committed:
+        committed = query_values(
+            spark,
+            target,
+            f"SELECT BATCH_ID FROM {ledger} WHERE BATCH_ID = {int(batch_id)}",
+        )
+        if committed:
             batch_df.write.format("noop").mode("overwrite").save()
             return
         staging = f"{table}_STG_{batch_id}"
@@ -151,7 +174,11 @@ def write_stream_to_jdbc(
         )
         execute_statements(spark, target, [f"DROP TABLE {staging}"])
 
-    writer = sdf.writeStream.outputMode(output_mode).foreachBatch(write_batch)
+    writer = (
+        sdf.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

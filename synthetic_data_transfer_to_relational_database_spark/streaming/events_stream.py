@@ -77,11 +77,10 @@ def _assert_uniform_ts_unit(sf_dir: str, expected: str) -> None:
     import glob as _glob
     import os as _os
 
-    import pyarrow.parquet as pq
+    from ..sources.tables import parquet_ts_unit
 
     for p in sorted(_glob.glob(_os.path.join(sf_dir, "events*.parquet"))):
-        field = pq.read_schema(p).field("ts")
-        unit = getattr(field.type, "unit", "us")
+        unit = parquet_ts_unit(p)
         if unit != expected:
             raise ValueError(
                 f"mixed events ts annotations in {sf_dir}: {p} is "

@@ -386,3 +386,76 @@ def test_connected_components_under_reliable_checkpoint(spark, tmp_path):
     finally:
         spark.sparkContext.setCheckpointDir(None)
     assert reliable == baseline
+
+
+def test_doc_pairs_jaccard_matches_bruteforce(spark, tmp_path):
+    """text_doc_pairs_jaccard vs a pure-Python brute force on a synthetic
+    corpus built to exercise every semantic branch: a stop token with
+    df > 100 (generates no candidates), near-dup pairs above and below
+    the 0.5 threshold, docs sharing ONLY the stop token (by-design not
+    candidates even at high Jaccard), and empty/whitespace docs."""
+    import random
+
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.text import (
+        QUERIES as TEXT_QUERIES,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    # 120 docs all containing the stop token -> its df = 120 > 100 cap
+    for i in range(120):
+        toks = ["stopword"] + rng.sample(vocab, rng.randint(2, 8))
+        docs.append((i, " ".join(toks)))
+    # near-dup pairs: copy with small perturbation
+    for i in range(120, 140):
+        base = docs[i - 120][1].split()
+        if rng.random() < 0.5:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((i, " ".join(base)))
+    # docs sharing ONLY the stop token (identical -> jaccard 1.0, but
+    # their single token is capped: must NOT appear in the output)
+    docs.append((140, "stopword"))
+    docs.append((141, "stopword"))
+    # degenerate docs
+    docs.append((142, ""))
+    docs.append((143, "   "))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in TEXT_QUERIES["text_doc_pairs_jaccard"](spark, sf_dir).collect()
+    }
+
+    # brute force, same semantics
+    tok = {i: set(t.split()) for i, t in docs if t.strip()}
+    df = {}
+    for ts in tok.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    ids = sorted(tok)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if not any(df[t] <= 100 for t in tok[a] & tok[b]):
+                continue  # shares only capped tokens (or nothing)
+            common = len(tok[a] & tok[b])
+            jac = common / (len(tok[a]) + len(tok[b]) - common)
+            if jac >= 0.5:
+                want[(a, b)] = (common, len(tok[a]), len(tok[b]), jac)
+
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # the capped-token-only pair must be absent despite jaccard 1.0
+    assert (140, 141) not in got
+    # and the corpus really does contain near-dup survivors
+    assert len(want) >= 10

@@ -215,17 +215,27 @@ def test_foreachbatch_jdbc_sink_exactly_once(spark, tmp_path):
 
     q = write_stream_to_jdbc(
         tumbling_agg(stream_events(spark, SF_DIR)), target, "EventAgg",
-        num_partitions=2,
+        checkpoint_dir=str(tmp_path / "cp1"), num_partitions=2,
     )
     q.awaitTermination()
     got = read_table(spark, target, "EventAgg")
     want = batch_events.QUERIES["events_tumbling"](spark, SF_DIR)
     assert _rows(got) == _rows(want)
 
-    # fresh checkpoint → batch 0 replays; the DB ledger must skip it
+    # lost checkpoint + identical source replay → batch 0 recurs; the DB
+    # ledger must skip it (safe ONLY because the data is identical — see
+    # the sink docstring's durability contract)
     q2 = write_stream_to_jdbc(
         tumbling_agg(stream_events(spark, SF_DIR)), target, "EventAgg",
-        num_partitions=2,
+        checkpoint_dir=str(tmp_path / "cp2"), num_partitions=2,
     )
     q2.awaitTermination()
+    assert _rows(read_table(spark, target, "EventAgg")) == _rows(want)
+
+    # proper restart (same checkpoint, no new files) → no batch at all
+    q3 = write_stream_to_jdbc(
+        tumbling_agg(stream_events(spark, SF_DIR)), target, "EventAgg",
+        checkpoint_dir=str(tmp_path / "cp1"), num_partitions=2,
+    )
+    q3.awaitTermination()
     assert _rows(read_table(spark, target, "EventAgg")) == _rows(want)
