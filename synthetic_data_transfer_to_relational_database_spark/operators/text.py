@@ -754,15 +754,18 @@ def corpus_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE length(trim(text)) > 0
     ), df AS (
       SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM sizes
     ), rare AS (
       SELECT tok.doc_id, tok.token
-      FROM tok JOIN df USING (token) WHERE df.df <= 100
+      FROM tok JOIN df USING (token) CROSS JOIN n
+      WHERE df.df <= n.n_docs * 0.06
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM rare a JOIN rare b
         ON a.token = b.token AND a.doc_id < b.doc_id
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
     ), common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
@@ -784,8 +787,10 @@ def corpus_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL-pairs exact word-set similarity join via an inverted token
     index (the PPJoin/frequency-filter family), complementing the
-    probabilistic MinHash path: candidates come ONLY from tokens with
-    df <= 100 (frequent "stop" tokens generate no pairs), then each
+    probabilistic MinHash path: candidates come ONLY from tokens whose
+    document frequency is at most 6% of the corpus (frequent "stop"
+    tokens generate no pairs — a RELATIVE cap, so the rule means the
+    same thing at 500 docs and 50 billion), then each
     candidate pair is verified with its EXACT Jaccard over the FULL
     token sets. dedup_ngram_jaccard verifies a fixed adjacent pairing;
     this op discovers the pairs.
@@ -795,8 +800,11 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: the candidate join is keyed on token and its fan-out is
     bounded by sum(df^2) over rare tokens <= cap * |tok| — the df cap is
     the knob that keeps the classic inverted-index blowup (quadratic in
-    the hottest token) off the plan; at 100 TB set it so per-token pair
-    counts fit a task (~1e3-1e4). Verification joins are keyed (pair)
+    the hottest token) off the plan; 6% demonstrates the rule on this
+    small-vocab synthetic corpus, at 100 TB tighten it so per-token pair
+    counts fit a task (~1e3-1e4). The corpus size rides in as a lazy
+    1-row aggregate crossJoin (the tfidf recipe, whitelisted BNLJ).
+    Verification joins are keyed (pair)
     then (doc_id, token) — all hash shuffles of id-sized rows, never
     document text; no CartesianProduct anywhere. A pair sharing only
     stop tokens is by-design not a candidate (similarity over rare
@@ -813,7 +821,14 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
     tok = d.select("doc_id", F.explode(_tokens()).alias("token")).distinct().cache()
     df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    rare = tok.join(df_.filter(F.col("df") <= 100), "token").select("doc_id", "token")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    n = sizes.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (
+        tok.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.col("n_docs") * 0.06)
+        .select("doc_id", "token")
+    )
     a, b = rare.alias("a"), rare.alias("b")
     cand = (
         a.join(
@@ -824,7 +839,6 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     ta, tb = tok.alias("ta"), tok.alias("tb")
     common = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))

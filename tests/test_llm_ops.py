@@ -390,10 +390,11 @@ def test_connected_components_under_reliable_checkpoint(spark, tmp_path):
 
 def test_doc_pairs_jaccard_matches_bruteforce(spark, tmp_path):
     """text_doc_pairs_jaccard vs a pure-Python brute force on a synthetic
-    corpus built to exercise every semantic branch: a stop token with
-    df > 100 (generates no candidates), near-dup pairs above and below
-    the 0.5 threshold, docs sharing ONLY the stop token (by-design not
-    candidates even at high Jaccard), and empty/whitespace docs."""
+    corpus built to exercise every semantic branch: a stop token whose
+    df exceeds the 6%-of-corpus cap (generates no candidates), near-dup
+    pairs above and below the 0.5 threshold, docs sharing ONLY the stop
+    token (by-design not candidates even at high Jaccard), and
+    empty/whitespace docs."""
     import random
 
     import pandas as pd
@@ -403,9 +404,9 @@ def test_doc_pairs_jaccard_matches_bruteforce(spark, tmp_path):
     )
 
     rng = random.Random(7)
-    vocab = [f"w{i}" for i in range(40)]
+    vocab = [f"w{i}" for i in range(400)]
     docs = []
-    # 120 docs all containing the stop token -> its df = 120 > 100 cap
+    # 120 docs all containing the stop token -> its df far exceeds the cap
     for i in range(120):
         toks = ["stopword"] + rng.sample(vocab, rng.randint(2, 8))
         docs.append((i, " ".join(toks)))
@@ -440,12 +441,13 @@ def test_doc_pairs_jaccard_matches_bruteforce(spark, tmp_path):
     for ts in tok.values():
         for t in ts:
             df[t] = df.get(t, 0) + 1
+    cap = len(tok) * 0.06  # same IEEE comparison as both engines
     want = {}
     ids = sorted(tok)
     for ai in range(len(ids)):
         for bi in range(ai + 1, len(ids)):
             a, b = ids[ai], ids[bi]
-            if not any(df[t] <= 100 for t in tok[a] & tok[b]):
+            if not any(df[t] <= cap for t in tok[a] & tok[b]):
                 continue  # shares only capped tokens (or nothing)
             common = len(tok[a] & tok[b])
             jac = common / (len(tok[a]) + len(tok[b]) - common)

@@ -16,9 +16,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # deliberate non-equi plans where a nested-loop side is broadcast by design
 # (the 10-row query side of the ANN scans; rag_retrieve embeds sim_search;
-# text_tfidf_top, fk_sample_join and events_rolling_active cross-join a
-# ONE-row aggregate — the lazy form of an eager count()/bounds at
-# construction)
+# text_tfidf_top, fk_sample_join, events_rolling_active and
+# text_doc_pairs_jaccard cross-join a ONE-row aggregate — the lazy form
+# of an eager count()/bounds at construction)
 _BNLJ_OK = {
     "sim_search",
     "sim_search_lsh",
@@ -26,6 +26,7 @@ _BNLJ_OK = {
     "text_tfidf_top",
     "fk_sample_join",
     "events_rolling_active",
+    "text_doc_pairs_jaccard",
 }
 
 
