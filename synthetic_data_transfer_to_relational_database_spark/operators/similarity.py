@@ -525,3 +525,77 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.substring("text", 1, 80).alias("passage"),
     )
+
+
+_KNN_K = 3
+_DOT_AB = _fold_sum("zip_with(av, bv, (a, b) -> cast(a as double) * cast(b as double))")
+_NA = _fold_sum("transform(av, a -> cast(a as double) * cast(a as double))")
+_NB = _fold_sum("transform(bv, b -> cast(b as double) * cast(b as double))")
+
+
+@q(
+    "sim_knn_graph",
+    sql=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+             list_sum(list_transform(generate_series(1, 64),
+                                     i -> a.ev[i] * b.ev[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                                               i -> a.ev[i] * a.ev[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                                                 i -> b.ev[i] * b.ev[i]))))
+               AS cosine
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, label, cosine, rn
+    FROM (
+      SELECT src, dst, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rn
+      FROM scored) t
+    WHERE rn <= {_KNN_K}
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the embedding corpus (every vector's
+    top-k cosine neighbors), blocked by partition label — the primitive
+    under SemDeDup-style semantic dedup, diversity sampling, and
+    graph-based clustering. sim_search ranks a handful of queries
+    against the corpus; this ranks EVERY vector against its block.
+
+    Scale notes: the label column stands in for a coarse-quantizer cell
+    assignment (sim_search_ivf_lloyd computes real ones); within-block
+    work is quadratic ONLY in the block size, so at 100 TB the cell
+    count is chosen to keep blocks task-sized (~1e4 vectors → 1e8
+    multiply-adds per task) — never O(n²) global. One equi-join shuffle
+    keyed on the block, one src-keyed window (src is high-cardinality,
+    so no low-cardinality funnel). Edges carry ids + one double."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("src"), "label", F.col("embedding").alias("av")
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("blabel"),
+        F.col("embedding").alias("bv"),
+    )
+    scored = (
+        a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") != F.col("dst")))
+        .select(
+            "src",
+            "dst",
+            "label",
+            (F.expr(_DOT_AB) / (F.sqrt(F.expr(_NA)) * F.sqrt(F.expr(_NB)))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("src", "dst", "label", "cosine", "rn")
+    )
