@@ -58,6 +58,13 @@ HEADLINE = [
 # r3-comparable total (it did not exist then).
 FORCED_SCALABLE = "window_rank_scalable_forced"
 
+# New-in-r4 heavyweights tracked the same way (excluded from the
+# r3-comparable totals; comparable from r5 on): the inverted-index
+# all-pairs similarity join (multi-join + cached token index) and the
+# blocked kNN-graph (block-quadratic cosine + per-src window).
+EXTRA = ["text_doc_pairs_jaccard", "sim_knn_graph"]
+NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA}
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -134,7 +141,7 @@ def run_sample(sf_dir: str) -> dict:
             best = min(best, dt)
         timings[name] = round(best, 3)
 
-    for name in HEADLINE:
+    for name in [*HEADLINE, *EXTRA]:
         fn = queries[name]
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
@@ -150,15 +157,15 @@ def run_sample(sf_dir: str) -> dict:
         spark.conf.unset("spark.sdt.rank.smallInputBytes")
 
     spark.stop()
-    comparable = [k for k in timings if k != FORCED_SCALABLE]
+    comparable = [k for k in timings if k not in NONCOMPARABLE]
     return {
         "queries": timings,
         "total": round(sum(timings.values()), 3),
         "total_r3_comparable": round(sum(timings[k] for k in comparable), 3),
-        # excludes FORCED_SCALABLE like total_r3_comparable: this figure's
-        # whole purpose is comparability with rounds that predate the entry
+        # same exclusions as total_r3_comparable: this figure's whole
+        # purpose is comparability with rounds that predate the entries
         "single_pass_total": round(
-            sum(v for k, v in first_pass.items() if k != FORCED_SCALABLE), 3
+            sum(v for k, v in first_pass.items() if k not in NONCOMPARABLE), 3
         ),
         "queries_single_pass": first_pass,
     }
@@ -201,7 +208,7 @@ def main() -> None:
     queries = {
         n: min(s["queries"][n] for s in samples if n in s["queries"]) for n in names
     }
-    comparable = [n for n in names if n != FORCED_SCALABLE]
+    comparable = [n for n in names if n not in NONCOMPARABLE]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

@@ -572,15 +572,23 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is chosen to keep blocks task-sized (~1e4 vectors → 1e8
     multiply-adds per task) — never O(n²) global. One equi-join shuffle
     keyed on the block, one src-keyed window (src is high-cardinality,
-    so no low-cardinality funnel). Edges carry ids + one double."""
+    so no low-cardinality funnel). Edges carry ids + one double. Norms
+    are projected ONCE PER VECTOR before the join (O(n·d)), not inside
+    the pair expression (O(pairs·d) — measured 3× the whole query);
+    sqrt(na)·sqrt(nb) over the same operands keeps the IEEE value
+    bit-identical to the oracle's per-pair form."""
     e = table(spark, sf_dir, "embeddings")
     a = e.select(
-        F.col("vec_id").alias("src"), "label", F.col("embedding").alias("av")
+        F.col("vec_id").alias("src"),
+        "label",
+        F.col("embedding").alias("av"),
+        F.sqrt(F.expr(_fold_sum("transform(embedding, a -> cast(a as double) * cast(a as double))"))).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("dst"),
         F.col("label").alias("blabel"),
         F.col("embedding").alias("bv"),
+        F.sqrt(F.expr(_fold_sum("transform(embedding, b -> cast(b as double) * cast(b as double))"))).alias("nb"),
     )
     scored = (
         a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") != F.col("dst")))
@@ -588,9 +596,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             "dst",
             "label",
-            (F.expr(_DOT_AB) / (F.sqrt(F.expr(_NA)) * F.sqrt(F.expr(_NB)))).alias(
-                "cosine"
-            ),
+            (F.expr(_DOT_AB) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
@@ -598,4 +604,99 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KNN_K)
         .select("src", "dst", "label", "cosine", "rn")
+    )
+
+
+_SEM_TAU = 0.4  # data-dependent: real text embeddings use ~0.95+; this
+                # synthetic corpus' cosine tail tops out near 0.5, and 0.4
+                # is the highest cut that still yields multi-node clusters
+                # at every shipped SF (so the closure logic is exercised)
+
+
+@q(
+    "dedup_semantic",
+    sql=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                                    i -> a.ev[i] * b.ev[i]))
+              / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                                              i -> a.ev[i] * a.ev[i])))
+                 * sqrt(list_sum(list_transform(generate_series(1, 64),
+                                                i -> b.ev[i] * b.ev[i]))))
+              >= {_SEM_TAU}
+    ), edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ), reach(vec_id, lbl) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.vec_id
+    ), comp AS (
+      SELECT vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY vec_id
+    ), sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT comp.vec_id, comp.cluster_id, sizes.cluster_size,
+           (comp.vec_id = comp.cluster_id) AS is_rep
+    FROM comp JOIN sizes USING (cluster_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication: cosine-similar embedding
+    pairs (blocked by the label/cell column, like sim_knn_graph) become
+    edges, connected components merge transitively-similar groups, and
+    each cluster keeps its minimum-id member as the representative
+    (``is_rep``). The composition the SemDeDup paper runs — cluster,
+    then drop all-but-one per semantic duplicate group — built from
+    this repo's own primitives: the blocked pair scoring of
+    sim_knn_graph and the large-star/small-star contraction of
+    dedup.connected_components. The DuckDB oracle computes the identical
+    closure with a recursive CTE (the dedup_cluster recipe).
+
+    Scale notes: pair scoring is quadratic only within a block (cell
+    sizing as in sim_knn_graph); each contraction round shuffles the
+    shrinking edge set with lineage cut per round; cluster sizes come
+    from an aggregate + join, not a per-cluster window (giant-cluster
+    safe). Edges carry two ids — vectors never enter the contraction."""
+    from .dedup import connected_components
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        "label",
+        F.col("embedding").alias("av"),
+        F.sqrt(F.expr(_fold_sum("transform(embedding, a -> cast(a as double) * cast(a as double))"))).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("blabel"),
+        F.col("embedding").alias("bv"),
+        F.sqrt(F.expr(_fold_sum("transform(embedding, b -> cast(b as double) * cast(b as double))"))).alias("nb"),
+    )
+    # per-vector norms (see sim_knn_graph): same IEEE value, O(n·d) not O(pairs·d)
+    cos = F.expr(_DOT_AB) / (F.col("na") * F.col("nb"))
+    edges = (
+        a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") < F.col("dst")))
+        .filter(cos >= _SEM_TAU)
+        .select("src", "dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("__cl")
+    )
+    labels = (
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select("vec_id", F.coalesce("__cl", "vec_id").alias("cluster_id"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_rep"),
     )
