@@ -140,6 +140,11 @@ def run_sample(sf_dir: str) -> dict:
                 first_pass[name] = round(dt, 3)
             best = min(best, dt)
         timings[name] = round(best, 3)
+        # queries that cache() shared subtrees (minhash signatures, the
+        # pair-join token index) would otherwise leave populated caches
+        # occupying executor storage while LATER entries are timed —
+        # clear outside the timed region so entries stay independent
+        spark.catalog.clearCache()
 
     for name in [*HEADLINE, *EXTRA]:
         fn = queries[name]

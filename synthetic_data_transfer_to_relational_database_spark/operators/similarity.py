@@ -529,8 +529,29 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 3
 _DOT_AB = _fold_sum("zip_with(av, bv, (a, b) -> cast(a as double) * cast(b as double))")
-_NA = _fold_sum("transform(av, a -> cast(a as double) * cast(a as double))")
-_NB = _fold_sum("transform(bv, b -> cast(b as double) * cast(b as double))")
+_VNORM = _fold_sum("transform(embedding, x -> cast(x as double) * cast(x as double))")
+
+
+def _norm_sides(e: DataFrame, src: str, dst: str):
+    """(a, b) self-join sides over the embeddings frame, each carrying its
+    vector and PRE-PROJECTED L2 norm — the one place the per-vector norm
+    discipline lives (sim_knn_graph and dedup_semantic both join these;
+    computing the norm inside the pair expression would be O(pairs·d),
+    measured 3× the whole query, and a second copy of the cast chain
+    would risk silently losing oracle bit-identity)."""
+    a = e.select(
+        F.col("vec_id").alias(src),
+        "label",
+        F.col("embedding").alias("av"),
+        F.sqrt(F.expr(_VNORM)).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias(dst),
+        F.col("label").alias("blabel"),
+        F.col("embedding").alias("bv"),
+        F.sqrt(F.expr(_VNORM)).alias("nb"),
+    )
+    return a, b
 
 
 @q(
@@ -578,18 +599,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(na)·sqrt(nb) over the same operands keeps the IEEE value
     bit-identical to the oracle's per-pair form."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("src"),
-        "label",
-        F.col("embedding").alias("av"),
-        F.sqrt(F.expr(_fold_sum("transform(embedding, a -> cast(a as double) * cast(a as double))"))).alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"),
-        F.col("label").alias("blabel"),
-        F.col("embedding").alias("bv"),
-        F.sqrt(F.expr(_fold_sum("transform(embedding, b -> cast(b as double) * cast(b as double))"))).alias("nb"),
-    )
+    a, b = _norm_sides(e, "src", "dst")
     scored = (
         a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") != F.col("dst")))
         .select(
@@ -666,19 +676,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components
 
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("src"),
-        "label",
-        F.col("embedding").alias("av"),
-        F.sqrt(F.expr(_fold_sum("transform(embedding, a -> cast(a as double) * cast(a as double))"))).alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"),
-        F.col("label").alias("blabel"),
-        F.col("embedding").alias("bv"),
-        F.sqrt(F.expr(_fold_sum("transform(embedding, b -> cast(b as double) * cast(b as double))"))).alias("nb"),
-    )
-    # per-vector norms (see sim_knn_graph): same IEEE value, O(n·d) not O(pairs·d)
+    a, b = _norm_sides(e, "src", "dst")
     cos = F.expr(_DOT_AB) / (F.col("na") * F.col("nb"))
     edges = (
         a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") < F.col("dst")))
