@@ -189,3 +189,30 @@ def test_identity_readback_against_prepopulated_parent(spark, derby):
     # the assumed-1..n path could never emit keys > 20: seeing them proves
     # children sampled the fetched live keys (P(miss all 5) ≈ (20/25)^120)
     assert max(sampled) > 20
+
+
+def test_execute_transaction_rolls_back_atomically(spark, derby):
+    """The streaming sink's publish step rests on execute_transaction
+    being all-or-nothing: a failing statement mid-transaction must undo
+    the statements before it and re-raise."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        execute_transaction,
+        query_values,
+    )
+
+    execute_statements(
+        spark, derby, ["CREATE TABLE TxProbe (N BIGINT NOT NULL PRIMARY KEY)"],
+        continue_on_error=False,
+    )
+    execute_transaction(spark, derby, ["INSERT INTO TxProbe VALUES (1)"])
+    with pytest.raises(Exception):
+        execute_transaction(
+            spark,
+            derby,
+            [
+                "INSERT INTO TxProbe VALUES (2)",   # would succeed alone
+                "INSERT INTO TxProbe VALUES (1)",   # PK violation -> rollback
+            ],
+        )
+    vals = sorted(int(v) for v in query_values(spark, derby, "SELECT N FROM TxProbe"))
+    assert vals == [1]  # the committed row only; 2 was rolled back
