@@ -429,3 +429,112 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_events").isNull().alias("gap_filled"),
         )
     )
+
+
+@q(
+    "events_user_paths",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event sequence, count (previous event type → next event
+    type) transitions corpus-wide — the sequential-pattern / Markov-chain
+    aggregation behind path analysis and next-action models. The order
+    is totalized with (ts, event_id) so ties cannot flip a transition
+    between engines.
+
+    Scale notes: ONE shuffle keyed user_id for the lag window (user_id
+    is a HIGH-cardinality partition key — billions of small partitions,
+    the shape WindowExec is good at), then a (prev, next) hash agg over
+    type-pair cardinality rows (tiny, partial-agg friendly)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@q(
+    "events_anomaly_mad",
+    sql="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM e GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.cents, med.med,
+             ABS(e.cents - med.med) AS dev
+      FROM e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.cents AS value_cents,
+           d.med AS median_cents, mad.mad AS mad_cents,
+           (d.cents - d.med) / (1.4826 * mad.mad) AS robust_z
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND ABS((d.cents - d.med) / (1.4826 * mad.mad)) > 3.5
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: flag events whose value
+    sits more than 3.5 robust z-scores (median ± 1.4826·MAD — the
+    median-absolute-deviation estimator that a few extreme points cannot
+    drag, unlike mean/stddev) from their type's center.
+
+    Determinism: values ride as integer cents; the exact interpolated
+    median (the agg_median recipe) and every subsequent step are
+    identical IEEE double ops on identical operands. mad = 0 groups are
+    excluded (both engines) rather than dividing by zero.
+
+    Scale notes: two grouped EXACT percentile passes over (type, cents)
+    — at 100 TB swap in percentile_approx's fixed-size sketch (the
+    agg_approx_percentile twin) for the same plan with map-side
+    mergeable state; the per-type stats join back via AQE broadcast
+    (one row per event type). No window, no per-group funnel."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    rz = (F.col("cents") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("cents").alias("value_cents"),
+            F.col("med").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+            rz.alias("robust_z"),
+        )
+    )
