@@ -446,3 +446,114 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["c_nationkey"], ["n_customers", "acctbal_cents"], "metric", "value"
     )
+
+
+@q(
+    "basket_pairs",
+    sql="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: item pairs appearing in the same
+    order, with support >= 2 — the candidate-generation step of
+    association-rule mining (the same within-group self-join shape as
+    text_doc_pairs_jaccard, here keyed by the transaction).
+
+    Scale notes: the self-join is keyed on l_orderkey, so fan-out is
+    quadratic ONLY in basket size (single digits for order-like data —
+    sum over orders of k², never corpus-quadratic); both the distinct
+    and the pair count are partial-agg-friendly hash shuffles carrying
+    id pairs. A pathological million-item basket is the df-cap situation
+    again: cap basket size upstream or salt that key."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@q(
+    "orders_rfm",
+    sql="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(MAX(FLOOR(epoch(o_orderdate) / 86400)) AS BIGINT) AS last_day,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), mx AS (
+      SELECT MAX(last_day) AS corpus_last FROM rfm
+    ), cuts AS (
+      SELECT quantile_cont(monetary_cents, 0.25) AS q1,
+             quantile_cont(monetary_cents, 0.5)  AS q2,
+             quantile_cont(monetary_cents, 0.75) AS q3
+      FROM rfm
+    )
+    SELECT r.o_custkey, mx.corpus_last - r.last_day AS recency_days,
+           r.frequency, r.monetary_cents,
+           CASE WHEN r.monetary_cents >= cuts.q3 THEN 4
+                WHEN r.monetary_cents >= cuts.q2 THEN 3
+                WHEN r.monetary_cents >= cuts.q1 THEN 2
+                ELSE 1 END AS m_segment
+    FROM rfm r CROSS JOIN mx CROSS JOIN cuts
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary, with a
+    quartile monetary segment): the canonical value-tiering aggregation.
+    Segments come from VALUE CUTPOINTS (exact quartiles broadcast as a
+    1-row aggregate), not a global ntile window — a global ntile is the
+    one-partition WindowExec collapse, while cutpoint assignment is
+    map-side after one customer-keyed aggregation (the same
+    sketch-then-broadcast shape write_zordered uses; swap in
+    percentile_approx at 100 TB). Day arithmetic is epoch floor-division
+    (module convention); money rides as integer cents.
+
+    Note ntile vs cutpoints tie semantics differ: ntile forces equal
+    bucket COUNTS (ties split arbitrarily — not reproducible across
+    engines), cutpoints give equal VALUE ranges with deterministic tie
+    handling, which is why this form is the oracle-checkable one."""
+    o = table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    mx = rfm.agg(F.max("last_day").alias("corpus_last"))
+    cuts = rfm.agg(
+        F.percentile("monetary_cents", F.lit(0.25)).alias("q1"),
+        F.percentile("monetary_cents", F.lit(0.5)).alias("q2"),
+        F.percentile("monetary_cents", F.lit(0.75)).alias("q3"),
+    )
+    seg = (
+        F.when(F.col("monetary_cents") >= F.col("q3"), F.lit(4))
+        .when(F.col("monetary_cents") >= F.col("q2"), F.lit(3))
+        .when(F.col("monetary_cents") >= F.col("q1"), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        rfm.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "o_custkey",
+            (F.col("corpus_last") - F.col("last_day")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+            seg.alias("m_segment"),
+        )
+    )

@@ -27,6 +27,7 @@ _BNLJ_OK = {
     "fk_sample_join",
     "events_rolling_active",
     "text_doc_pairs_jaccard",
+    "orders_rfm",
 }
 
 
