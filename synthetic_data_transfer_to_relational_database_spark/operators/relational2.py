@@ -557,3 +557,54 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg.alias("m_segment"),
         )
     )
+
+
+@q(
+    "graph_triangles",
+    sql="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the basket co-occurrence graph (items
+    bought together in >= 2 orders): the canonical distributed graph
+    primitive behind clustering coefficients and community detection,
+    expressed as the two-join wedge-close pattern. Edges are kept in
+    canonical u < v direction, so each triangle (a < b < c) is emitted
+    exactly once — no post-hoc dedup.
+
+    Scale notes: joins are keyed on node ids; because edges are
+    canonically ordered this is the 'count on the ordered graph' trick
+    that bounds wedge fan-out by out-degree in the ordering (at 100 TB
+    one would order by DEGREE, the standard refinement — same plan,
+    different canonical order). The edge frame feeds three join sides —
+    cache() keeps it one derivation (id pairs only)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    la = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    lb = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("v"))
+    edges = (
+        la.join(lb, (F.col("k") == F.col("k2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .cache()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    return (
+        e1.join(e2, F.col("b2") == F.col("b"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
