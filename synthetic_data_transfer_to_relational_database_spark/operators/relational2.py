@@ -608,3 +608,70 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
         .select("a", "b", "c")
     )
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+    """Power-iteration PageRank over an undirected edge list (u, v) —
+    the iterative-numeric counterpart to dedup.connected_components'
+    iterative-structural loop. Returns (u, rank, deg) for every node
+    incident to an edge.
+
+    Scale shape per iteration: one join of the (symmetrized) edges
+    against the current ranks keyed on the source, one neighbor-keyed
+    partial-agg sum — both shuffles carry (id, double). The driver loop
+    is PLAN construction only; lineage is cut every 3 rounds with
+    ``checkpoint_pinned`` (the same plan-growth hazard the CC loop
+    documents — uncut, the logical plan doubles per iteration). Every
+    node in the undirected graph has degree >= 1, so there is no
+    dangling-mass term."""
+    from .skew import checkpoint_pinned
+
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).cache()
+    nodes = deg.select("u")
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(n_iter):
+        contribs = (
+            sym.join(ranks, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+        )
+        sums = contribs.groupBy("u").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "u", "left").select(
+            "u",
+            (
+                F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 3 == 0:
+            ranks = checkpoint_pinned(ranks, eager=True)
+    return ranks.join(deg, "u")
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the basket co-occurrence graph (the basket_pairs
+    edge set): which items sit at the center of the bought-together
+    network. Rows-only by design: ten damped double-sum iterations are
+    order-sensitive in the last ulps, so no engine-exact SQL twin exists
+    (the invariants — mass conservation, symmetry, hand-computed small
+    graphs — are pytest-locked instead, tests/test_llm_ops.py)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return pagerank(edges).select(
+        F.col("u").alias("part_id"), "rank", "deg"
+    )
+
+
+QUERIES["graph_pagerank"] = graph_pagerank

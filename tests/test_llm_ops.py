@@ -461,3 +461,29 @@ def test_doc_pairs_jaccard_matches_bruteforce(spark, tmp_path):
     assert (140, 141) not in got
     # and the corpus really does contain near-dup survivors
     assert len(want) >= 10
+
+
+def test_pagerank_invariants_and_known_graph(spark):
+    """pagerank on hand-built graphs: mass conservation (an undirected
+    graph has no dangling nodes, so total rank stays n every iteration),
+    symmetry (structurally equivalent nodes get identical ranks), and
+    the hub ordering a star graph must produce."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.relational2 import (
+        pagerank,
+    )
+
+    # star K_{1,4}: center 0, leaves 1-4
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], "u long, v long")
+    got = {r["u"]: (r["rank"], r["deg"]) for r in pagerank(edges).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0][1] == 4 and all(got[i][1] == 1 for i in range(1, 5))
+    ranks = {n: r for n, (r, _) in got.items()}
+    assert abs(sum(ranks.values()) - 5.0) < 1e-9          # mass conserved
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))  # hub dominates
+    leaf = [ranks[i] for i in range(1, 5)]
+    assert max(leaf) - min(leaf) < 1e-12                  # symmetric leaves
+
+    # triangle: all three nodes equivalent -> equal ranks of 1.0 exactly
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
+    tr = {r["u"]: r["rank"] for r in pagerank(tri).collect()}
+    assert all(abs(v - 1.0) < 1e-12 for v in tr.values())
