@@ -63,9 +63,9 @@ _MODULES = [
 # forced-scalable branch), text_doc_pairs_jaccard, events_rolling_active,
 # agg_mode, unpivot_long, corpus_dup_ngrams, events_gapfill,
 # sim_knn_graph, dedup_semantic, events_user_paths, events_anomaly_mad,
-# basket_pairs, orders_rfm, graph_triangles (all strict-green locally),
-# graph_pagerank (rows-only iterative, invariant-tested
-# at sf0.001/0.01/0.1) — and
+# basket_pairs, orders_rfm, graph_triangles (all strict-green locally
+# at sf0.001/0.01/0.1), graph_pagerank (rows-only iterative,
+# invariant-tested in tests/test_llm_ops.py) — and
 # events_gap_islands (ceded its slot; loading path covered) — per the
 # README rotation policy all seventeen lead the r5 window. With this window
 # every other key has ≤1-round-old evidence after the r4 sweep. All
