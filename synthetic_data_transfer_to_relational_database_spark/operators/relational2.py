@@ -675,3 +675,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["graph_pagerank"] = graph_pagerank
+
+
+@q(
+    "window_first_last",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(FIRST_VALUE(ROUND(o_totalprice * 100)) OVER w AS BIGINT)
+             AS first_price_cents,
+           CAST(LAST_VALUE(ROUND(o_totalprice * 100)) OVER w AS BIGINT)
+             AS last_price_cents,
+           CAST(NTH_VALUE(ROUND(o_totalprice * 100), 2) OVER w AS BIGINT)
+             AS second_price_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over a whole-partition frame
+    — the customer's first, latest, and second order value side by side
+    (completing the window-function matrix next to rank/lag/frames).
+    The frame is explicitly UNBOUNDED FOLLOWING: the default frame stops
+    at CURRENT ROW, which silently turns LAST_VALUE into "current value"
+    — the classic window gotcha, pinned identically in both engines.
+    The order is totalized with (o_orderdate, o_orderkey); values ride
+    as integer cents.
+
+    Scale notes: one shuffle on o_custkey (high-cardinality key); an
+    unbounded-both-ends frame is evaluated once per partition, not per
+    row."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first(cents).over(w).cast("long").alias("first_price_cents"),
+        F.last(cents).over(w).cast("long").alias("last_price_cents"),
+        F.nth_value(cents, 2).over(w).cast("long").alias("second_price_cents"),
+    )

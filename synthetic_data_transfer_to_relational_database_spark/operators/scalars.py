@@ -135,3 +135,41 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
         F.get_json_object("props", "$.k").alias("k_str"),
     )
+
+
+@q(
+    "scalar_null",
+    sql="""
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed')
+             AS seg_coalesced,
+           (c_mktsegment IS NOT DISTINCT FROM NULLIF(c_mktsegment, 'BUILDING'))
+             AS null_safe_eq,
+           CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+                THEN 0 ELSE 1 END AS nvl2_flag,
+           GREATEST(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0)
+             AS bal_floor_cents
+    FROM customer
+    """,
+)
+def scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling pack: NULLIF / COALESCE / null-safe equality
+    (Spark ``eqNullSafe`` ⇔ SQL ``IS NOT DISTINCT FROM``) / NVL2-style
+    branching / GREATEST clamping — the null-discipline functions the
+    reference's per-column IS_NULLABLE handling (run_engine.py:107-116)
+    maps onto. The testdata carries no physical NULLs, so NULLIF
+    manufactures them and every downstream function is exercised on
+    real null inputs. Map-only projection, codegen'd."""
+    c = table(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("suppressed")).alias("seg_coalesced"),
+        F.col("c_mktsegment").eqNullSafe(seg_null).alias("null_safe_eq"),
+        F.when(seg_null.isNull(), F.lit(0)).otherwise(F.lit(1)).alias("nvl2_flag"),
+        F.greatest(
+            F.round(F.col("c_acctbal") * 100).cast("long"), F.lit(0).cast("long")
+        ).alias("bal_floor_cents"),
+    )

@@ -65,9 +65,10 @@ _MODULES = [
 # sim_knn_graph, dedup_semantic, events_user_paths, events_anomaly_mad,
 # basket_pairs, orders_rfm, graph_triangles (all strict-green locally
 # at sf0.001/0.01/0.1), graph_pagerank (rows-only iterative,
-# invariant-tested in tests/test_llm_ops.py) — and
+# invariant-tested in tests/test_llm_ops.py), window_first_last,
+# scalar_null (strict-green at all three SFs) — and
 # events_gap_islands (ceded its slot; loading path covered) — per the
-# README rotation policy all seventeen lead the r5 window. With this window
+# README rotation policy all nineteen lead the r5 window. With this window
 # every other key has ≤1-round-old evidence after the r4 sweep. All
 # oracle-paired queries are locally strict-green via tools/driver_sim.py
 # regardless of window position.
