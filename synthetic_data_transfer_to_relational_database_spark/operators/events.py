@@ -506,25 +506,43 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE double ops on identical operands. mad = 0 groups are
     excluded (both engines) rather than dividing by zero.
 
-    Scale notes: two grouped EXACT percentile passes over (type, cents)
-    — at 100 TB swap in percentile_approx's fixed-size sketch (the
-    agg_approx_percentile twin) for the same plan with map-side
-    mergeable state; the per-type stats join back via AQE broadcast
-    (one row per event type). No window, no per-group funnel."""
+    Scale notes: `event_type` is LOW-cardinality, so exact grouped
+    `percentile` buffers a per-group value-count map whose size grows
+    with distinct values — a giant single-reducer state per type at
+    100 TB. Cost-based dispatch (the window_rank pattern, one shared
+    definition in skew.small_rank_input, conf
+    ``spark.sdt.percentile.smallInputBytes``): EXACT interpolated
+    percentile below the threshold — DuckDB-hash-matchable, the
+    CORRECTNESS branch — and ``percentile_approx``'s fixed-size
+    mergeable KLL-style sketch above it (map-side combinable, state
+    independent of group size; tolerance-tested in
+    tests/test_llm_ops.py). Both branches are the same plan shape: two
+    grouped percentile passes, per-type stats joined back via AQE
+    broadcast (one row per event type). No window, no per-group
+    funnel."""
+    from .skew import small_rank_input
+
     e = table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    med = e.groupBy("event_type").agg(
-        F.percentile("cents", F.lit(0.5)).alias("med")
+    exact = small_rank_input(
+        e,
+        cache_key=("events_anomaly_mad", sf_dir),
+        conf_name="spark.sdt.percentile.smallInputBytes",
     )
+
+    def _median(col: str):
+        if exact:
+            return F.percentile(col, F.lit(0.5)).cast("double")
+        return F.percentile_approx(col, F.lit(0.5), F.lit(10_000)).cast("double")
+
+    med = e.groupBy("event_type").agg(_median("cents").alias("med"))
     dev = e.join(med, "event_type").withColumn(
         "dev", F.abs(F.col("cents") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("dev", F.lit(0.5)).alias("mad")
-    )
+    mad = dev.groupBy("event_type").agg(_median("dev").alias("mad"))
     rz = (F.col("cents") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
     return (
         dev.join(mad, "event_type")
@@ -537,4 +555,100 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").alias("mad_cents"),
             rz.alias("robust_z"),
         )
+    )
+
+
+_ROLLUP_LEVEL_SQL = """
+    SELECT '{res}' AS resolution,
+           CAST(DATE_TRUNC('{res}', ts) AS TIMESTAMP) AS win_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 2
+"""
+
+
+@q(
+    "events_rollup_hierarchy",
+    sql=" UNION ALL ".join(
+        _ROLLUP_LEVEL_SQL.format(res=r) for r in ("hour", "day", "month")
+    ),
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (hour / day / month in one result, tagged
+    by ``resolution``) built as a CASCADE: the day level aggregates the
+    HOURLY AGGREGATE, the month level aggregates the daily one — the
+    TimescaleDB/Druid continuous-aggregate pattern. Counts and integer
+    cents are re-aggregable (additive), so the cascade is exact; the
+    oracle computes each level directly from raw events and must match
+    bit-for-bit.
+
+    Scale notes: this is THE shape for time-series rollups at 100 TB —
+    the raw table is touched ONCE (hour pass); day aggregates ~24× fewer
+    rows, month ~30× fewer again, so the extra resolutions cost ~4% of a
+    second raw scan. Spark has no cross-branch CSE, so the hour and day
+    frames are cache()d (time-key cardinality — tiny next to raw; the
+    caller-clearCache contract, operators/__init__) — without the cache
+    each union branch would re-derive its input FROM THE RAW SCAN,
+    silently turning the cascade into three full scans. In a persistent
+    pipeline these intermediates are parquet tables, not cache (that IS
+    the continuous-aggregate pattern). Each level is a
+    partial-agg-friendly hash aggregation on a time key; the union is
+    plan-level only (no shuffle). Non-additive measures (distinct users)
+    ride as mergeable sketches instead — see agg_sketch_union."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("ts"), _cents("value").alias("cents")
+    )
+    hour = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("value_cents"))
+        .cache()
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "win_start").alias("win_start"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("value_cents").alias("value_cents"))
+        .cache()
+    )
+    month = day.groupBy(F.date_trunc("month", "win_start").alias("win_start")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("value_cents").alias("value_cents")
+    )
+
+    def _tag(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"), "win_start", "n_events", "value_cents"
+        )
+
+    return _tag(hour, "hour").unionByName(_tag(day, "day")).unionByName(
+        _tag(month, "month")
+    )
+
+
+@q("agg_sketch_union")
+def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via MERGEABLE HLL SKETCHES computed
+    in two levels: a per-(day, type) Datasketches HLL sketch first, then
+    a sketch UNION per type — the pre-aggregation pattern for
+    non-additive measures (a day's sketch is built once and reused by
+    every coarser rollup/backfill, the events_rollup_hierarchy cascade
+    applied to COUNT DISTINCT). Rows-only by design: the estimate is
+    sketch-implementation-defined (DuckDB's approx_count_distinct is a
+    different HLL); the error bound vs exact distinct is pytest-locked
+    (tests/test_scale_refinements.py).
+
+    Scale notes: both levels are partial-agg-friendly (sketches merge
+    associatively map-side); the shuffle carries fixed-size sketch bytes
+    (~KB at lgK=12, error ~1.6%), never user ids — the whole point at
+    100 TB, where the distinct-user set itself would not fit a reducer.
+    The day level is also what an incremental pipeline persists: late
+    data re-sketches ONE day, the union re-runs over ~365 sketch rows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_day_sketches"),
+        )
+        .select("event_type", "approx_users", "n_day_sketches")
     )

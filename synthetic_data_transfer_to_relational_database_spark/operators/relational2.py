@@ -513,12 +513,19 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary, with a
     quartile monetary segment): the canonical value-tiering aggregation.
-    Segments come from VALUE CUTPOINTS (exact quartiles broadcast as a
+    Segments come from VALUE CUTPOINTS (quartiles broadcast as a
     1-row aggregate), not a global ntile window — a global ntile is the
     one-partition WindowExec collapse, while cutpoint assignment is
     map-side after one customer-keyed aggregation (the same
-    sketch-then-broadcast shape write_zordered uses; swap in
-    percentile_approx at 100 TB). Day arithmetic is epoch floor-division
+    sketch-then-broadcast shape write_zordered uses). The quartiles are
+    cost-dispatched like events_anomaly_mad (one shared definition,
+    skew.small_rank_input, conf
+    ``spark.sdt.percentile.smallInputBytes``): EXACT ungrouped
+    `percentile` below the threshold (its state is a value-count map
+    over one global group — oracle-hash-matchable, and cheap because
+    the input is already one row per customer), ``percentile_approx``'s
+    fixed-size mergeable sketch above it (billions of customers at
+    100 TB; tolerance-tested). Day arithmetic is epoch floor-division
     (module convention); money rides as integer cents.
 
     Note ntile vs cutpoints tie semantics differ: ntile forces equal
@@ -534,11 +541,24 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
+    from .skew import small_rank_input
+
     mx = rfm.agg(F.max("last_day").alias("corpus_last"))
+    exact = small_rank_input(
+        rfm,
+        cache_key=("orders_rfm", sf_dir),
+        conf_name="spark.sdt.percentile.smallInputBytes",
+    )
+
+    def _pct(p: float):
+        if exact:
+            return F.percentile("monetary_cents", F.lit(p)).cast("double")
+        return F.percentile_approx(
+            "monetary_cents", F.lit(p), F.lit(10_000)
+        ).cast("double")
+
     cuts = rfm.agg(
-        F.percentile("monetary_cents", F.lit(0.25)).alias("q1"),
-        F.percentile("monetary_cents", F.lit(0.5)).alias("q2"),
-        F.percentile("monetary_cents", F.lit(0.75)).alias("q3"),
+        _pct(0.25).alias("q1"), _pct(0.5).alias("q2"), _pct(0.75).alias("q3")
     )
     seg = (
         F.when(F.col("monetary_cents") >= F.col("q3"), F.lit(4))
@@ -555,6 +575,56 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
             seg.alias("m_segment"),
+        )
+    )
+
+
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Wedge-close triangle enumeration over an undirected edge list
+    (u, v) with DEGREE-ORDERED orientation: each edge points from its
+    lower-(degree, id) endpoint to the higher one, so wedge fan-out at
+    any node is bounded by its out-degree in the degree ordering —
+    O(sqrt(m)) for every node including hubs (the Schank/Wagner
+    refinement the id-ordering lacks: a hub's id-order out-degree is its
+    full degree, skew-prone at 100 TB). Each triangle is found exactly
+    once and emitted with its three ids ASCENDING BY ID (a < b < c), so
+    the output is identical to the id-oriented form — only the join
+    fan-out distribution changes.
+
+    Scale shape: one symmetrize + node-keyed count for degrees, two
+    id-keyed joins to orient, then the standard two-join wedge-close —
+    every shuffle carries id/long pairs only. The oriented frame feeds
+    three join sides; cache() keeps it one derivation (caller clears the
+    session cache when done — the bench/driver contract)."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("du_id"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("dv_id"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, F.col("u") == F.col("du_id"))
+        .join(dv, F.col("v") == F.col("dv_id"))
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .cache()
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y2"), F.col("t").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x3"), F.col("t").alias("z3"))
+    ids = F.array_sort(F.array("x", "y", "z"))
+    return (
+        e1.join(e2, F.col("y2") == F.col("y"))
+        .join(e3, (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")))
+        .select(
+            ids.getItem(0).alias("a"),
+            ids.getItem(1).alias("b"),
+            ids.getItem(2).alias("c"),
         )
     )
 
@@ -578,17 +648,10 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the basket co-occurrence graph (items
     bought together in >= 2 orders): the canonical distributed graph
-    primitive behind clustering coefficients and community detection,
-    expressed as the two-join wedge-close pattern. Edges are kept in
-    canonical u < v direction, so each triangle (a < b < c) is emitted
-    exactly once — no post-hoc dedup.
-
-    Scale notes: joins are keyed on node ids; because edges are
-    canonically ordered this is the 'count on the ordered graph' trick
-    that bounds wedge fan-out by out-degree in the ordering (at 100 TB
-    one would order by DEGREE, the standard refinement — same plan,
-    different canonical order). The edge frame feeds three join sides —
-    cache() keeps it one derivation (id pairs only)."""
+    primitive behind clustering coefficients and community detection.
+    Delegates to :func:`oriented_triangles` — degree-ordered wedge-close,
+    hub-safe fan-out, output canonically a < b < c by id (bit-equal to
+    the id-oriented form; invariant-locked in tests/test_llm_ops.py)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     la = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     lb = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("v"))
@@ -598,16 +661,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
-        .cache()
     )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-    return (
-        e1.join(e2, F.col("b2") == F.col("b"))
-        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-    )
+    return oriented_triangles(edges)
 
 
 def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataFrame:

@@ -597,7 +597,12 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     are projected ONCE PER VECTOR before the join (O(n·d)), not inside
     the pair expression (O(pairs·d) — measured 3× the whole query);
     sqrt(na)·sqrt(nb) over the same operands keeps the IEEE value
-    bit-identical to the oracle's per-pair form."""
+    bit-identical to the oracle's per-pair form.
+
+    ``spark.sdt.knn.k`` overrides k for reuse outside the harness (the
+    oracle above is generated for the default k=3 — override and the
+    entry is effectively rows-only)."""
+    k = int(spark.conf.get("spark.sdt.knn.k", str(_KNN_K)))
     e = table(spark, sf_dir, "embeddings")
     a, b = _norm_sides(e, "src", "dst")
     scored = (
@@ -612,7 +617,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_K)
+        .filter(F.col("rn") <= k)
         .select("src", "dst", "label", "cosine", "rn")
     )
 
@@ -675,12 +680,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe). Edges carry two ids — vectors never enter the contraction."""
     from .dedup import connected_components
 
+    # spark.sdt.semdedup.tau overrides the similarity cut for reuse
+    # outside the harness (the oracle is generated for the default —
+    # override and the entry is effectively rows-only)
+    tau = float(spark.conf.get("spark.sdt.semdedup.tau", str(_SEM_TAU)))
     e = table(spark, sf_dir, "embeddings")
     a, b = _norm_sides(e, "src", "dst")
     cos = F.expr(_DOT_AB) / (F.col("na") * F.col("nb"))
     edges = (
         a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") < F.col("dst")))
-        .filter(cos >= _SEM_TAU)
+        .filter(cos >= tau)
         .select("src", "dst")
     )
     comp = connected_components(edges).select(

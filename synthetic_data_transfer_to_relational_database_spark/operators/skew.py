@@ -54,27 +54,34 @@ def estimated_plan_bytes(df: DataFrame) -> int:
 _DISPATCH_CACHE: dict[tuple, bool] = {}
 
 
-def small_rank_input(df: DataFrame, cache_key: tuple | None = None) -> bool:
-    """The cost-based rank dispatch shared by ``window_rank`` /
-    ``window_ranks_pct`` / ``multimodal_dyn_batch``: True when Catalyst's
-    optimized-plan size estimate is below
-    ``spark.sdt.rank.smallInputBytes`` (default 1 GiB) — there the
-    one-window plan wins (even a single-task sort of ≤ 1 GiB is a normal
-    task, and the range-slice derivation's fixed jobs would dominate);
-    above it the derivation amortizes. One definition so the conf name,
-    default, and comparison cannot drift between dispatch sites.
+def small_rank_input(
+    df: DataFrame,
+    cache_key: tuple | None = None,
+    conf_name: str = "spark.sdt.rank.smallInputBytes",
+) -> bool:
+    """The cost-based small-input dispatch shared by ``window_rank`` /
+    ``window_ranks_pct`` / ``multimodal_dyn_batch`` (rank sites, conf
+    ``spark.sdt.rank.smallInputBytes``) and the exact-vs-approx
+    percentile sites ``events_anomaly_mad`` / ``orders_rfm`` (conf
+    ``spark.sdt.percentile.smallInputBytes``): True when Catalyst's
+    optimized-plan size estimate is below the conf (default 1 GiB) —
+    there the exact single-pass plan wins (even a single-task sort of
+    ≤ 1 GiB is a normal task, and the scalable branch's fixed overhead
+    would dominate); above it the scalable branch amortizes. One
+    definition so the default and comparison cannot drift between
+    dispatch sites; ``conf_name`` keeps the two families independently
+    tunable (the bench forces the rank branch without flipping the
+    percentile sites).
 
     ``cache_key`` (optional): identity of the INPUT, supplied by callers
-    whose input is a pure projection of an immutable source (the three
+    whose input is a pure projection of an immutable source (the
     dispatch sites pass (query-name, sf_dir)). The verdict is memoized
-    per (cache_key, threshold) so repeated query construction pays the
-    plan-stats round trip once, not per call."""
-    threshold = int(
-        df.sparkSession.conf.get("spark.sdt.rank.smallInputBytes", str(1 << 30))
-    )
+    per (cache_key, conf_name, threshold) so repeated query construction
+    pays the plan-stats round trip once, not per call."""
+    threshold = int(df.sparkSession.conf.get(conf_name, str(1 << 30)))
     if cache_key is None:
         return estimated_plan_bytes(df) <= threshold
-    k = (*cache_key, threshold)
+    k = (*cache_key, conf_name, threshold)
     if k not in _DISPATCH_CACHE:
         _DISPATCH_CACHE[k] = estimated_plan_bytes(df) <= threshold
     return _DISPATCH_CACHE[k]

@@ -14,6 +14,7 @@ cadence is engine-defined, not SQL-reproducible).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.events_stream import (
     run_to_completion,
@@ -137,6 +138,53 @@ _INTERVAL_JOIN_SQL = """
      AND v.ts <= c.ts
      AND v.ts >= c.ts - INTERVAL 30 MINUTE
 """
+
+
+@q("stream_jdbc_exactly_once")
+def stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end run of the exactly-once transactional JDBC streaming
+    sink (streaming/batch_sink.write_stream_to_jdbc): the events stream's
+    tumbling aggregate drains run-to-completion into an embedded Derby
+    table — per micro-batch a staging bulk-append then ONE transaction
+    publishing staging + ledger row — the stream is then RESTARTED
+    against the same checkpoint (recovery drill: replayed/empty batches
+    must not duplicate rows), and the result is the target table read
+    back over spark.read.jdbc.
+
+    Rows-only by design: the payload matches the stream_tumbling oracle
+    semantically, but the value under test is the sink protocol
+    (staging/transaction/ledger/replay), and a JDBC round trip does not
+    preserve Spark-exact column typing for hash comparison. Transactional
+    semantics (checkpoint replay, rollback atomicity, orphan-staging
+    reap) are pytest-locked in tests/test_streaming.py; this entry is the
+    driver-visible surface. Derby stands in for the reference's MSSQL
+    target (run_engine.py:255-266) — same JDBC path, in-process."""
+    import tempfile
+
+    from ..sinks.jdbc import JdbcTarget
+    from ..streaming.batch_sink import write_stream_to_jdbc
+
+    work = tempfile.mkdtemp(prefix="sdt_stream_jdbc_")
+    target = JdbcTarget(url=f"jdbc:derby:{work}/db;create=true", dialect="derby")
+    agg = tumbling_agg(stream_events(spark, sf_dir))
+    for _ in range(2):  # second start = recovery drill against the same checkpoint
+        write_stream_to_jdbc(
+            agg,
+            target,
+            table="EVENTS_TUMBLING",
+            checkpoint_dir=f"{work}/ckpt",
+            available_now=True,
+        ).awaitTermination()
+    back = spark.read.jdbc(
+        target.url, "EVENTS_TUMBLING", properties=target.jdbc_properties()
+    )
+    back = back.toDF(*[c.lower() for c in back.columns])  # Derby may uppercase
+    return back.select(
+        "win_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
 
 
 @q("stream_interval_join", sql=_INTERVAL_JOIN_SQL)

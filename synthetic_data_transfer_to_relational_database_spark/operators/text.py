@@ -800,9 +800,14 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: the candidate join is keyed on token and its fan-out is
     bounded by sum(df^2) over rare tokens <= cap * |tok| — the df cap is
     the knob that keeps the classic inverted-index blowup (quadratic in
-    the hottest token) off the plan; 6% demonstrates the rule on this
-    small-vocab synthetic corpus, at 100 TB tighten it so per-token pair
-    counts fit a task (~1e3-1e4). The corpus size rides in as a lazy
+    the hottest token) off the plan. The cap is
+    ``least(6% * n_docs, spark.sdt.pairs.maxTokenDf)`` (default 10 000):
+    the relative term makes "rare" mean the same thing at 500 docs and
+    50 billion, the ABSOLUTE term is the 100 TB guard — 6% of 50 B docs
+    is 3 B postings on one token key, i.e. ~1e18 candidate pairs from a
+    single just-under-cap token; an absolute df bound keeps every
+    per-token pair block task-sized (1e4 df -> <=5e7 pairs) no matter the
+    corpus. The corpus size rides in as a lazy
     1-row aggregate crossJoin (the tfidf recipe, whitelisted BNLJ).
     Verification joins are keyed (pair)
     then (doc_id, token) — all hash shuffles of id-sized rows, never
@@ -818,15 +823,34 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted index is id+token sized, far under the text it replaces;
     for repeated querying write it out bucketed by token instead (the
     build_lsh_index pattern)."""
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        _doc_pair_commons(spark, sf_dir)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _doc_pair_commons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-generation + exact-overlap machinery behind
+    text_doc_pairs_jaccard and text_containment: inverted token index →
+    df-capped rare postings → token-keyed candidate pairs → exact
+    |A∩B| verification, returning (doc_a < doc_b, n_common, n_a, n_b).
+    All scale discipline (the least(relative, absolute) df cap, keyed
+    verification joins, the single cached tokenize pass) lives HERE so
+    the two consumers cannot drift."""
     d = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
     tok = d.select("doc_id", F.explode(_tokens()).alias("token")).distinct().cache()
     df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     n = sizes.agg(F.count(F.lit(1)).alias("n_docs"))
+    abs_cap = int(spark.conf.get("spark.sdt.pairs.maxTokenDf", "10000"))
     rare = (
         tok.join(df_, "token")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("df") <= F.col("n_docs") * 0.06)
+        .filter(F.col("df") <= F.least(F.col("n_docs") * 0.06, F.lit(abs_cap)))
         .select("doc_id", "token")
     )
     a, b = rare.alias("a"), rare.alias("b")
@@ -851,9 +875,6 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
     return (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
@@ -864,9 +885,86 @@ def text_doc_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sa.n_tok").alias("n_a"),
             F.col("sb.n_tok").alias("n_b"),
         )
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
     )
+
+
+_CONTAINMENT_TAU = 0.7
+
+
+@q(
+    "text_containment",
+    sql=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM sizes
+    ), rare AS (
+      SELECT tok.doc_id, tok.token
+      FROM tok JOIN df USING (token) CROSS JOIN n
+      WHERE df.df <= n.n_docs * 0.06
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+      SELECT doc_a, doc_b, n_common, sa.n_tok AS n_a, sb.n_tok AS n_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ), directed AS (
+      SELECT doc_a AS inner_doc, doc_b AS outer_doc, n_common,
+             n_a AS n_inner, CAST(n_common AS DOUBLE) / n_a AS containment
+      FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, n_common,
+             n_b, CAST(n_common AS DOUBLE) / n_b
+      FROM pairs
+    )
+    SELECT inner_doc, outer_doc, n_common, n_inner, containment
+    FROM directed WHERE containment >= 0.7
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment detection (|A∩B| / |A| — is doc A mostly
+    inside doc B?): the asymmetric twin of text_doc_pairs_jaccard, and
+    the right measure for quote/excerpt/boilerplate-inclusion cases
+    Jaccard misses — a 20-token doc fully contained in a 2000-token doc
+    scores containment 1.0 but Jaccard ~0.01, so symmetric dedup never
+    sees it. Each undirected candidate pair yields BOTH directions;
+    survivors have containment >= 0.7.
+
+    Reuses _doc_pair_commons verbatim (same inverted index, same
+    least(6%, spark.sdt.pairs.maxTokenDf) df cap, same keyed
+    verification joins — one more projection + union on top, no new
+    shuffle). Determinism: one IEEE division of exact integers."""
+    pairs = _doc_pair_commons(spark, sf_dir)
+    fwd = pairs.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        "n_common",
+        F.col("n_a").alias("n_inner"),
+        (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        "n_common",
+        F.col("n_b").alias("n_inner"),
+        (F.col("n_common").cast("double") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= _CONTAINMENT_TAU)
 
 
 @q(

@@ -38,93 +38,88 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-4 window:
-#   1) the 39 queries whose latest driver evidence is round 2 (the r3
-#      window necessarily left them out). events_tumbling/events_sliding
-#      lead: the events.ts loading contract under them changed in r3
-#      (sources/tables.py NANOS/MICROS adaptation) and changed AGAIN this
-#      round (the nanosAsLong conf is now scoped to the read), and only
-#      their session/stream siblings re-validated the r3 change.
-#   2) 11 r3-green sentinels re-swept because code changed under them
-#      this round: the rank-dispatch verdict is now cached per
-#      (input, threshold) (window_rank / window_ranks_pct /
-#      multimodal_dyn_batch), text_tfidf_top's and fk_sample_join's
-#      eager counts went lazy (crossJoin of a 1-row aggregate),
-#      ordered_cumsum grew an integral-type gate
-#      (corpus_token_budget_scalable / corpus_pack_sequences), and the
-#      events/stream readers sit on the scoped-conf loading path
-#      (events_session, events_funnel, scalar_json, stream_tumbling as
-#      the streaming representative — its source adds the
-#      mixed-annotation guard; events_gap_islands cedes its slot: five
-#      other window entries already validate the same loading path).
-# Everything past position 50 is r3-green and unchanged this round,
-# EXCEPT the queries new in r4 — events_retention_cohorts,
-# corpus_quantile_filter (both strict-green locally incl. the
-# forced-scalable branch), text_doc_pairs_jaccard, events_rolling_active,
-# agg_mode, unpivot_long, corpus_dup_ngrams, events_gapfill,
-# sim_knn_graph, dedup_semantic, events_user_paths, events_anomaly_mad,
-# basket_pairs, orders_rfm, graph_triangles (all strict-green locally
-# at sf0.001/0.01/0.1), graph_pagerank (rows-only iterative,
-# invariant-tested in tests/test_llm_ops.py), window_first_last,
-# scalar_null (strict-green at all three SFs) — and
-# events_gap_islands (ceded its slot; loading path covered) — per the
-# README rotation policy all nineteen lead the r5 window. With this window
-# every other key has ≤1-round-old evidence after the r4 sweep. All
-# oracle-paired queries are locally strict-green via tools/driver_sim.py
-# regardless of window position.
+# new/changed queries first, then oldest-evidence first. Round-5 window:
+#   1) the four queries NEW this round: stream_jdbc_exactly_once (the
+#      exactly-once transactional JDBC sink's driver-visible surface,
+#      rows-only), events_rollup_hierarchy (continuous-aggregate
+#      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
+#      rows-only), text_containment (directional excerpt detection).
+#   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
+#      its r4 slot) — their only driver evidence so far is the builder's
+#      local gate + the r4 judge's independent driver_sim run; this
+#      window supplies the external record. Four of them also CHANGED
+#      this round: text_doc_pairs_jaccard (absolute df-cap conf),
+#      graph_triangles (degree-ordered orientation), events_anomaly_mad
+#      and orders_rfm (exact/approx percentile dispatch).
+#   3) three r4-green sentinels re-swept because the shared dispatch
+#      helper changed under them (skew.small_rank_input grew a conf_name
+#      parameter + widened cache key): window_rank, window_ranks_pct,
+#      multimodal_dyn_batch.
+#   4) oldest-evidence (r3) keys fill the remaining 24 slots. Fourteen
+#      r3 keys wait for r6 (incl. corpus_mixture/corpus_curation_pipeline/
+#      text_repetition, whose corpus pack has four in-window members) — each has an in-window family sibling
+#      re-validating its shared code path this round (scalar_* pack →
+#      scalar_null/scalar_json; text_term_freq/lang_id/quality/token_bpe
+#      → the in-window text/corpus entries; sim_centroid_by_label/
+#      _scalable → sim_knn_graph/dedup_semantic; stream_sliding/_session
+#      → stream_jdbc_exactly_once over the same source) — and all are
+#      locally strict-green via tools/driver_sim.py regardless of
+#      window position.
 _SWEEP_FIRST = [
-    # -- 1) latest evidence is round 2 --------------------------------
-    "events_tumbling",
-    "events_sliding",
-    "revenue_by_nation",
-    "scan_project",
-    "filter_pred",
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_range",
-    "agg_hash",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_gsets",
-    "window_lag",
-    "sort_limit",
-    "topk_per_group",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "dedup_exact",
-    "dedup_key_norm",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_lsh_verified",
-    "sim_search",
-    "vector_norms",
-    "sim_centroid_pandas",
-    "sim_search_lsh",
-    "sim_search_ivf_lloyd",
-    "rag_retrieve",
-    "multimodal_bytes",
-    "multimodal_features",
-    "above_order_avg",
-    "scalar_array",
-    "text_fingerprint",
-    # -- 2) r3-green sentinels (code changed under them this round) ---
+    # -- 1) new in r5 -------------------------------------------------
+    "stream_jdbc_exactly_once",
+    "events_rollup_hierarchy",
+    "agg_sketch_union",
+    "text_containment",
+    # -- 2) new in r4: first external driver sweep --------------------
+    "events_retention_cohorts",
+    "corpus_quantile_filter",
+    "text_doc_pairs_jaccard",
+    "events_rolling_active",
+    "agg_mode",
+    "unpivot_long",
+    "corpus_dup_ngrams",
+    "sim_knn_graph",
+    "dedup_semantic",
+    "events_user_paths",
+    "events_anomaly_mad",
+    "basket_pairs",
+    "orders_rfm",
+    "graph_triangles",
+    "graph_pagerank",
+    "window_first_last",
+    "scalar_null",
+    "events_gapfill",
+    "events_gap_islands",
+    # -- 3) sentinels: shared dispatch helper changed this round ------
     "window_rank",
     "window_ranks_pct",
     "multimodal_dyn_batch",
-    "text_tfidf_top",
-    "corpus_token_budget_scalable",
-    "corpus_pack_sequences",
-    "events_session",
-    "events_funnel",
-    "fk_sample_join",
-    "scalar_json",
-    "stream_tumbling",
+    # -- 4) oldest evidence (r3), refresh ----------------------------
+    "window_frame",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "dedup_cluster",
+    "sim_classifier_udf",
+    "multimodal_frame_sample",
+    "gen_synthetic_orders",
+    "stream_user_profile",
+    "stream_dedup",
+    "stream_interval_join",
+    "join_asof",
+    "join_full_outer",
+    "agg_string",
+    "pivot_wide",
+    "sample_hash",
+    "agg_median",
+    "join_salted",
+    "agg_approx_percentile",
+    "text_stats",
+    "udf_surface",
+    "sample_stratified",
+    "text_contamination",
+    "text_pii_scan",
+    "corpus_diff",
 ]
 
 

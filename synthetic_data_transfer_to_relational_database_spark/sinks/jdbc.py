@@ -49,6 +49,23 @@ class JdbcTarget:
 # --- K1: driver-side statement executor --------------------------------
 
 
+def _connect(jvm, target: JdbcTarget):
+    """Open a driver-side java.sql connection honoring
+    ``target.properties`` (user/password/...): ``write_table``
+    authenticates via properties, so the driver-side paths must too or
+    the staging write succeeds while the publish cannot connect on any
+    authenticated target (the mssql dialect this repo aims at). The
+    ``driver`` key is Spark's spelling, not a JDBC property — it is
+    loaded via Class.forName instead of passed through."""
+    if target.driver:
+        jvm.java.lang.Class.forName(target.driver)
+    props = jvm.java.util.Properties()
+    for k, v in target.jdbc_properties().items():
+        if k != "driver":
+            props.setProperty(k, v)
+    return jvm.java.sql.DriverManager.getConnection(target.url, props)
+
+
 def execute_statements(
     spark: SparkSession,
     target: JdbcTarget,
@@ -62,9 +79,7 @@ def execute_statements(
     (apply_mssql.py:94-102 semantics).
     """
     jvm = spark._sc._jvm  # noqa: SLF001 — java.sql lives JVM-side
-    if target.driver:
-        jvm.java.lang.Class.forName(target.driver)
-    conn = jvm.java.sql.DriverManager.getConnection(target.url)
+    conn = _connect(jvm, target)
     results: list[tuple[str, str | None]] = []
     try:
         stmt = conn.createStatement()
@@ -93,9 +108,7 @@ def query_values(
     cost a full job — the streaming sink probes its ledger once per
     micro-batch with this."""
     jvm = spark._sc._jvm  # noqa: SLF001 — java.sql lives JVM-side
-    if target.driver:
-        jvm.java.lang.Class.forName(target.driver)
-    conn = jvm.java.sql.DriverManager.getConnection(target.url)
+    conn = _connect(jvm, target)
     try:
         stmt = conn.createStatement()
         try:
@@ -123,9 +136,7 @@ def execute_transaction(
     sink side for multi-statement atomicity (the streaming exactly-once
     publish in streaming/batch_sink.py relies on it)."""
     jvm = spark._sc._jvm  # noqa: SLF001 — java.sql lives JVM-side
-    if target.driver:
-        jvm.java.lang.Class.forName(target.driver)
-    conn = jvm.java.sql.DriverManager.getConnection(target.url)
+    conn = _connect(jvm, target)
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()

@@ -100,7 +100,8 @@ def write_stream_to_jdbc(
     2. ONE transaction (``execute_transaction``) publishes staging →
        target AND records batch_id in a DB-resident ledger table —
        target and ledger move atomically, so a crash anywhere leaves at
-       worst an orphan staging table, never duplicated target rows;
+       worst an orphan staging table, never duplicated target rows
+       (the replay path reaps the orphan with a best-effort DROP);
     3. batch_ids already in the ledger drain through the noop sink
        (Spark 4 validates every partition is processed). The membership
        probe is a single-row driver-side SELECT (``query_values``), not
@@ -147,6 +148,15 @@ def write_stream_to_jdbc(
             f"SELECT BATCH_ID FROM {ledger} WHERE BATCH_ID = {int(batch_id)}",
         )
         if committed:
+            # a crash BETWEEN the publish transaction and DROP TABLE
+            # leaves this batch's staging table orphaned; the replay
+            # path is the natural reaper (best-effort — absent is fine)
+            execute_statements(
+                spark,
+                target,
+                [f"DROP TABLE {table}_STG_{batch_id}"],
+                continue_on_error=True,
+            )
             batch_df.write.format("noop").mode("overwrite").save()
             return
         staging = f"{table}_STG_{batch_id}"

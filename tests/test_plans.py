@@ -27,6 +27,7 @@ _BNLJ_OK = {
     "fk_sample_join",
     "events_rolling_active",
     "text_doc_pairs_jaccard",
+    "text_containment",  # same 1-row n_docs crossJoin via _doc_pair_commons
     "orders_rfm",
 }
 

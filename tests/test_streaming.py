@@ -239,3 +239,16 @@ def test_foreachbatch_jdbc_sink_exactly_once(spark, tmp_path):
     )
     q3.awaitTermination()
     assert _rows(read_table(spark, target, "EventAgg")) == _rows(want)
+
+
+def test_stream_jdbc_exactly_once_registry_entry_matches_batch(spark):
+    """The driver-facing stream_jdbc_exactly_once entry (run → restart
+    drill → JDBC read-back) must reproduce the batch events_tumbling
+    result row-for-row — the sink protocol adds durability, never rows."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.streaming_ops import (
+        QUERIES as STREAM_QUERIES,
+    )
+
+    got = STREAM_QUERIES["stream_jdbc_exactly_once"](spark, SF_DIR)
+    want = batch_events.QUERIES["events_tumbling"](spark, SF_DIR)
+    assert _rows(got) == _rows(want)
