@@ -216,3 +216,62 @@ def test_execute_transaction_rolls_back_atomically(spark, derby):
         )
     vals = sorted(int(v) for v in query_values(spark, derby, "SELECT N FROM TxProbe"))
     assert vals == [1]  # the committed row only; 2 was rolled back
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SDT_MSSQL_URL"),
+    reason="live MSSQL dialect test: set SDT_MSSQL_URL "
+    "(jdbc:sqlserver://...;user=...;password=...) to run — no SQL Server "
+    "in the sandbox; Derby cannot exercise sp_msforeachtable or GO-batch "
+    "replay (the documented dialect gap, reference run_engine.py:227-228)",
+)
+def test_mssql_dialect_live_constraint_gate_and_load(spark):
+    """Against a real SQL Server (env-gated): deploy the mini schema,
+    verify the sp_msforeachtable NOCHECK/CHECK bracket actually toggles
+    (an FK-violating insert succeeds inside the bracket, fails outside),
+    bulk-append through write_table, and read the rows back."""
+    import os
+
+    target = JdbcTarget(url=os.environ["SDT_MSSQL_URL"], dialect="mssql")
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        constraint_gate_statements,
+        query_values,
+    )
+
+    execute_statements(
+        spark, target, ["DROP TABLE Siparis", "DROP TABLE Musteri"],
+        continue_on_error=True,
+    )
+    results = execute_statements(spark, target, DDL, continue_on_error=False)
+    assert all(err is None for _, err in results)
+
+    # inside the bracket an orphan FK row must be accepted (the
+    # reference's load mode), outside it must be rejected
+    execute_statements(
+        spark, target, constraint_gate_statements(target, [], enable=False)
+    )
+    orphan = (
+        "INSERT INTO Siparis (Id, MusteriId, Tutar) "
+        "VALUES ('o1', 'no-such-parent', 1.00)"
+    )
+    assert execute_statements(spark, target, [orphan])[0][1] is None
+    execute_statements(spark, target, ["DELETE FROM Siparis"])
+    execute_statements(
+        spark, target, constraint_gate_statements(target, [], enable=True)
+    )
+    assert execute_statements(spark, target, [orphan])[0][1] is not None
+
+    plan = GenerationPlan(
+        spark, _schema(), seed=7, row_counts={"Musteri": 50, "Siparis": 200}
+    )
+    built = plan.run(materialize=False)
+    write_table(built["Musteri"], target, "Musteri")
+    write_table(built["Siparis"], target, "Siparis")
+    assert query_values(spark, target, "SELECT COUNT(*) FROM Siparis") == [200]
+    orphans = query_values(
+        spark,
+        target,
+        "SELECT COUNT(*) FROM Siparis s "
+        "LEFT JOIN Musteri m ON m.Id = s.MusteriId WHERE m.Id IS NULL",
+    )
+    assert orphans == [0]
