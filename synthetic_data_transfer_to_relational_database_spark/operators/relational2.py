@@ -775,3 +775,148 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(cents).over(w).cast("long").alias("last_price_cents"),
         F.nth_value(cents, 2).over(w).cast("long").alias("second_price_cents"),
     )
+
+
+@q(
+    "skew_profile",
+    sql="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS p50_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt
+      FROM per_key
+    ), top AS (
+      SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk
+      FROM per_key
+    )
+    SELECT t.rnk, t.key, t.cnt,
+           s.n_keys, s.n_rows, s.max_cnt, s.p50_cnt, s.p99_cnt,
+           CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio
+    FROM top t CROSS JOIN stats s
+    WHERE t.rnk <= 10
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key count distribution (p50/p99/
+    max), the top-10 heaviest keys, and the max-to-mean skew ratio — the
+    query you run BEFORE choosing between a plain shuffle join,
+    skew.salted_join, or an AQE skew hint. skew_ratio ~1 means uniform;
+    >> 1 means the hottest reducer does that multiple of the average
+    reducer's work.
+
+    Scale notes: one partial-agg-friendly count by key; everything after
+    operates on the KEY-cardinality frame (counts, not rows) — which can
+    itself be billions of keys, so the top-10 is a distributed
+    TakeOrderedAndProject (per-partition partial top-k, never a global
+    unpartitioned window; the rank is then a window over the 10
+    surviving rows only) and the 1-row stats frame broadcasts back
+    (whitelisted 1-row crossJoin shape). The exact percentiles here are
+    over one value PER KEY; with billions of keys swap in the
+    percentile_approx dispatch exactly as orders_rfm does."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
+    )
+    top10 = per_key.orderBy(F.desc("cnt"), "key").limit(10)
+    w = Window.orderBy(F.desc("cnt"), "key")
+    top = top10.withColumn("rnk", F.row_number().over(w))
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rnk",
+        "key",
+        "cnt",
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+@q(
+    "snapshot_merge_upsert",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+                  WHEN o_orderkey % 3 = 0 THEN 'insert'
+                  ELSE 'update' END AS op,
+             o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS price_cents
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+    )
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(c.price_cents, b.price_cents) AS price_cents,
+           CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_op
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE COALESCE(c.op, '') <> 'delete'
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (the Delta/Iceberg MERGE INTO semantics on plain
+    parquet frames): a change feed with insert/update/delete ops applied
+    to a snapshot in ONE full-outer join — change rows win, deletes drop
+    the key, unmatched base rows carry forward, and every output row is
+    tagged with what happened to it. The inputs are carved
+    deterministically from `orders` (keys %3 missing from the snapshot
+    arrive as inserts, %5 as updates with +500 cents, %7 among the
+    changes as deletes) so both engines replay the identical merge.
+
+    Scale notes: THE CDC-compaction shape at 100 TB — one key-keyed
+    full-outer shuffle join (full outer cannot broadcast, correctly),
+    no window, no per-key state; AQE handles a skewed change feed. In a
+    real pipeline the snapshot side is bucketed/partitioned by the merge
+    key so only changed partitions rewrite (sinks/parquet_layout's
+    bucketed writer is that layout)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", cents.alias("price_cents")
+    )
+    changes = (
+        o.filter((F.col("o_orderkey") % 3 == 0) | (F.col("o_orderkey") % 5 == 0))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+            .when(F.col("o_orderkey") % 3 == 0, F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            "o_custkey",
+            (cents + 500).alias("price_cents"),
+        )
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return merged.filter(
+        F.coalesce(F.col("c.op"), F.lit("")) != "delete"
+    ).select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("c.price_cents"), F.col("b.price_cents")).alias("price_cents"),
+        F.when(F.col("c.o_orderkey").isNull(), F.lit("kept"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_op"),
+    )

@@ -1031,3 +1031,51 @@ def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac", F.col("n_dup").cast("double") / F.col("n_grams")
         )
     )
+
+
+@q(
+    "corpus_split",
+    sql="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by CONTENT-STABLE
+    hash of the document key — the split every training pipeline needs to
+    be reproducible across runs, engines, and re-partitioning (a
+    rand()-based split is none of those; Spark's randomSplit is also
+    partition-sensitive). md5 rather than xxhash64 so the oracle can
+    reproduce it bit-for-bit; the first 8 hex chars give a uniform
+    32-bit bucket.
+
+    Scale notes: a pure narrow projection — no shuffle, no state,
+    trivially pushes through whatever scan partitioning exists. Writing
+    the result partitioned by split is the one-extra-line follow-up
+    (sinks/parquet_layout). Leakage guard: hashing the doc_id keeps a
+    doc's split stable even when text is re-cleaned; hash the TEXT
+    digest instead when near-dup leakage across splits matters
+    (compose with dedup_cluster's representatives upstream)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

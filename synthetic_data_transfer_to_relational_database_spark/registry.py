@@ -39,11 +39,13 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the four queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the seven queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
-#      rows-only), text_containment (directional excerpt detection).
+#      rows-only), text_containment (directional excerpt detection),
+#      corpus_split (hash train/val/test), skew_profile (heavy-key
+#      diagnostic), snapshot_merge_upsert (CDC MERGE semantics).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -55,9 +57,11 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 24 slots. Fourteen
+#   4) oldest-evidence (r3) keys fill the remaining 21 slots. Seventeen
 #      r3 keys wait for r6 (incl. corpus_mixture/corpus_curation_pipeline/
-#      text_repetition, whose corpus pack has four in-window members) — each has an in-window family sibling
+#      text_repetition — the corpus pack has four in-window members —
+#      join_full_outer, whose full-outer shape the in-window
+#      snapshot_merge_upsert exercises, agg_string and sample_stratified) — each has an in-window family sibling
 #      re-validating its shared code path this round (scalar_* pack →
 #      scalar_null/scalar_json; text_term_freq/lang_id/quality/token_bpe
 #      → the in-window text/corpus entries; sim_centroid_by_label/
@@ -71,6 +75,9 @@ _SWEEP_FIRST = [
     "events_rollup_hierarchy",
     "agg_sketch_union",
     "text_containment",
+    "corpus_split",
+    "skew_profile",
+    "snapshot_merge_upsert",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -107,8 +114,6 @@ _SWEEP_FIRST = [
     "stream_dedup",
     "stream_interval_join",
     "join_asof",
-    "join_full_outer",
-    "agg_string",
     "pivot_wide",
     "sample_hash",
     "agg_median",
@@ -116,7 +121,6 @@ _SWEEP_FIRST = [
     "agg_approx_percentile",
     "text_stats",
     "udf_surface",
-    "sample_stratified",
     "text_contamination",
     "text_pii_scan",
     "corpus_diff",

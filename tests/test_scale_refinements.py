@@ -293,3 +293,37 @@ def test_containment_finds_excerpt_jaccard_misses(spark, tmp_path):
                 want[(a, b)] = c
     assert cont == want
     spark.catalog.clearCache()
+
+
+def test_corpus_split_deterministic_proportions(spark, sf_dir_mid):
+    """The hash split must assign every doc exactly once, reproduce
+    identically across runs, and land within 2 points of 90/5/5."""
+    q = TEXT_QUERIES["corpus_split"]
+    a = {r.doc_id: r.split for r in q(spark, sf_dir_mid).collect()}
+    b = {r.doc_id: r.split for r in q(spark, sf_dir_mid).collect()}
+    assert a == b
+    n = len(a)
+    d = table(spark, sf_dir_mid, "documents")
+    assert n == d.count()
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.90) < 0.02
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+
+
+def test_skew_profile_top10_is_distributed_topk(spark, sf_dir_mid):
+    """The heavy-key ranking must be a TakeOrderedAndProject (distributed
+    partial top-k) — a global unpartitioned row_number window over the
+    full key frame would single-partition billions of keys."""
+    df = REL2_QUERIES["skew_profile"](spark, sf_dir_mid)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert [r.rnk for r in rows] == list(range(1, 11))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    # stats columns are identical on every row (one broadcast stats row)
+    assert len({(r.n_keys, r.n_rows, r.max_cnt) for r in rows}) == 1
+    assert rows[0].cnt == rows[0].max_cnt
