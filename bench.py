@@ -63,7 +63,10 @@ FORCED_SCALABLE = "window_rank_scalable_forced"
 # all-pairs similarity join (multi-join + cached token index) and the
 # blocked kNN-graph (block-quadratic cosine + per-src window).
 EXTRA = ["text_doc_pairs_jaccard", "sim_knn_graph"]
-NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA}
+# New in r5 (no prior numbers): tracked but outside BOTH comparable
+# totals until r6 — the PQ entry times train(3 Lloyd jobs)+encode+ADC.
+EXTRA_R5 = ["sim_search_pq"]
+NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5}
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both
 # totals means a regression in the three most expensive plans is visible
@@ -150,7 +153,7 @@ def run_sample(sf_dir: str) -> dict:
         # clear outside the timed region so entries stay independent
         spark.catalog.clearCache()
 
-    for name in [*HEADLINE, *EXTRA]:
+    for name in [*HEADLINE, *EXTRA, *EXTRA_R5]:
         fn = queries[name]
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
@@ -171,7 +174,9 @@ def run_sample(sf_dir: str) -> dict:
         "queries": timings,
         "total": round(sum(timings.values()), 3),
         "total_r3_comparable": round(sum(timings[k] for k in comparable), 3),
-        "total_r4_comparable": round(sum(timings.values()), 3),
+        "total_r4_comparable": round(
+            sum(v for k, v in timings.items() if k not in EXTRA_R5), 3
+        ),
         # same exclusions as total_r3_comparable: this figure's whole
         # purpose is comparability with rounds that predate the entries
         "single_pass_total": round(
@@ -243,7 +248,9 @@ def main() -> None:
                 "queries": queries,
                 "method": f"best_of_2_x{len(samples)}jvm",
                 "total_r3_comparable": round(sum(queries[n] for n in comparable), 3),
-                "total_r4_comparable": total,
+                "total_r4_comparable": round(
+                    sum(v for n, v in queries.items() if n not in EXTRA_R5), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

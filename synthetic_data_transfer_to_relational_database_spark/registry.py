@@ -39,13 +39,14 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the seven queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the eight queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
 #      rows-only), text_containment (directional excerpt detection),
 #      corpus_split (hash train/val/test), skew_profile (heavy-key
-#      diagnostic), snapshot_merge_upsert (CDC MERGE semantics).
+#      diagnostic), snapshot_merge_upsert (CDC MERGE semantics),
+#      sim_search_pq (product-quantization ANN, rows-only).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -57,11 +58,14 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 21 slots. Seventeen
-#      r3 keys wait for r6 (incl. corpus_mixture/corpus_curation_pipeline/
+#   4) oldest-evidence (r3) keys fill the remaining 20 slots. Eighteen
+#      r3 keys wait for r6 (multimodal_frame_sample cedes: rows-only,
+#      invariant-tested, with multimodal_dyn_batch in-window on the same
+#      Arrow plumbing; (incl. corpus_mixture/corpus_curation_pipeline/
 #      text_repetition — the corpus pack has four in-window members —
 #      join_full_outer, whose full-outer shape the in-window
-#      snapshot_merge_upsert exercises, agg_string and sample_stratified) — each has an in-window family sibling
+#      snapshot_merge_upsert exercises, agg_string and sample_stratified)
+#      — all locally strict-green — each has an in-window family sibling
 #      re-validating its shared code path this round (scalar_* pack →
 #      scalar_null/scalar_json; text_term_freq/lang_id/quality/token_bpe
 #      → the in-window text/corpus entries; sim_centroid_by_label/
@@ -78,6 +82,7 @@ _SWEEP_FIRST = [
     "corpus_split",
     "skew_profile",
     "snapshot_merge_upsert",
+    "sim_search_pq",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -108,7 +113,6 @@ _SWEEP_FIRST = [
     "dedup_embedding",
     "dedup_cluster",
     "sim_classifier_udf",
-    "multimodal_frame_sample",
     "gen_synthetic_orders",
     "stream_user_profile",
     "stream_dedup",

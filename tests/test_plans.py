@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # of an eager count()/bounds at construction)
 _BNLJ_OK = {
     "sim_search",
+    "sim_search_pq",  # 10-row LUT broadcast, same ANN serve shape
     "sim_search_lsh",
     "rag_retrieve",
     "text_tfidf_top",

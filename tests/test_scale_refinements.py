@@ -327,3 +327,69 @@ def test_skew_profile_top10_is_distributed_topk(spark, sf_dir_mid):
     # stats columns are identical on every row (one broadcast stats row)
     assert len({(r.n_keys, r.n_rows, r.max_cnt) for r in rows}) == 1
     assert rows[0].cnt == rows[0].max_cnt
+
+
+def test_pq_matches_python_reimplementation_and_recall(spark, sf_dir):
+    """sim_search_pq pinned EXACTLY against a pure-Python PQ sharing the
+    trained codebook (encode → ADC → top-k must agree pair-for-pair),
+    plus a recall floor vs exact L2 — the quality the 64× compression
+    buys must be real, not incidental."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _TOP_K,
+        QUERIES as SIM_QUERIES,
+        pq_train,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    codebook = pq_train(e)
+    assert len(codebook) == _PQ_M and all(len(cb) == _PQ_K for cb in codebook)
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def encode(v):
+        return [
+            min(range(_PQ_K), key=lambda c: (sq(v[j * _PQ_D:(j + 1) * _PQ_D], codebook[j][c]), c))
+            for j in range(_PQ_M)
+        ]
+
+    codes = {i: encode(v) for i, v in vecs.items()}
+    want = {}
+    for qid in range(_N_QUERIES):
+        qv = vecs[qid]
+        lut = [[sq(qv[j * _PQ_D:(j + 1) * _PQ_D], c) for c in codebook[j]] for j in range(_PQ_M)]
+        scored = [
+            (sum(lut[j][codes[i][j]] for j in range(_PQ_M)), i)
+            for i in vecs
+            if i != qid
+        ]
+        scored.sort()
+        want[qid] = [(i, d) for d, i in scored[:_TOP_K]]
+
+    got_rows = SIM_QUERIES["sim_search_pq"](spark, sf_dir).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rn)):
+        got.setdefault(r.query_id, []).append((r.vec_id, r.approx_dist))
+    assert set(got) == set(want)
+    for qid in want:
+        assert [i for i, _ in got[qid]] == [i for i, _ in want[qid]], qid
+        for (gi, gd), (wi, wd) in zip(got[qid], want[qid]):
+            assert abs(gd - wd) < 1e-9
+
+    # recall@5 vs exact L2: PQ must beat random by a wide margin
+    hits = total = 0
+    for qid in range(_N_QUERIES):
+        qv = vecs[qid]
+        exact = sorted((sq(qv, v), i) for i, v in vecs.items() if i != qid)
+        exact_top = {i for _, i in exact[:_TOP_K]}
+        hits += len(exact_top & {i for i, _ in got[qid]})
+        total += _TOP_K
+    assert hits / total >= 0.3, f"recall@{_TOP_K} = {hits/total:.2f}"
