@@ -836,29 +836,37 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     codebook = pq_train(e, cache_key=("sim_search_pq", sf_dir))
     encoded = pq_encode(e, codebook)
-
     qrows = sorted(
         e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    return _pq_serve(e.sparkSession, encoded, codebook, queries, _TOP_K)
+
+
+def _pq_serve(
+    spark: SparkSession,
+    encoded: DataFrame,
+    codebook: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    top_k: int,
+) -> DataFrame:
+    """Shared ADC serving plan: per query a 16×16 LUT of exact squared
+    subspace distances computed driver-side (tiny), broadcast against
+    the codes frame; approx distance = 16 lookups + adds per vector;
+    per-query top-k. One definition so the in-memory (sim_search_pq)
+    and persisted-index (pq_search_indexed) paths cannot drift."""
     lut_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r["embedding"]]
+    for qid, qv in queries:
         lut = [
             [
-                sum(
-                    (qv[j * _PQ_D + i] - c[i]) ** 2
-                    for i in range(_PQ_D)
-                )
+                sum((float(qv[j * _PQ_D + i]) - c[i]) ** 2 for i in range(_PQ_D))
                 for c in codebook[j]
             ]
             for j in range(_PQ_M)
         ]
-        lut_rows.append((r["vec_id"], lut))
-    luts = e.sparkSession.createDataFrame(
-        lut_rows, "query_id long, luts array<array<double>>"
-    )
-
+        lut_rows.append((qid, lut))
+    luts = spark.createDataFrame(lut_rows, "query_id long, luts array<array<double>>")
     adc = F.expr(
         f"aggregate(sequence(1, {_PQ_M}), cast(0 as double), "
         "(acc, j) -> acc + element_at(element_at(luts, j), element_at(codes, j) + 1))"
@@ -871,4 +879,40 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
     return scored.select(
         "query_id", "vec_id", "approx_dist", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= _TOP_K)
+    ).filter(F.col("rn") <= top_k)
+
+
+def build_pq_index(e: DataFrame, path: str, iters: int = 3) -> list[list[list[float]]]:
+    """Persist the PQ serving index: train the codebook, write the
+    encoded corpus as parquet at ``path`` (vec_id, label, codes), and
+    write the codebook itself alongside under ``<path>/_codebook.json``
+    (a 4 KB model artifact — the durable form of the ``_PQ_MODELS``
+    memo). At 100 TB this is the build-once step: later queries read the
+    16-byte-per-vector codes and never touch raw embeddings (the
+    build_lsh_index recipe applied to vectors). Returns the codebook."""
+    import json as _json
+    import os as _os
+
+    codebook = pq_train(e, iters=iters)
+    pq_encode(e, codebook).write.mode("overwrite").parquet(path)
+    with open(_os.path.join(path, "_codebook.json"), "w") as f:
+        _json.dump(codebook, f)
+    return codebook
+
+
+def pq_search_indexed(
+    spark: SparkSession, path: str, queries: list[tuple[int, list[float]]], top_k: int = _TOP_K
+) -> DataFrame:
+    """Serve ANN queries against a persisted ``build_pq_index`` dataset:
+    load the 4 KB codebook, compute each query's 16×16 LUT driver-side,
+    and score the CODES parquet — the scan reads 16 bytes per vector,
+    never an embedding. ``queries`` are (query_id, vector) pairs.
+    Test-locked against the self-contained sim_search_pq plan
+    (tests/test_scale_refinements.py)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_codebook.json")) as f:
+        codebook = _json.load(f)
+    encoded = spark.read.parquet(path)
+    return _pq_serve(spark, encoded, codebook, queries, top_k)

@@ -393,3 +393,34 @@ def test_pq_matches_python_reimplementation_and_recall(spark, sf_dir):
         hits += len(exact_top & {i for i, _ in got[qid]})
         total += _TOP_K
     assert hits / total >= 0.3, f"recall@{_TOP_K} = {hits/total:.2f}"
+
+
+def test_pq_persisted_index_matches_inline_plan(spark, sf_dir, tmp_path):
+    """build_pq_index → pq_search_indexed must reproduce sim_search_pq
+    row-for-row: the persisted index (16-byte codes + 4 KB codebook
+    JSON) is the same model, serving from parquet instead of re-deriving
+    — and the index dataset must not contain embeddings at all."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.similarity import (
+        _N_QUERIES,
+        QUERIES as SIM_QUERIES,
+        build_pq_index,
+        pq_search_indexed,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_index")
+    build_pq_index(e, path)
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "label", "codes"}
+
+    queries = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    got = sorted(
+        tuple(r) for r in pq_search_indexed(spark, path, queries).collect()
+    )
+    want = sorted(tuple(r) for r in SIM_QUERIES["sim_search_pq"](spark, sf_dir).collect())
+    assert got == want
