@@ -203,3 +203,93 @@ def multimodal_dyn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("batch_pad_to", F.max("n_bytes").over(w_batch))
         .select("doc_id", "n_bytes", "size_bucket", "batch_id", "batch_pad_to")
     )
+
+
+@q(
+    "multimodal_phash_dedup",
+    sql="""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 15), j ->
+               CASE WHEN
+                 (ascii(substr(text, j*4+1, 1)) + ascii(substr(text, j*4+2, 1))
+                  + ascii(substr(text, j*4+3, 1)) + ascii(substr(text, j*4+4, 1))) * 16
+                 > list_sum(list_transform(generate_series(1, 64),
+                                           i -> ascii(substr(text, i, 1))))
+               THEN 1 << j ELSE 0 END)) AS BIGINT) AS sig
+      FROM documents WHERE length(text) >= 64
+    ), banded AS (
+      SELECT doc_id, sig, b.band,
+             (sig >> (b.band * 4)) & 15 AS band_sig
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                      b.doc_id AS doc_b, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, sig_a, sig_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 2
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads: the
+    average-hash (aHash) algorithm — 16 payload blocks, bit j set when
+    block j's intensity beats the payload mean — banded 4×4 LSH-style so
+    candidates share at least one identical band (hamming ≤ 2 over 16
+    bits guarantees ≥ 2 untouched bands: banding has recall 1 here, not
+    probabilistic), then exact hamming verification on candidates. The
+    'intensity' source is the stand-in text payload's byte values
+    (module convention — a real pipeline substitutes the decoded raster
+    for the byte stream and keeps this exact plan). The mean comparison
+    is pure integer arithmetic (sum_j·16 > total over 64 samples), so
+    the whole operator is oracle-paired, unlike the probabilistic
+    MinHash/SimHash text twins.
+
+    Scale notes: signatures are map-side expressions; the only shuffle
+    is the (band, band_sig) bucket join of (doc_id, sig) rows — payloads
+    never shuffle. A degenerate hot bucket (constant-color corpus) is
+    the df-cap situation; cap or salt as in text_doc_pairs_jaccard."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    total = F.expr(
+        "aggregate(transform(sequence(1, 64), i -> ascii(substr(text, i, 1))),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    bits = []
+    for j in range(16):
+        block = sum(
+            (F.ascii(F.substring("text", j * 4 + i + 1, 1)) for i in range(1, 4)),
+            F.ascii(F.substring("text", j * 4 + 1, 1)),
+        )
+        bits.append(F.when(block * 16 > F.col("__total"), F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = d.select(
+        "doc_id", total.alias("__total"), F.col("text")
+    ).select("doc_id", sum(bits[1:], bits[0]).cast("long").alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("band_sig", F.expr("shiftright(sig, band * 4) & 15"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming.cast("long")).filter(
+        F.col("hamming") <= 2
+    )

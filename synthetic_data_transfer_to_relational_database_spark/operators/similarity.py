@@ -916,3 +916,90 @@ def pq_search_indexed(
         codebook = _json.load(f)
     encoded = spark.read.parquet(path)
     return _pq_serve(spark, encoded, codebook, queries, top_k)
+
+
+_IVFPQ_CENTROIDS: dict[tuple, list[list[float]]] = {}
+
+
+@q("sim_search_ivfpq")
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the production ANN composition (the FAISS IVFADC
+    layout): the Lloyd-refined coarse quantizer prunes the corpus to
+    ``_N_PROBE`` of ``_N_CELLS`` cells per query, and ASYMMETRIC
+    PQ distance scores only the surviving cells' 16-byte codes — the
+    scan does cells/probed× less work than sim_search_pq and touches no
+    raw vectors, which is the serving shape when neither the corpus nor
+    even its codes fit one machine's scan budget.
+
+    Both trained models are memoized per immutable input (the
+    `_PQ_MODELS` recipe); rows-only by design, pinned exactly against a
+    pure-Python reimplementation in tests/test_scale_refinements.py.
+
+    Scale notes: cell assignment and PQ encoding are one map-side pass;
+    the serve is a broadcast of (query, probed-cell, LUT) rows joined on
+    the CELL key — an equi-join that touches only probed partitions
+    (partition the codes dataset by cell on disk and the scan prunes to
+    probed cells before reading a byte)."""
+    e = table(spark, sf_dir, "embeddings")
+    ck = ("ivfpq_cells", sf_dir)
+    if ck not in _IVFPQ_CENTROIDS:
+        _IVFPQ_CENTROIDS[ck] = _lloyd_refine(e, _seed_centroids(e), iters=3)
+    cvs = _IVFPQ_CENTROIDS[ck]
+    codebook = pq_train(e, cache_key=("sim_search_pq", sf_dir))  # shared PQ model
+
+    def dot_with(c: list[float]):
+        arr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = e.select(
+        "vec_id",
+        "embedding",
+        F.array(*[dot_with(c) for c in cvs]).alias("cell_scores"),
+    )
+    encoded = scored.select(
+        "vec_id",
+        (F.array_position(F.col("cell_scores"), F.array_max("cell_scores")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array(*[_pq_code(j, codebook) for j in range(_PQ_M)]).alias("codes"),
+    )
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    lut_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        cell_scores = [sum(qv[i] * c[i] for i in range(len(qv))) for c in cvs]
+        probed = sorted(
+            range(len(cvs)), key=lambda ci: (-cell_scores[ci], ci)
+        )[:_N_PROBE]
+        lut = [
+            [
+                sum((qv[j * _PQ_D + i] - c[i]) ** 2 for i in range(_PQ_D))
+                for c in codebook[j]
+            ]
+            for j in range(_PQ_M)
+        ]
+        for cell in probed:
+            lut_rows.append((r["vec_id"], cell, lut))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, cell int, luts array<array<double>>"
+    )
+    adc = F.expr(
+        f"aggregate(sequence(1, {_PQ_M}), cast(0 as double), "
+        "(acc, j) -> acc + element_at(element_at(luts, j), element_at(codes, j) + 1))"
+    )
+    pairs = F.broadcast(luts).join(
+        encoded, (luts.cell == encoded.cell) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored_q = pairs.select("query_id", "vec_id", adc.alias("approx_dist"))
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    return scored_q.select(
+        "query_id", "vec_id", "approx_dist", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _TOP_K)

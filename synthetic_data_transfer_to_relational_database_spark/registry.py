@@ -39,14 +39,16 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the eight queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the ten queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
 #      rows-only), text_containment (directional excerpt detection),
 #      corpus_split (hash train/val/test), skew_profile (heavy-key
 #      diagnostic), snapshot_merge_upsert (CDC MERGE semantics),
-#      sim_search_pq (product-quantization ANN, rows-only).
+#      sim_search_pq / sim_search_ivfpq (product-quantization ANN and
+#      the IVF×PQ composition, rows-only), multimodal_phash_dedup
+#      (integer-exact aHash near-dup over payload blocks).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -58,8 +60,10 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 20 slots. Eighteen
-#      r3 keys wait for r6 (multimodal_frame_sample cedes: rows-only,
+#   4) oldest-evidence (r3) keys fill the remaining 18 slots. Twenty
+#      r3 keys wait for r6 (join_salted and stream_user_profile cede
+#      this round — rows-only/test-locked with in-window family
+#      siblings; multimodal_frame_sample cedes: rows-only,
 #      invariant-tested, with multimodal_dyn_batch in-window on the same
 #      Arrow plumbing; (incl. corpus_mixture/corpus_curation_pipeline/
 #      text_repetition — the corpus pack has four in-window members —
@@ -83,6 +87,8 @@ _SWEEP_FIRST = [
     "skew_profile",
     "snapshot_merge_upsert",
     "sim_search_pq",
+    "sim_search_ivfpq",
+    "multimodal_phash_dedup",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -114,14 +120,12 @@ _SWEEP_FIRST = [
     "dedup_cluster",
     "sim_classifier_udf",
     "gen_synthetic_orders",
-    "stream_user_profile",
     "stream_dedup",
     "stream_interval_join",
     "join_asof",
     "pivot_wide",
     "sample_hash",
     "agg_median",
-    "join_salted",
     "agg_approx_percentile",
     "text_stats",
     "udf_surface",
