@@ -731,15 +731,23 @@ def _pq_sqdist(sv: F.Column, centroid: list[float]) -> F.Column:
 
 def _pq_code(j: int, codebook: list[list[list[float]]]) -> F.Column:
     """argmin centroid index for subspace ``j`` (ties -> lowest index,
-    matching Python's min()). Deliberately the zip_with/aggregate HOF
-    form: higher-order functions are evaluated by Catalyst's interpreter
-    as opaque leaves, keeping the generated whole-stage code SMALL —
-    inlining all 16x16 centroid scores as flat scalar arithmetic was
-    measured to balloon codegen past a 1 GiB driver heap. 500-row-to-
-    100 TB inputs pay a few interpreted 4-element folds per row; the
-    plan stays map-side either way."""
+    matching Python's min()). The 16 centroids ride as ONE nested array
+    literal with a single transform/aggregate HOF over it — one compact
+    expression node per subspace instead of 16 separate fold trees
+    (16× smaller plans; analysis time was the dominant serve cost), and
+    HOFs stay interpreter-evaluated leaves so whole-stage codegen never
+    balloons (the flat scalar form OOM'd a 1 GiB driver heap —
+    measured)."""
     sv = _pq_subvec(j)
-    dists = F.array(*[_pq_sqdist(sv, c) for c in codebook[j]])
+    cb = F.lit([[float(x) for x in c] for c in codebook[j]])
+    dists = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(sv, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -947,19 +955,18 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cvs = _IVFPQ_CENTROIDS[ck]
     codebook = pq_train(e, cache_key=("sim_search_pq", sf_dir))  # shared PQ model
 
-    def dot_with(c: list[float]):
-        arr = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+    # one nested-literal HOF over the 8 centroids (the _pq_code trick):
+    # per-centroid fold semantics identical to _ivf_serve's dot_with
+    cb = F.lit([[float(x) for x in c] for c in cvs])
+    cell_scores = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("embedding"), c, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    scored = e.select(
-        "vec_id",
-        "embedding",
-        F.array(*[dot_with(c) for c in cvs]).alias("cell_scores"),
+        ),
     )
+    scored = e.select("vec_id", "embedding", cell_scores.alias("cell_scores"))
     encoded = scored.select(
         "vec_id",
         (F.array_position(F.col("cell_scores"), F.array_max("cell_scores")) - 1)
