@@ -1079,3 +1079,109 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10) -> list[tuple[str, str, str, int]]:
+    """Distributed byte-pair-encoding merge training (Sennrich et al.,
+    ACL 2016) — the tokenizer-induction counterpart to the BPE-regex
+    COUNTER in text_token_bpe. Returns the learned merge table
+    [(left, right, merged, pair_freq), ...].
+
+    The classic trick makes this tractable: merges operate on the WORD
+    VOCABULARY weighted by word frequency, never on the corpus — one
+    corpus-sized word count up front, then every round touches only the
+    distinct-word frame. Per round: explode each word's adjacent symbol
+    pairs (frequency-weighted count, partial-agg friendly), take the
+    argmax pair via a 1-row TakeOrdered (ties: highest count, then
+    lexicographic), and apply the merge to every word with a greedy
+    left-to-right fold (a struct-accumulator HOF — merged symbols don't
+    re-pair with what they just consumed, matching the reference
+    implementation). The vocab frame is re-cached each round to cut the
+    growing lineage (the pagerank/CC loop discipline); the driver only
+    ever holds 1-row argmax results and the final merge list.
+
+    At 100 TB the word-count is the only corpus-scale job; vocabulary
+    frames are ~1e6-1e8 rows of short arrays — comfortably distributed,
+    and the per-round shuffle carries (symbol-pair, count) only."""
+    words = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # characters + end-of-word marker: 'ab' -> ['a', 'b', '</w>']
+    # (split leaves a trailing '' — drop empties before appending)
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.expr("filter(split(w, '(?!^)'), x -> x != '')"),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).cache()
+
+    merges: list[tuple[str, str, str, int]] = []
+    empty_out = F.array().cast("array<string>")
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        m = l + r
+        merges.append((l, r, m, cnt))
+        ll, rl, ml = F.lit(l), F.lit(r), F.lit(m)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.struct(empty_out.alias("out"), F.lit(None).cast("string").alias("prev")),
+            lambda acc, x: F.when(
+                (acc["prev"] == ll) & (x == rl),
+                F.struct(
+                    F.concat(
+                        F.slice(acc["out"], F.lit(1), F.size(acc["out"]) - 1),
+                        F.array(ml),
+                    ).alias("out"),
+                    ml.alias("prev"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(x)).alias("out"), x.alias("prev")
+                )
+            ),
+            lambda acc: acc["out"],
+        )
+        new_vocab = vocab.select("freq", merged.alias("syms")).cache()
+        new_vocab.count()  # materialize before unpersisting the parent
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges
+
+
+@q("text_bpe_train")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing face of :func:`bpe_train`: the first 10 learned
+    merges over the documents corpus as (rank, left, right, merged,
+    pair_freq). Deterministic (tie order pinned), but the iterative
+    argmax-then-rewrite loop has no SQL twin — rows-only, pinned
+    exactly against a pure-Python BPE reference in
+    tests/test_scale_refinements.py."""
+    d = table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
+        "rank int, left string, right string, merged string, pair_freq long",
+    )

@@ -491,3 +491,56 @@ def test_ivfpq_matches_python_reimplementation(spark, sf_dir):
     ):
         got.setdefault(r.query_id, []).append(r.vec_id)
     assert got == want
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """text_bpe_train pinned exactly against a pure-Python BPE reference
+    (Sennrich-style): same word-frequency weighting, same argmax tie
+    order (count desc, then lexicographic), same greedy left-to-right
+    merge application — all 10 (left, right, merged, pair_freq) rows
+    must agree."""
+    import re
+    from collections import Counter
+
+    d = table(spark, sf_dir, "documents")
+    freqs = Counter()
+    for r in d.select("text").collect():
+        t = (r.text or "").strip()
+        if t:
+            freqs.update(re.split(r"\s+", t))
+
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in freqs.items()}
+    want = []
+    for _ in range(10):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        m = l + r
+        want.append((l, r, m, cnt))
+        new_vocab = Counter()
+        for syms, f in vocab.items():
+            out, prev = [], None
+            for x in syms:
+                if prev == l and x == r:
+                    out[-1] = m
+                    prev = m
+                else:
+                    out.append(x)
+                    prev = x
+            new_vocab[tuple(out)] += f
+        vocab = new_vocab
+
+    got = [
+        (r.left, r.right, r.merged, r.pair_freq)
+        for r in sorted(
+            TEXT_QUERIES["text_bpe_train"](spark, sf_dir).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert got == want
+    assert len(got) == 10
+    assert all("</w>" not in m or m.endswith("</w>") for _, _, m, _ in got)
