@@ -920,3 +920,219 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("merge_op"),
     )
+
+
+@q(
+    "orders_cohort_ltv",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), firsts AS (
+      SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY 1
+    ), sizes AS (
+      SELECT cohort, COUNT(*) AS n_customers FROM firsts GROUP BY 1
+    ), per AS (
+      SELECT f.cohort,
+             (YEAR(o.m) * 12 + MONTH(o.m))
+               - (YEAR(f.cohort) * 12 + MONTH(f.cohort)) AS months_since,
+             CAST(SUM(o.cents) AS BIGINT) AS spend_cents
+      FROM o JOIN firsts f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT p.cohort, p.months_since, s.n_customers,
+           CAST(SUM(p.spend_cents) OVER (PARTITION BY p.cohort
+                                         ORDER BY p.months_since
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents,
+           CAST(SUM(p.spend_cents) OVER (PARTITION BY p.cohort
+                                         ORDER BY p.months_since
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / s.n_customers AS ltv_cents_per_customer
+    FROM per p JOIN sizes s USING (cohort)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, cumulative spend per customer tracked by months-since-cohort
+    — the retention-economics query every subscription/commerce pipeline
+    serves. Month arithmetic is integer (year·12+month), money is
+    integer cents, and LTV is one IEEE division of exact values.
+
+    Scale notes: two customer-keyed aggregations (first order, then the
+    join-back — AQE broadcasts the firsts frame only when customers are
+    few) and one (cohort, month) aggregation; the running cumulative sum
+    is a window over the COHORT×MONTH matrix (hundreds of rows at any
+    corpus size — aggregate first, window the aggregate: the same
+    discipline as events_rollup_hierarchy)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    months = (F.year("m") * 12 + F.month("m")) - (
+        F.year("cohort") * 12 + F.month("cohort")
+    )
+    per = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort", months.alias("months_since"))
+        .agg(F.sum("cents").alias("spend_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("spend_cents").over(w)
+    return per.join(sizes, "cohort").select(
+        "cohort",
+        "months_since",
+        "n_customers",
+        cum.cast("long").alias("cum_cents"),
+        (cum.cast("double") / F.col("n_customers")).alias("ltv_cents_per_customer"),
+    )
+
+
+@q(
+    "lineitem_yoy_growth",
+    sql="""
+    WITH rev AS (
+      SELECT n.n_name, YEAR(o.o_orderdate) AS yr,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, yr, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev_cents,
+           CAST(rev_cents - LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY yr)
+                AS DOUBLE)
+             / LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS yoy_pct
+    FROM rev
+    """,
+)
+def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: the period-comparison
+    report without a self-join — aggregate to (nation, year) first, then
+    one lag window over the tiny aggregate (25 nations × a few years).
+    First year is NULL growth on both engines. Revenue rides as integer
+    cents per line (rounded before summing, order-independent); growth
+    is one IEEE division of exact integers.
+
+    Scale notes: the 4-way join + agg is the revenue_by_nation shape
+    (dates/columns pruned into the scans, fixed-cardinality nation
+    broadcast by AQE); the window touches only the aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return rev.select(
+        "n_name",
+        "yr",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        ((F.col("rev_cents") - prev).cast("double") / prev).alias("yoy_pct"),
+    )
+
+
+@q(
+    "data_quality_profile",
+    sql="""
+    WITH base AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT 'o_orderkey' AS col_name, b.n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders, base b GROUP BY b.n_rows
+    UNION ALL
+    SELECT 'o_custkey', b.n_rows, COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders, base b GROUP BY b.n_rows
+    UNION ALL
+    SELECT 'o_orderdate', b.n_rows, COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders, base b GROUP BY b.n_rows
+    UNION ALL
+    SELECT 'o_totalprice_cents', b.n_rows,
+           COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT)),
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+    FROM orders, base b GROUP BY b.n_rows
+    UNION ALL
+    SELECT 'o_orderpriority', b.n_rows, COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders, base b GROUP BY b.n_rows
+    """,
+)
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile quality report for the ingest gate (the dbt-test /
+    Deequ shape): per column — row count, null count, distinct count,
+    min/max as strings — emitted as one row per column so downstream
+    assertions are data, not code. Money profiles as integer cents and
+    dates as ISO strings so both engines render identically.
+
+    Scale notes: ONE aggregation pass computes every metric (the
+    oracle's five scans are the spec, not the plan); the per-column rows
+    come from a stack() over the 1-row aggregate. COUNT(DISTINCT x) for
+    five columns in one agg expands via Spark's standard multi-distinct
+    rewrite — at extreme scale swap approx_count_distinct per the
+    agg_approx_distinct twin."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min("o_orderdate").cast("string").alias("mn_date"),
+        F.max("o_orderdate").cast("string").alias("mx_date"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_price"),
+        F.countDistinct(cents).alias("nd_price"),
+        F.min(cents).cast("string").alias("mn_price"),
+        F.max(cents).cast("string").alias("mx_price"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").cast("string").alias("mn_prio"),
+        F.max("o_orderpriority").cast("string").alias("mx_prio"),
+    )
+    return a.selectExpr(
+        """stack(5,
+          'o_orderkey', nn_key, nd_key, mn_key, mx_key,
+          'o_custkey', nn_cust, nd_cust, mn_cust, mx_cust,
+          'o_orderdate', nn_date, nd_date, mn_date, mx_date,
+          'o_totalprice_cents', nn_price, nd_price, mn_price, mx_price,
+          'o_orderpriority', nn_prio, nd_prio, mn_prio, mx_prio
+        ) AS (col_name, n_null, n_distinct, min_val, max_val)""",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")

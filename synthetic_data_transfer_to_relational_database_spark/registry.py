@@ -39,7 +39,7 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the eleven queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the fourteen queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
@@ -50,7 +50,9 @@ _MODULES = [
 #      the IVF×PQ composition, rows-only), multimodal_phash_dedup
 #      (integer-exact aHash near-dup over payload blocks),
 #      text_bpe_train (distributed BPE merge training, rows-only
-#      pinned vs a Python reference).
+#      pinned vs a Python reference), orders_cohort_ltv (cohort LTV
+#      matrix), lineitem_yoy_growth (period comparison via lag over the
+#      aggregate), data_quality_profile (single-pass column profiler).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -62,9 +64,10 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 17 slots. Twenty-one
-#      r3 keys wait for r6 (dedup_embedding, join_salted and
-#      stream_user_profile cede
+#   4) oldest-evidence (r3) keys fill the remaining 14 slots. Twenty-four
+#      r3 keys wait for r6 (window_frame, sim_classifier_udf,
+#      dedup_minhash_lsh — bench-timed and invariant-tested every round —
+#      dedup_embedding, join_salted and stream_user_profile cede
 #      this round — rows-only/test-locked with in-window family
 #      siblings; multimodal_frame_sample cedes: rows-only,
 #      invariant-tested, with multimodal_dyn_batch in-window on the same
@@ -93,6 +96,9 @@ _SWEEP_FIRST = [
     "sim_search_ivfpq",
     "multimodal_phash_dedup",
     "text_bpe_train",
+    "orders_cohort_ltv",
+    "lineitem_yoy_growth",
+    "data_quality_profile",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -118,10 +124,7 @@ _SWEEP_FIRST = [
     "window_ranks_pct",
     "multimodal_dyn_batch",
     # -- 4) oldest evidence (r3), refresh ----------------------------
-    "window_frame",
-    "dedup_minhash_lsh",
     "dedup_cluster",
-    "sim_classifier_udf",
     "gen_synthetic_orders",
     "stream_dedup",
     "stream_interval_join",
