@@ -252,3 +252,64 @@ def test_stream_jdbc_exactly_once_registry_entry_matches_batch(spark):
     got = STREAM_QUERIES["stream_jdbc_exactly_once"](spark, SF_DIR)
     want = batch_events.QUERIES["events_tumbling"](spark, SF_DIR)
     assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_ingest_rejects_cross_and_in_batch_dups(spark, tmp_path):
+    """Streaming ingest with incremental near-dup rejection: batch 1
+    seeds the corpus; batch 2 carries an exact copy of a batch-1 doc
+    (must be rejected via the persisted index), an in-batch duplicate
+    pair (higher doc_id rejected), and fresh docs (must survive).
+    A restart against the same checkpoint must add nothing."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        bootstrap_index,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = pd.DataFrame([mk(1, base), mk(2, "completely different words about spark engines")])
+    b1.to_parquet(src / "b1.parquet", index=False)
+
+    index_table = "t_ingest_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(spark, empty, index_table, str(tmp_path / "idx"))
+
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        write_stream_dedup_ingest(
+            stream_documents(spark, str(src)), index_table, out, ckpt
+        ).awaitTermination()
+
+    run()
+    first = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert first == {1, 2}
+
+    b2 = pd.DataFrame(
+        [
+            mk(10, base),  # near-copy of doc 1 -> rejected via index
+            mk(11, "fresh unique content nothing like anything previous"),
+            mk(12, "identical twin sentence appearing twice in this batch"),
+            mk(13, "identical twin sentence appearing twice in this batch"),
+        ]
+    )
+    b2.to_parquet(src / "b2.parquet", index=False)
+    run()
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs == {1, 2, 11, 12}, docs  # 10 cross-dup, 13 in-batch dup
+
+    run()  # restart drill: no new files -> nothing changes
+    again = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert again == docs
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
