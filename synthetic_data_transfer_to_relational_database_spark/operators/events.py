@@ -652,3 +652,73 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "approx_users", "n_day_sketches")
     )
+
+
+@q(
+    "events_forecast_baseline",
+    sql="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), hist AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             COUNT(*) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS total_events,
+             MAX(day) AS last_day
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.dow, h.n_days, h.total_events,
+           CAST(h.total_events AS DOUBLE) / h.n_days AS forecast_events,
+           d.n AS last_actual,
+           ABS(CAST(h.total_events AS DOUBLE) / h.n_days - d.n) AS abs_err
+    FROM hist h
+    JOIN daily d ON d.event_type = h.event_type AND d.day = h.last_day
+    """,
+)
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline: expected events per
+    (type, day-of-week) = the historical mean for that weekday, scored
+    against the most recent occurrence of each weekday — the sanity
+    floor every real forecasting pipeline must beat, and the
+    capacity-planning query ops teams actually run. Counts are exact
+    integers; the mean and error are single IEEE divisions/subtractions
+    of exact values (both engines agree bit-for-bit). DuckDB's
+    dayofweek is 0-6 Sunday-first; Spark's dayofweek is 1-7 — the
+    Spark side subtracts 1 to pin the same numbering.
+
+    Scale notes: the raw table collapses to (type, day) in one
+    partial-agg pass; everything after runs on the tiny daily frame
+    (the aggregate-then-analyze discipline of events_rollup_hierarchy
+    and orders_cohort_ltv)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hist = daily.groupBy(
+        "event_type", (F.dayofweek("day") - 1).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("total_events"),
+        F.max("day").alias("last_day"),
+    )
+    fc = F.col("total_events").cast("double") / F.col("n_days")
+    d = daily.alias("d")
+    return (
+        hist.alias("h")
+        .join(
+            d,
+            (F.col("d.event_type") == F.col("h.event_type"))
+            & (F.col("d.day") == F.col("h.last_day")),
+        )
+        .select(
+            F.col("h.event_type").alias("event_type"),
+            "dow",
+            "n_days",
+            "total_events",
+            fc.alias("forecast_events"),
+            F.col("d.n").alias("last_actual"),
+            F.abs(fc - F.col("d.n")).alias("abs_err"),
+        )
+    )

@@ -39,7 +39,7 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the fourteen queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the fifteen queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
@@ -52,7 +52,8 @@ _MODULES = [
 #      text_bpe_train (distributed BPE merge training, rows-only
 #      pinned vs a Python reference), orders_cohort_ltv (cohort LTV
 #      matrix), lineitem_yoy_growth (period comparison via lag over the
-#      aggregate), data_quality_profile (single-pass column profiler).
+#      aggregate), data_quality_profile (single-pass column profiler),
+#      events_forecast_baseline (seasonal-naive forecast floor).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -64,8 +65,10 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 14 slots. Twenty-four
-#      r3 keys wait for r6 (window_frame, sim_classifier_udf,
+#   4) oldest-evidence (r3) keys fill the remaining 13 slots. Twenty-five
+#      r3 keys wait for r6 (dedup_cluster — its CC loop is also
+#      re-validated in-window through dedup_semantic — window_frame,
+#      sim_classifier_udf,
 #      dedup_minhash_lsh — bench-timed and invariant-tested every round —
 #      dedup_embedding, join_salted and stream_user_profile cede
 #      this round — rows-only/test-locked with in-window family
@@ -99,6 +102,7 @@ _SWEEP_FIRST = [
     "orders_cohort_ltv",
     "lineitem_yoy_growth",
     "data_quality_profile",
+    "events_forecast_baseline",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -124,7 +128,6 @@ _SWEEP_FIRST = [
     "window_ranks_pct",
     "multimodal_dyn_batch",
     # -- 4) oldest evidence (r3), refresh ----------------------------
-    "dedup_cluster",
     "gen_synthetic_orders",
     "stream_dedup",
     "stream_interval_join",
