@@ -1185,3 +1185,46 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
         "rank int, left string, right string, merged string, pair_freq long",
     )
+
+
+@q(
+    "corpus_length_histogram",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT LEAST(n_tokens // 20, 9) AS bucket,
+           LEAST(n_tokens // 20, 9) * 20 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (20-token buckets, top
+    bucket open-ended) — the distribution everyone inspects before
+    choosing packing lengths and truncation cutoffs. Bucket assignment
+    is explicit integer floor-division so both engines agree exactly
+    (width_bucket's edge semantics differ across engines).
+
+    Scale notes: one projection + one hash aggregation on a ≤10-value
+    key — entirely map-side partial-agg; the classic histogram plan."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    bucket = F.least(F.floor(n_tokens / 20), F.lit(9)).cast("long")
+    return (
+        d.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket", (F.col("bucket") * 20).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

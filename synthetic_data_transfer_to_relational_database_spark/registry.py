@@ -39,7 +39,7 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the fifteen queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the sixteen queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
@@ -53,7 +53,8 @@ _MODULES = [
 #      pinned vs a Python reference), orders_cohort_ltv (cohort LTV
 #      matrix), lineitem_yoy_growth (period comparison via lag over the
 #      aggregate), data_quality_profile (single-pass column profiler),
-#      events_forecast_baseline (seasonal-naive forecast floor).
+#      events_forecast_baseline (seasonal-naive forecast floor),
+#      corpus_length_histogram (fixed-width length distribution).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -65,8 +66,10 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 13 slots. Twenty-five
-#      r3 keys wait for r6 (dedup_cluster — its CC loop is also
+#   4) oldest-evidence (r3) keys fill the remaining 12 slots. Twenty-six
+#      r3 keys wait for r6 (gen_synthetic_orders — rows-only, its
+#      generator engine is fully test-locked and fk_sample_join carries
+#      r4 evidence — dedup_cluster — its CC loop is also
 #      re-validated in-window through dedup_semantic — window_frame,
 #      sim_classifier_udf,
 #      dedup_minhash_lsh — bench-timed and invariant-tested every round —
@@ -103,6 +106,7 @@ _SWEEP_FIRST = [
     "lineitem_yoy_growth",
     "data_quality_profile",
     "events_forecast_baseline",
+    "corpus_length_histogram",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -128,7 +132,6 @@ _SWEEP_FIRST = [
     "window_ranks_pct",
     "multimodal_dyn_batch",
     # -- 4) oldest evidence (r3), refresh ----------------------------
-    "gen_synthetic_orders",
     "stream_dedup",
     "stream_interval_join",
     "join_asof",
