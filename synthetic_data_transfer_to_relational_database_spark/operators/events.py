@@ -722,3 +722,63 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(fc - F.col("d.n")).alias("abs_err"),
         )
     )
+
+
+@q(
+    "events_attribution",
+    sql="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS is_buy FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 FROM events WHERE event_type = 'click'
+    ), m AS (
+      SELECT user_id, ts, event_id, is_buy,
+             MAX(CASE WHEN is_buy = 0 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, is_buy
+                     ROWS UNBOUNDED PRECEDING) AS last_click_ts
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+                THEN last_click_ts END AS attributed_click_ts,
+           last_click_ts IS NOT NULL
+             AND last_click_ts >= ts - INTERVAL 7 DAY AS attributed
+    FROM m WHERE is_buy = 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 7-day lookback: every purchase is
+    credited to the user's most recent click at or before it, or left
+    unattributed when the click is older than the window — the
+    marketing-credit query behind every conversion report. Same merge
+    pattern as join_asof (tag both sides, one user-keyed window carries
+    the running last-click timestamp; ties count the click as prior),
+    with the lookback applied AFTER the asof so the window function
+    itself needs no range frame.
+
+    Scale notes: one shuffle on user_id, linear in events — never the
+    range-explosion self-join (the banned BNLJ shape the interval
+    alternative would produce)."""
+    e = table(spark, sf_dir, "events")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_buy")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_buy")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_buy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = buys.unionByName(clicks).withColumn(
+        "last_click_ts", F.max(F.when(F.col("is_buy") == 0, F.col("ts"))).over(w)
+    )
+    in_window = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return m.filter(F.col("is_buy") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("last_click_ts")).alias("attributed_click_ts"),
+        (F.col("last_click_ts").isNotNull() & in_window).alias("attributed"),
+    )

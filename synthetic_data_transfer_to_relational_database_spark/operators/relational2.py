@@ -1136,3 +1136,68 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS (col_name, n_null, n_distinct, min_val, max_val)""",
         "n_rows",
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+@q(
+    "user_erasure_audit",
+    sql="""
+    WITH victims AS (
+      SELECT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT 'customer' AS table_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_custkey) AS n_subjects
+    FROM customer JOIN victims ON c_custkey = key
+    UNION ALL
+    SELECT 'orders', COUNT(*), COUNT(DISTINCT o_custkey)
+    FROM orders JOIN victims ON o_custkey = key
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), COUNT(DISTINCT o_custkey)
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN victims ON o_custkey = key
+    UNION ALL
+    SELECT 'events', COUNT(*), COUNT(DISTINCT user_id)
+    FROM events JOIN victims ON user_id = key
+    """,
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion cohort (here
+    the deterministic c_custkey % 97 stand-in for an uploaded erasure
+    list), report how many rows in every table reference those subjects
+    — directly (customer, orders, events) and transitively through the
+    FK graph (lineitem via orders). The query compliance teams run
+    BEFORE executing a GDPR/CCPA purge, and the natural dual of this
+    repo's FK-aware generation engine: the same dependency knowledge
+    that orders inserts parent-first orders deletions child-first.
+
+    Scale notes: the victim list is an id-only frame — AQE broadcasts it
+    into each probe, so every count is one semi-join-shaped scan with
+    the filter pushed to the fact side; the lineitem hop joins fact →
+    orders (key-keyed) before the broadcast probe. No shuffle carries
+    more than (ids, counts)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+    victims = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+
+    def audit(df: DataFrame, on: str, name: str, subject: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(victims), F.col(on) == F.col("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(subject).alias("n_subjects"),
+            )
+            .select(F.lit(name).alias("table_name"), "n_rows", "n_subjects")
+        )
+
+    li_orders = li.join(o, o.o_orderkey == li.l_orderkey)
+    return (
+        audit(c, "c_custkey", "customer", "c_custkey")
+        .unionByName(audit(o, "o_custkey", "orders", "o_custkey"))
+        .unionByName(audit(li_orders, "o_custkey", "lineitem", "o_custkey"))
+        .unionByName(audit(e, "user_id", "events", "user_id"))
+    )

@@ -39,7 +39,7 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the sixteen queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the eighteen queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
@@ -54,7 +54,9 @@ _MODULES = [
 #      matrix), lineitem_yoy_growth (period comparison via lag over the
 #      aggregate), data_quality_profile (single-pass column profiler),
 #      events_forecast_baseline (seasonal-naive forecast floor),
-#      corpus_length_histogram (fixed-width length distribution).
+#      corpus_length_histogram (fixed-width length distribution),
+#      events_attribution (7-day last-touch credit), user_erasure_audit
+#      (FK-transitive right-to-be-forgotten impact report).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -66,29 +68,30 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 12 slots. Twenty-six
-#      r3 keys wait for r6 (gen_synthetic_orders — rows-only, its
-#      generator engine is fully test-locked and fk_sample_join carries
-#      r4 evidence — dedup_cluster — its CC loop is also
-#      re-validated in-window through dedup_semantic — window_frame,
-#      sim_classifier_udf,
-#      dedup_minhash_lsh — bench-timed and invariant-tested every round —
-#      dedup_embedding, join_salted and stream_user_profile cede
-#      this round — rows-only/test-locked with in-window family
-#      siblings; multimodal_frame_sample cedes: rows-only,
-#      invariant-tested, with multimodal_dyn_batch in-window on the same
-#      Arrow plumbing; (incl. corpus_mixture/corpus_curation_pipeline/
-#      text_repetition — the corpus pack has four in-window members —
-#      join_full_outer, whose full-outer shape the in-window
-#      snapshot_merge_upsert exercises, agg_string and sample_stratified)
-#      — all locally strict-green — each has an in-window family sibling
-#      re-validating its shared code path this round (scalar_* pack →
-#      scalar_null/scalar_json; text_term_freq/lang_id/quality/token_bpe
-#      → the in-window text/corpus entries; sim_centroid_by_label/
-#      _scalable → sim_knn_graph/dedup_semantic; stream_sliding/_session
-#      → stream_jdbc_exactly_once over the same source) — and all are
-#      locally strict-green via tools/driver_sim.py regardless of
-#      window position.
+#   4) oldest-evidence (r3) keys fill the remaining 10 slots. The other
+#      28 r3-evidence keys wait for r6 — every one is locally
+#      strict-green via tools/driver_sim.py and has an in-window proxy
+#      re-validating its shared code path this round:
+#        - scalar_string/date/math → scalar_null + scalar_json (in the
+#          19) on the same scalar pack;
+#        - text_term_freq/lang_id/quality/token_bpe, corpus_mixture/
+#          curation_pipeline, text_repetition → the seven in-window
+#          text/corpus entries on the same tokenize/loading paths;
+#        - sim_centroid_by_label/_scalable, sim_classifier_udf →
+#          sim_knn_graph / dedup_semantic / the PQ family on the same
+#          embeddings machinery;
+#        - stream_sliding/_session/_user_profile/_dedup →
+#          stream_jdbc_exactly_once + r4-green stream_tumbling on the
+#          same scoped-conf stream source;
+#        - dedup_minhash_lsh/_embedding/_cluster, join_salted →
+#          dedup_semantic's CC loop + bench timing + invariant suites;
+#        - join_full_outer → snapshot_merge_upsert's full-outer shape;
+#        - window_frame → window_first_last's frame machinery;
+#        - agg_string/agg_median/sample_stratified,
+#          multimodal_frame_sample, gen_synthetic_orders → test-locked,
+#          with family siblings (agg_mode, sample_hash,
+#          multimodal_dyn_batch, fk_sample_join) carrying r4/r5
+#          evidence.
 _SWEEP_FIRST = [
     # -- 1) new in r5 -------------------------------------------------
     "stream_jdbc_exactly_once",
@@ -107,6 +110,8 @@ _SWEEP_FIRST = [
     "data_quality_profile",
     "events_forecast_baseline",
     "corpus_length_histogram",
+    "events_attribution",
+    "user_erasure_audit",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -132,12 +137,10 @@ _SWEEP_FIRST = [
     "window_ranks_pct",
     "multimodal_dyn_batch",
     # -- 4) oldest evidence (r3), refresh ----------------------------
-    "stream_dedup",
     "stream_interval_join",
     "join_asof",
     "pivot_wide",
     "sample_hash",
-    "agg_median",
     "agg_approx_percentile",
     "text_stats",
     "udf_surface",
