@@ -782,3 +782,59 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("last_click_ts")).alias("attributed_click_ts"),
         (F.col("last_click_ts").isNotNull() & in_window).alias("attributed"),
     )
+
+
+@q(
+    "events_ab_test",
+    sql="""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2 AS variant
+      FROM events
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.variant,
+           COUNT(*) AS n_users,
+           COUNT(c.user_id) AS n_converted,
+           CAST(COUNT(c.user_id) AS DOUBLE) / COUNT(*) AS conv_rate
+    FROM assigned a LEFT JOIN conv c ON c.user_id = a.user_id
+    GROUP BY a.variant
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split 50/50 by the same
+    content-stable md5 bucketing as corpus_split (reproducible across
+    engines and re-partitioning — never rand()), conversion = any
+    purchase event, per-variant rates reported. The z-statistic is
+    downstream arithmetic on these exact counts; the query's job is the
+    deterministic ASSIGNMENT + JOIN shape experimentation platforms
+    standardize.
+
+    Scale notes: distinct users then one user-keyed left join against
+    the (small) converter set — AQE broadcasts it when it fits; the
+    final aggregate has 2 groups. No shuffle carries event payloads."""
+    e = table(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    assigned = e.select("user_id").distinct().select(
+        "user_id", variant.alias("variant")
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_user"))
+        .distinct()
+    )
+    return (
+        assigned.join(conv, F.col("user_id") == F.col("c_user"), "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("c_user").alias("n_converted"),
+            (F.count("c_user").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+        )
+    )

@@ -1201,3 +1201,45 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(li_orders, "o_custkey", "lineitem", "o_custkey"))
         .unionByName(audit(e, "user_id", "events", "user_id"))
     )
+
+
+@q(
+    "lineitem_discount_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_increase_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+      AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def lineitem_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate — how much revenue the year's small-quantity
+    mid-discount lines carried. Per-line discount revenue rounds to
+    integer cents BEFORE summing (order-independent, engine-exact).
+
+    Scale notes: the benchmark's pure scan stressor — every predicate
+    (shipdate range, discount band, quantity) reaches the parquet scan
+    as PushedFilters, only 4 of 16 columns are read, and the aggregate
+    is a 1-group partial sum. If this plan ever shows an Exchange before
+    the partial agg or a full-width ReadSchema, the scan path has
+    regressed (plan-locked in tests/test_plans.py sweeps)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("revenue_increase_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

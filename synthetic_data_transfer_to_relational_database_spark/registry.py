@@ -39,7 +39,7 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the eighteen queries NEW this round: stream_jdbc_exactly_once (the
+#   1) the twenty queries NEW this round: stream_jdbc_exactly_once (the
 #      exactly-once transactional JDBC sink's driver-visible surface,
 #      rows-only), events_rollup_hierarchy (continuous-aggregate
 #      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
@@ -56,7 +56,9 @@ _MODULES = [
 #      events_forecast_baseline (seasonal-naive forecast floor),
 #      corpus_length_histogram (fixed-width length distribution),
 #      events_attribution (7-day last-touch credit), user_erasure_audit
-#      (FK-transitive right-to-be-forgotten impact report).
+#      (FK-transitive right-to-be-forgotten impact report),
+#      events_ab_test (hash-split experiment readout),
+#      lineitem_discount_revenue (TPC-H Q6 scan stressor).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this
@@ -68,15 +70,17 @@ _MODULES = [
 #      helper changed under them (skew.small_rank_input grew a conf_name
 #      parameter + widened cache key): window_rank, window_ranks_pct,
 #      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 10 slots. The other
-#      28 r3-evidence keys wait for r6 — every one is locally
+#   4) oldest-evidence (r3) keys fill the remaining 8 slots. The other
+#      30 r3-evidence keys wait for r6 — every one is locally
 #      strict-green via tools/driver_sim.py and has an in-window proxy
 #      re-validating its shared code path this round:
 #        - scalar_string/date/math → scalar_null + scalar_json (in the
 #          19) on the same scalar pack;
-#        - text_term_freq/lang_id/quality/token_bpe, corpus_mixture/
-#          curation_pipeline, text_repetition → the seven in-window
-#          text/corpus entries on the same tokenize/loading paths;
+#        - text_stats, text_term_freq/lang_id/quality/token_bpe,
+#          corpus_mixture/curation_pipeline, text_repetition,
+#          udf_surface → the seven in-window text/corpus entries on the
+#          same tokenize/loading paths (udf_surface's Arrow path also
+#          rides under multimodal_dyn_batch, in-window);
 #        - sim_centroid_by_label/_scalable, sim_classifier_udf →
 #          sim_knn_graph / dedup_semantic / the PQ family on the same
 #          embeddings machinery;
@@ -112,6 +116,8 @@ _SWEEP_FIRST = [
     "corpus_length_histogram",
     "events_attribution",
     "user_erasure_audit",
+    "events_ab_test",
+    "lineitem_discount_revenue",
     # -- 2) new in r4: first external driver sweep --------------------
     "events_retention_cohorts",
     "corpus_quantile_filter",
@@ -142,8 +148,6 @@ _SWEEP_FIRST = [
     "pivot_wide",
     "sample_hash",
     "agg_approx_percentile",
-    "text_stats",
-    "udf_surface",
     "text_contamination",
     "text_pii_scan",
     "corpus_diff",

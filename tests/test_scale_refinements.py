@@ -544,3 +544,38 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     assert got == want
     assert len(got) == 10
     assert all("</w>" not in m or m.endswith("</w>") for _, _, m, _ in got)
+
+
+def test_rollup_hierarchy_scans_raw_once(spark, sf_dir_mid):
+    """The cascade's load-bearing claim: day aggregates the CACHED hour
+    level and month the cached day level, so the physical plan contains
+    exactly ONE parquet scan of events — without the caches each union
+    branch would re-derive from raw (three full scans at 100 TB)."""
+    spark.catalog.clearCache()
+    df = EVENTS_QUERIES["events_rollup_hierarchy"](spark, sf_dir_mid)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every union branch's immediate input is a CACHE scan — the raw
+    # parquet scan appears only inside the hour cache's build plan
+    # (materialized once). Cached relations print their build plans
+    # nested, so counting FileScans textually is unreliable; assert the
+    # branch-level property directly.
+    lines = plan.splitlines()
+    # hour/day tags print as Projects; month's tag folds into its
+    # aggregate's output attributes, so its marker is the last line
+    # mentioning the resolution attribute. Each branch must reach an
+    # InMemoryTableScan BEFORE any FileScan below it.
+    markers = [
+        next(i for i, ln in enumerate(lines) if "hour AS resolution" in ln),
+        next(i for i, ln in enumerate(lines) if "day AS resolution" in ln),
+        max(i for i, ln in enumerate(lines) if "resolution#" in ln),
+    ]
+    for idx in markers:
+        for ln in lines[idx + 1 :]:
+            if "InMemoryTableScan" in ln:
+                break
+            assert "FileScan" not in ln, (lines[idx], ln)
+        else:
+            raise AssertionError(f"branch at line {idx} reads no cache:\n{plan}")
+    spark.catalog.clearCache()
