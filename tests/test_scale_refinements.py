@@ -579,3 +579,19 @@ def test_rollup_hierarchy_scans_raw_once(spark, sf_dir_mid):
         else:
             raise AssertionError(f"branch at line {idx} reads no cache:\n{plan}")
     spark.catalog.clearCache()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir_mid):
+    """lineitem_discount_revenue's whole point is the scan: shipdate/
+    discount/quantity predicates must reach the parquet scan as
+    PushedFilters and only the four needed columns may be read."""
+    df = REL2_QUERIES["lineitem_discount_revenue"](spark, sf_dir_mid)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("PushedFilters")[1], scan
+    schema = scan.split("ReadSchema:")[1]
+    read_cols = [c.split(":")[0] for c in schema.split("struct<")[1].split(",")]
+    assert sorted(c.strip(" >") for c in read_cols) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ], schema
