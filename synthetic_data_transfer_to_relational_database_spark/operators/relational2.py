@@ -1185,8 +1185,11 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def audit(df: DataFrame, on: str, name: str, subject: str) -> DataFrame:
+        # no broadcast hint: a realistic erasure list is small and AQE
+        # converts at runtime, but a court-ordered bulk purge can be
+        # millions of ids — forcing the hint would pin that on the driver
         return (
-            df.join(F.broadcast(victims), F.col(on) == F.col("key"))
+            df.join(victims, F.col(on) == F.col("key"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.countDistinct(subject).alias("n_subjects"),
