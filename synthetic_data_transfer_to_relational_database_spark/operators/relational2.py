@@ -1246,3 +1246,73 @@ def lineitem_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@q(
+    "basket_rules",
+    sql="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a AS antecedent, p.part_b AS consequent, p.n_pair,
+           ia.n_item AS n_antecedent, ib.n_item AS n_consequent,
+           CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence,
+           CAST(p.n_pair AS DOUBLE) / ia.n_item
+             / (CAST(ib.n_item AS DOUBLE) / n.n_baskets) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (antecedent → consequent with confidence and
+    lift) on top of the basket_pairs co-occurrence counts — the Apriori
+    output retailers actually consume: confidence = P(b|a), lift =
+    confidence / P(b), lift > 1 meaning genuinely bought-together
+    rather than both-just-popular. One rule per canonical pair
+    (a < b); the reverse direction is the same counts with the roles
+    swapped. Counts are exact integers; confidence and lift are
+    two IEEE divisions in pinned order.
+
+    Scale notes: everything after the basket-keyed pair count
+    (basket_pairs' shape, quadratic only in basket size) operates on
+    ITEM- and PAIR-cardinality frames keyed on part ids; the basket
+    total rides as a 1-row broadcast (whitelisted BNLJ shape)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = item.select(F.col("part").alias("pa"), F.col("n_item").alias("n_antecedent"))
+    ib = item.select(F.col("part").alias("pb"), F.col("n_item").alias("n_consequent"))
+    conf = F.col("n_pair").cast("double") / F.col("n_antecedent")
+    lift = conf / (F.col("n_consequent").cast("double") / F.col("n_baskets"))
+    return (
+        pair.join(ia, F.col("part_a") == F.col("pa"))
+        .join(ib, F.col("part_b") == F.col("pb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("part_a").alias("antecedent"),
+            F.col("part_b").alias("consequent"),
+            "n_pair",
+            "n_antecedent",
+            "n_consequent",
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+    )

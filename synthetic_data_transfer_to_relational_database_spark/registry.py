@@ -58,7 +58,10 @@ _MODULES = [
 #      events_attribution (7-day last-touch credit), user_erasure_audit
 #      (FK-transitive right-to-be-forgotten impact report),
 #      events_ab_test (hash-split experiment readout),
-#      lineitem_discount_revenue (TPC-H Q6 scan stressor).
+#      lineitem_discount_revenue (TPC-H Q6 scan stressor). One r5 key
+#      deliberately waits for r6 rather than squeeze the refresh slots
+#      further: basket_rules (strict-green via tools/driver_sim.py;
+#      its pair-count core is basket_pairs, in-window).
 #   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
 #      its r4 slot) — their only driver evidence so far is the builder's
 #      local gate + the r4 judge's independent driver_sim run; this

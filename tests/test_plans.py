@@ -31,6 +31,7 @@ _BNLJ_OK = {
     "text_containment",  # same 1-row n_docs crossJoin via _doc_pair_commons
     "orders_rfm",
     "skew_profile",  # 1-row stats frame broadcast onto the top-10 keys
+    "basket_rules",  # 1-row n_baskets crossJoin (the tfidf recipe)
 }
 
 
