@@ -593,9 +593,13 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
 
     Scale shape: one symmetrize + node-keyed count for degrees, two
     id-keyed joins to orient, then the standard two-join wedge-close —
-    every shuffle carries id/long pairs only. The oriented frame feeds
-    three join sides; cache() keeps it one derivation (caller clears the
-    session cache when done — the bench/driver contract)."""
+    every shuffle carries id/long pairs only. The input ``edges`` frame
+    feeds the symmetrize (twice) plus the orientation join, and the
+    oriented frame feeds three join sides — both are cache()d so each
+    derivation (often an expensive pair-count self-join upstream) runs
+    once (caller clears the session cache when done — the bench/driver
+    contract)."""
+    edges = edges.cache()
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

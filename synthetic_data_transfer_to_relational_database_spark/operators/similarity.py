@@ -720,15 +720,6 @@ def _pq_subvec(j: int) -> F.Column:
     return F.slice(F.col("embedding"), j * _PQ_D + 1, _PQ_D)
 
 
-def _pq_sqdist(sv: F.Column, centroid: list[float]) -> F.Column:
-    arr = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(sv, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _pq_code(j: int, codebook: list[list[list[float]]]) -> F.Column:
     """argmin centroid index for subspace ``j`` (ties -> lowest index,
     matching Python's min()). The 16 centroids ride as ONE nested array
@@ -822,10 +813,10 @@ def pq_encode(e: DataFrame, codebook: list[list[list[float]]]) -> DataFrame:
 def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011): the third leg
     of the ANN family next to LSH (sim_search_lsh) and IVF
-    (sim_search_ivf_lloyd). The corpus is compressed 64× into 4-byte PQ
-    codes; each query precomputes a 4×16 lookup table of
-    squared distances to every centroid (asymmetric distance
-    computation), and scoring a vector is FOUR table lookups + adds —
+    (sim_search_ivf_lloyd). The corpus is compressed 16× into 16-byte PQ
+    codes (16 subspaces × 1 byte); each query precomputes a 16×16 lookup
+    table of squared distances to every centroid (asymmetric distance
+    computation), and scoring a vector is 16 table lookups + adds —
     no per-pair float vector math at all.
 
     Rows-only by design (approximate distances; recall < 1). The Spark
@@ -837,7 +828,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, partial-agg friendly); encoding is map-side expression-only
     over broadcast-literal centroids; serving broadcasts the 10 queries'
     LUTs (tiny) against the CODES frame — the shuffle/scan carries
-    (vec_id, 4 ints), never embeddings, which is why PQ is the
+    (vec_id, 16 small ints), never embeddings, which is why PQ is the
     memory-resident serving index at corpus scales where raw vectors
     cannot be. Real deployments compose IVF (prune cells) × PQ (score
     cheap) — both halves exist in this module."""

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from ..sources.ddl import filter_batches, read_sql_script, split_go_batches
-from .jdbc import JdbcTarget, execute_statements
+from .jdbc import JdbcTarget, ensure_database, execute_statements
 
 
 def deploy_script(
@@ -22,12 +22,23 @@ def deploy_script(
     encoding: str = "utf-16",
     target_db: str | None = None,
     source_db: str | None = None,
+    create_db: bool = False,
+    admin_target: JdbcTarget | None = None,
 ) -> list[tuple[str, str | None]]:
     """Read, split, sanitize, and replay a DDL dump into ``target``.
+
+    With ``create_db`` the deploy is bracketed by K2
+    :func:`ensure_database` (apply_mssql.py:27-43's check-then-create,
+    run before any batch executes): for mssql the probe/create runs
+    against ``admin_target`` (the reference's ``master`` connection) or,
+    when omitted, ``target`` itself; ``target_db`` names the database to
+    ensure (for derby the URL already names it).
 
     Returns the per-batch (statement, error-or-None) log so callers can
     inspect which batches failed without losing the rest.
     """
+    if create_db:
+        ensure_database(spark, admin_target or target, target_db or "")
     script = read_sql_script(script_path, encoding=encoding)
     batches = filter_batches(split_go_batches(script), target_db=target_db, source_db=source_db)
     return execute_statements(spark, target, batches, continue_on_error=True)

@@ -153,6 +153,73 @@ def execute_transaction(
         conn.close()
 
 
+# --- K2: idempotent database creation -----------------------------------
+
+
+def ensure_database_statements(db_name: str) -> tuple[str, str]:
+    """The mssql check/create SQL pair of the reference's
+    ``ensure_database`` (apply_mssql.py:27-43): probe ``sys.databases``
+    for the name, and bracket-quote the CREATE so reserved words /
+    odd characters in the db name survive. Exposed separately so the
+    statement text is unit-testable without a live SQL Server."""
+    check = f"SELECT database_id FROM sys.databases WHERE name = '{db_name}'"
+    create = f"CREATE DATABASE [{db_name}]"
+    return check, create
+
+
+def ensure_database(
+    spark: SparkSession, target: JdbcTarget, db_name: str
+) -> bool:
+    """K2 — idempotent database creation (apply_mssql.py:27-43): make
+    sure ``db_name`` exists before a deploy, creating it only when
+    absent. Returns True iff this call created it.
+
+    - mssql: like the reference's ``make_conn_str(args, 'master')``,
+      ``target`` must point at an admin database (CREATE DATABASE cannot
+      run from inside the database being created); the probe is the
+      reference's ``sys.databases`` lookup, the create its bracketed
+      ``CREATE DATABASE``.
+    - derby (the sandbox-testable stand-in): the database IS the URL
+      path, so ``db_name`` is ignored; existence is probed by connecting
+      WITHOUT the ``create=true`` attribute (fails with XJ004 when the
+      path is absent), and creation is one connection WITH it — Derby's
+      native check-then-create.
+    - generic: issues ``CREATE DATABASE <name>`` with error containment
+      and reports created-iff-no-error (no portable catalog probe
+      exists across engines).
+    """
+    if target.dialect == "derby":
+        base = ";".join(
+            p for p in target.url.split(";") if not p.lower().startswith("create=")
+        )
+        jvm = spark._sc._jvm  # noqa: SLF001 — java.sql lives JVM-side
+        probe = JdbcTarget(
+            url=base, driver=target.driver,
+            properties=target.properties, dialect="derby",
+        )
+        try:
+            _connect(jvm, probe).close()
+            return False
+        except Exception:
+            pass  # XJ004: database not found — fall through and create
+        creator = JdbcTarget(
+            url=base + ";create=true", driver=target.driver,
+            properties=target.properties, dialect="derby",
+        )
+        _connect(jvm, creator).close()
+        return True
+    if target.dialect == "mssql":
+        check, create = ensure_database_statements(db_name)
+        if query_values(spark, target, check):
+            return False
+        execute_statements(spark, target, [create], continue_on_error=False)
+        return True
+    log = execute_statements(
+        spark, target, [f"CREATE DATABASE {db_name}"], continue_on_error=True
+    )
+    return log[0][1] is None
+
+
 # --- K4: constraint/trigger gate ---------------------------------------
 
 

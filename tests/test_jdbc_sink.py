@@ -275,3 +275,73 @@ def test_mssql_dialect_live_constraint_gate_and_load(spark):
         "LEFT JOIN Musteri m ON m.Id = s.MusteriId WHERE m.Id IS NULL",
     )
     assert orphans == [0]
+
+
+def test_ensure_database_fresh_derby(spark, tmp_path):
+    """K2 (apply_mssql.py:27-43): first call creates, second is a no-op."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        ensure_database,
+        query_values,
+    )
+
+    db = tmp_path / "k2db"
+    target = JdbcTarget(url=f"jdbc:derby:{db}", dialect="derby")
+    assert ensure_database(spark, target, "k2db") is True
+    assert ensure_database(spark, target, "k2db") is False
+    # the created database is usable through the normal executor path
+    ok = execute_statements(
+        spark, target, ["CREATE TABLE T (N INT)", "INSERT INTO T VALUES (7)"],
+        continue_on_error=False,
+    )
+    assert all(err is None for _, err in ok)
+    assert query_values(spark, target, "SELECT N FROM T") == [7]
+
+
+def test_ensure_database_mssql_statement_text(spark, monkeypatch):
+    """mssql path replays the reference's sys.databases probe +
+    bracketed CREATE, and skips the CREATE when the probe hits."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks import jdbc as jdbc_mod
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        ensure_database,
+        ensure_database_statements,
+    )
+
+    check, create = ensure_database_statements("LINKDB")
+    assert check == "SELECT database_id FROM sys.databases WHERE name = 'LINKDB'"
+    assert create == "CREATE DATABASE [LINKDB]"
+
+    seen = {"probes": [], "creates": []}
+
+    def fake_query_values(spark_, target_, sql):
+        seen["probes"].append(sql)
+        return [] if len(seen["probes"]) == 1 else [1]
+
+    def fake_execute(spark_, target_, statements, continue_on_error=True):
+        seen["creates"].extend(statements)
+        return [(s, None) for s in statements]
+
+    monkeypatch.setattr(jdbc_mod, "query_values", fake_query_values)
+    monkeypatch.setattr(jdbc_mod, "execute_statements", fake_execute)
+    master = JdbcTarget(url="jdbc:sqlserver://h;databaseName=master", dialect="mssql")
+    assert ensure_database(spark, master, "LINKDB") is True  # absent -> created
+    assert ensure_database(spark, master, "LINKDB") is False  # present -> no-op
+    assert seen["probes"] == [check, check]
+    assert seen["creates"] == [create]
+
+
+def test_deploy_script_create_db_bracket(spark, tmp_path):
+    """deploy_script(create_db=True) ensures the database exists before
+    replaying the dump — a fresh Derby path needs no manual create."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.deploy import deploy_script
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import query_values
+
+    script = tmp_path / "dump.sql"
+    script.write_text(
+        "CREATE TABLE K2T (N INT)\nGO\nINSERT INTO K2T VALUES (42)\nGO\n",
+        encoding="utf-16",
+    )
+    db = tmp_path / "deploydb"
+    target = JdbcTarget(url=f"jdbc:derby:{db}", dialect="derby")
+    log = deploy_script(spark, target, str(script), create_db=True)
+    assert all(err is None for _, err in log)
+    assert query_values(spark, target, "SELECT N FROM K2T") == [42]
