@@ -810,14 +810,26 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase event, per-variant rates reported. The z-statistic is
     downstream arithmetic on these exact counts; the query's job is the
     deterministic ASSIGNMENT + JOIN shape experimentation platforms
-    standardize.
+    standardize. The assignment is salted by ``spark.sdt.abtest.salt``
+    (default empty = the oracle's split): every experiment gets an
+    independent 50/50 split by changing one string, the way real
+    platforms re-randomize between experiments without new
+    infrastructure. A non-empty salt is a DIFFERENT experiment — the
+    oracle models only the default.
 
     Scale notes: distinct users then one user-keyed left join against
     the (small) converter set — AQE broadcasts it when it fits; the
     final aggregate has 2 groups. No shuffle carries event payloads."""
     e = table(spark, sf_dir, "events")
+    salt = spark.conf.get("spark.sdt.abtest.salt", "")
     variant = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        )
         .cast("long")
         % 2
     )

@@ -1166,14 +1166,27 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten impact audit: given a deletion cohort (here
-    the deterministic c_custkey % 97 stand-in for an uploaded erasure
-    list), report how many rows in every table reference those subjects
-    — directly (customer, orders, events) and transitively through the
-    FK graph (lineitem via orders). The query compliance teams run
-    BEFORE executing a GDPR/CCPA purge, and the natural dual of this
-    repo's FK-aware generation engine: the same dependency knowledge
-    that orders inserts parent-first orders deletions child-first.
+    """Right-to-be-forgotten impact audit over the default demo cohort:
+    delegates to :func:`erasure_audit` with no erasure list, which
+    selects ``c_custkey % spark.sdt.erasure.cohortMod == 0``
+    (default 97 — the oracle's cohort). Real compliance runs pass their
+    uploaded erasure list as a DataFrame to :func:`erasure_audit`."""
+    return erasure_audit(spark, sf_dir)
+
+
+def erasure_audit(
+    spark: SparkSession, sf_dir: str, erasure_list: DataFrame | None = None
+) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion cohort —
+    ``erasure_list``, a DataFrame whose single column holds subject keys
+    (any column name), or, when omitted, the deterministic
+    ``c_custkey % spark.sdt.erasure.cohortMod`` demo stand-in — report
+    how many rows in every table reference those subjects — directly
+    (customer, orders, events) and transitively through the FK graph
+    (lineitem via orders). The query compliance teams run BEFORE
+    executing a GDPR/CCPA purge, and the natural dual of this repo's
+    FK-aware generation engine: the same dependency knowledge that
+    orders inserts parent-first orders deletions child-first.
 
     Scale notes: the victim list is an id-only frame — AQE broadcasts it
     into each probe, so every count is one semi-join-shaped scan with
@@ -1184,9 +1197,14 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     e = table(spark, sf_dir, "events")
-    victims = c.filter(F.col("c_custkey") % 97 == 0).select(
-        F.col("c_custkey").alias("key")
-    )
+    if erasure_list is None:
+        mod = int(spark.conf.get("spark.sdt.erasure.cohortMod", "97"))
+        victims = c.filter(F.col("c_custkey") % mod == 0).select(
+            F.col("c_custkey").alias("key")
+        )
+    else:
+        (key_col,) = erasure_list.columns
+        victims = erasure_list.select(F.col(key_col).alias("key")).distinct()
 
     def audit(df: DataFrame, on: str, name: str, subject: str) -> DataFrame:
         # no broadcast hint: a realistic erasure list is small and AQE
