@@ -66,7 +66,21 @@ EXTRA = ["text_doc_pairs_jaccard", "sim_knn_graph"]
 # New in r5 (no prior numbers): tracked but outside BOTH comparable
 # totals until r6 — the PQ entry times train(3 Lloyd jobs)+encode+ADC.
 EXTRA_R5 = ["sim_search_pq"]
-NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5}
+# New in r6 (no prior numbers; comparable from r7): the heaviest two of
+# the TPC-H-shaped pack — the full-scan pricing summary (Q1 shape) and
+# the 3-way-join big-order aggregate (Q18 shape).
+EXTRA_R6 = ["lineitem_pricing_summary", "orders_big_volume"]
+# New in r6: the engine the repo is named for, at benchmark scale — the
+# reference's FULL 85-table script.sql schema generated at 10k rows per
+# table (850k rows, 131 FK constraints) through the parquet
+# materialize="write" path (the at-scale mode: nothing pinned in
+# memory, dependents re-read from storage). Single pass per JVM — a
+# 10-table-per-second pipeline is not a microbenchmark, and its cost is
+# plan construction + 85 unique-plan compiles, which best-of-2 would
+# halve dishonestly. Excluded from every comparable total (no prior
+# numbers; comparable from r7 on).
+GEN_FULL_SCHEMA = "gen_full_schema"
+NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, GEN_FULL_SCHEMA}
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both
 # totals means a regression in the three most expensive plans is visible
@@ -123,6 +137,31 @@ def _gen_1m(spark):
     _materialize(built["Hareket"])
 
 
+_REFERENCE_SCRIPT = "/root/reference/script.sql"
+
+
+def _gen_full_schema(spark) -> None:
+    """The reference's complete 85-table ERP schema (script.sql), parsed
+    and generated at 10k rows/table through the parquet write path —
+    toposorted FK closure, subtype PK permutations, identity sequences,
+    the lot. This is the end-to-end pipeline run_engine.py performs at 15
+    rows/table, at 667× its row count."""
+    import shutil
+    import tempfile
+
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import GenerationPlan
+    from synthetic_data_transfer_to_relational_database_spark.sources.ddl import parse_schema_script
+
+    tables = parse_schema_script(_REFERENCE_SCRIPT)
+    out = tempfile.mkdtemp(prefix="sdt_bench_fullgen_")
+    try:
+        plan = GenerationPlan(spark, tables, seed=11, default_rows=10_000)
+        plan.materialize_dir = out
+        plan.run(materialize="write")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_sample(sf_dir: str) -> dict:
     """One JVM sample: best-of-2 per headline query."""
     from synthetic_data_transfer_to_relational_database_spark import registry
@@ -153,10 +192,18 @@ def run_sample(sf_dir: str) -> dict:
         # clear outside the timed region so entries stay independent
         spark.catalog.clearCache()
 
-    for name in [*HEADLINE, *EXTRA, *EXTRA_R5]:
+    for name in [*HEADLINE, *EXTRA, *EXTRA_R5, *EXTRA_R6]:
         fn = queries[name]
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
+
+    if os.path.exists(_REFERENCE_SCRIPT):
+        t0 = time.perf_counter()
+        _gen_full_schema(spark)
+        dt = round(time.perf_counter() - t0, 3)
+        timings[GEN_FULL_SCHEMA] = dt
+        first_pass[GEN_FULL_SCHEMA] = dt
+        spark.catalog.clearCache()
 
     # Forced-scalable branch: threshold 0 routes window_rank through the
     # range-slice derivation (the dispatch cache keys on the threshold,
@@ -172,10 +219,16 @@ def run_sample(sf_dir: str) -> dict:
     comparable = [k for k in timings if k not in NONCOMPARABLE]
     return {
         "queries": timings,
-        "total": round(sum(timings.values()), 3),
+        "total": round(
+            sum(v for k, v in timings.items() if k != GEN_FULL_SCHEMA), 3
+        ),
         "total_r3_comparable": round(sum(timings[k] for k in comparable), 3),
         "total_r4_comparable": round(
-            sum(v for k, v in timings.items() if k not in EXTRA_R5), 3
+            sum(
+                v for k, v in timings.items()
+                if k not in EXTRA_R5 and k not in EXTRA_R6 and k != GEN_FULL_SCHEMA
+            ),
+            3,
         ),
         # same exclusions as total_r3_comparable: this figure's whole
         # purpose is comparability with rounds that predate the entries
@@ -224,7 +277,13 @@ def main() -> None:
         n: min(s["queries"][n] for s in samples if n in s["queries"]) for n in names
     }
     comparable = [n for n in names if n not in NONCOMPARABLE]
-    total = round(sum(queries.values()), 3)
+    # headline value stays the QUERY total: gen_full_schema is a
+    # pipeline benchmark two orders of magnitude above the query scale,
+    # and folding it in would make the headline meaningless against
+    # every earlier round. It rides in "queries" on its own key.
+    total = round(
+        sum(v for n, v in queries.items() if n != GEN_FULL_SCHEMA), 3
+    )
 
     # The full per-JVM samples go to a repo file, NOT stdout: r4's merged
     # line embedded them and outgrew the driver's 2 kB tail capture
@@ -249,7 +308,11 @@ def main() -> None:
                 "method": f"best_of_2_x{len(samples)}jvm",
                 "total_r3_comparable": round(sum(queries[n] for n in comparable), 3),
                 "total_r4_comparable": round(
-                    sum(v for n, v in queries.items() if n not in EXTRA_R5), 3
+                    sum(
+                        v for n, v in queries.items()
+                        if n not in EXTRA_R5 and n not in EXTRA_R6 and n != GEN_FULL_SCHEMA
+                    ),
+                    3,
                 ),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import table
 from ._registry import make_registry
@@ -576,3 +577,58 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_lsh_verified"] = dedup_lsh_verified
+
+
+@q(
+    "dedup_keep_best",
+    sql=r"""
+    SELECT doc_id AS keep_doc_id, norm_key, n_chars AS keep_n_chars,
+           n_docs AS group_size
+    FROM (
+      SELECT doc_id, n_chars,
+             array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ')
+               AS norm_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY array_to_string(
+                 (regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ')
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY array_to_string(
+                 (regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ')) AS n_docs
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup policy: within each near-dup group (the same
+    5-token normalized prefix key as dedup_key_norm), survive the
+    LONGEST document instead of the arbitrary/min-id one — the policy
+    real curation pipelines use (keep the most complete variant, drop
+    truncated mirrors). Ties break on doc_id, so the survivor is total-
+    order deterministic.
+
+    Scale notes: one shuffle keyed on the normalized key; the argmax is
+    a per-key window (rank + count in the same pass — no second
+    aggregate join-back), and keys hash-distribute so no global sort
+    exists. At 100 TB the shuffle carries (key, doc_id, n_chars) — the
+    text itself never moves; with quality scores in place of n_chars
+    this is exactly the keep-highest-quality policy."""
+    d = table(spark, sf_dir, "documents")
+    norm_key = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    )
+    w = Window.partitionBy("norm_key").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("norm_key")
+    return (
+        d.select("doc_id", "n_chars", norm_key.alias("norm_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("keep_doc_id"),
+            "norm_key",
+            F.col("n_chars").alias("keep_n_chars"),
+            "group_size",
+        )
+    )

@@ -1,0 +1,309 @@
+"""Decision-support query pack modeled on the classic TPC-H shapes the
+r5 additions left uncovered: the pricing-summary full-scan aggregate,
+the segment top-k join, the EXISTS semi-join count, the conditional
+two-way count, the promo revenue share, and the HAVING-over-aggregate
+big-order report. The reference implements none of these (its query
+surface is the catalog scans, SURVEY.md §2.2); they complete the
+"switch a reference user's analytics to this repo" story alongside
+revenue_by_nation (Q5-shaped) and lineitem_discount_revenue (Q6).
+
+Determinism discipline (operators/_registry.py): money sums are exact
+DECIMAL or integer-cents sums CAST to DOUBLE at the end; averages are
+exact-sum ÷ exact-count IEEE divisions; every top-k carries a
+total-order tiebreaker.
+
+Scale notes (100 TB): every query here is scan → (broadcast-eligible
+dim join) → partial-agg-friendly hash aggregate; date predicates reach
+the parquet scan as PushedFilters; no query shuffles more than
+(group keys, partial sums). The EXISTS shape is a LeftSemi join keyed
+on orderkey — never a correlated per-row probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import table
+from ._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+
+def _dec(c, p: int = 18, s: int = 2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+@q(
+    "lineitem_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the full-scan pricing summary — one pass, six
+    exact aggregates per (returnflag, linestatus) cell. Sums are exact
+    decimals cast to DOUBLE at the very end; averages divide the exact
+    sum by the exact count (one IEEE division, engine-identical).
+
+    Scale notes: the canonical map-side-combine aggregate — 6 groups
+    total, so the shuffle after partial aggregation is 6 rows per task
+    no matter the corpus; the date predicate is a pushed parquet filter
+    and only 7 of 11 columns are read."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 8, 2))
+    charge = disc_price * (F.lit(1) + _dec("l_tax", 8, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_discount", 8, 2)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "orders_shipping_priority",
+    sql="""
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+    Revenue is an exact decimal sum (identical DOUBLE on both engines,
+    so the ORDER BY agrees); l_orderkey breaks ties totally.
+
+    Scale notes: the segment filter prunes customer before the join —
+    AQE broadcasts the surviving slice; the aggregate groups on
+    (orderkey, date) which the lineitem join already shuffled by, and
+    the global sort sees only the aggregated rows, then limit-pushdown
+    takes 10 per partition before the final merge."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-03-15"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-03-15"))
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 8, 2)))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "orders_late_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one line
+    shipped late (> 60 days after the order date — this dataset has no
+    commit/receipt dates, so lateness is vs the order date).
+
+    Scale notes: EXISTS compiles to a LeftSemi hash join keyed on
+    orderkey — each order is emitted at most once regardless of how
+    many lines are late, with no distinct pass; the quarter predicate
+    pushes to the orders scan and the 5-group aggregate is partial-agg
+    friendly."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "lineitem_priority_mix",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return flag (the dataset's stand-in for
+    shipmode), how many of the year's lines belonged to high- vs
+    low-priority orders — the conditional-count join readout.
+
+    Scale notes: one orderkey-keyed join (lineitem already filtered by
+    the pushed year predicate), then a 3-group conditional aggregate;
+    both counts come out of ONE pass (no second scan per branch)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "part_promo_revenue_share",
+    sql="""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) * 100.0
+           / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def part_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the month's promo-part revenue share. Per-line
+    revenue is rounded to integer cents row-wise (IEEE-identical on both
+    engines) so both sums are exact; the final ×100/total is two IEEE
+    divisions in pinned order.
+
+    Scale notes: part is a broadcast-eligible dim (key + type only after
+    pruning); the month predicate pushes to the lineitem scan; the
+    1-group aggregate is a pure map-side-combine reduction."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(promo).cast("double") * 100.0 / F.sum(cents).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "orders_big_volume",
+    sql="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    """,
+)
+def orders_big_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — customers whose single
+    order moved more than 250 units. The HAVING filter runs over the
+    exact decimal sum, so the cut is bit-identical across engines.
+
+    Scale notes: the aggregate groups by orderkey (the join key — no
+    extra shuffle beyond the join's); the HAVING prunes before anything
+    wide is carried; customer attaches via its key only. Q18's classic
+    inner 'GROUP BY l_orderkey HAVING' subquery and the outer join
+    collapse into one aggregate here because custkey/orderdate ride
+    functionally on o_orderkey."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.sum(_dec("l_quantity"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(qty.cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+
+
+@q(
+    "window_ntile",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucket assignment — the window-family member the rank pack
+    (window_rank/_ranks_pct/_frame/_lag) didn't cover: equal-size
+    quartiles of order value within each priority class. The order key
+    totally orders ties so both engines assign identical buckets.
+
+    Scale notes: one hash-partitioned window per priority class — no
+    global single-partition sort (the catalog's window rule); NTILE is
+    computed in the same pass as the sort, nothing extra shuffles."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )

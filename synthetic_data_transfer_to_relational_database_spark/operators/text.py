@@ -1228,3 +1228,68 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@q(
+    "text_oov_rate",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+        FROM tok GROUP BY token
+      ) WHERE rk <= 1000
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document: the fraction of a doc's
+    tokens outside the corpus's top-1000 vocabulary (by frequency, ties
+    broken by token text — total-order deterministic). The practical
+    stand-in for perplexity-based quality filtering when no LM is at
+    hand: a doc made of rare tokens is boilerplate, code, or noise. All
+    counts are exact integers; the rate is one final IEEE division.
+
+    Scale notes: the vocabulary is built with ONE token-keyed partial
+    aggregate and a DISTRIBUTED top-k (orderBy + limit compiles to
+    TakeOrderedAndProject: each partition keeps its own 1000, one merge
+    — never a single-partition global sort/window over the distinct
+    tokens, which at web scale are billions); the 1000-row vocab then
+    broadcast-joins against the token stream, and the per-doc aggregate
+    is doc-keyed partial agg. No shuffle carries text beyond the
+    (token, doc_id) postings."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(1000)
+        .select(F.col("token").alias("v_token"))
+    )
+    return (
+        tok.join(
+            F.broadcast(vocab), F.col("token") == F.col("v_token"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("v_token").isNull(), 1).otherwise(0)).alias("n_oov"),
+            (
+                F.sum(F.when(F.col("v_token").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Right-to-be-forgotten DELETE planning over the FK graph.
+
+The dual of the generation engine: the same FK metadata that orders
+INSERTs parent-first (toposort.py, the reference's fill_db.py:39-61
+ordering) orders DELETEs child-first. Given a schema, a root table, and
+a SQL predicate naming the erasure cohort, :func:`erasure_delete_statements`
+emits one ``DELETE`` per affected table — children before parents, each
+child predicated by an ``EXISTS`` chain back to the root cohort — so a
+live database with ACTIVE FK constraints accepts the purge with no
+constraint-disable bracket and no orphan window.
+
+``operators/relational2.erasure_audit`` is the read-only half (how many
+rows WOULD go); this module is the write half. Together they are the
+compliance workflow the audit's docstring promises.
+
+All work here is driver-side metadata planning (the FK graph has tens of
+nodes); execution goes through the ordinary K1 executor
+(``sinks.jdbc.execute_statements`` / ``execute_transaction`` for an
+all-or-nothing purge).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .model import TableSpec
+from .toposort import toposort_tables
+
+
+def erasure_delete_statements(
+    tables: dict[str, TableSpec],
+    root_table: str,
+    root_predicate: str,
+) -> list[str]:
+    """Child-first DELETE statements purging every row that references
+    the cohort ``root_predicate`` selects in ``root_table`` (transitively
+    through the FK graph), ending with the root rows themselves.
+
+    ``root_predicate`` references root columns bare (``c_custkey % 97 =
+    0``) or as ``<root_table>.<col>``; it is embedded verbatim
+    (caller-trusted SQL, the same trust model as deploy_script's DDL).
+    Multiple FK paths into the cohort OR together: a row referencing it
+    through ANY path is deleted. Every ``EXISTS`` level gets a globally
+    unique alias, so arbitrarily deep chains nest without shadowing.
+
+    Ordering: reversed toposort — the exact inverse of the INSERT order
+    the generator uses, so each DELETE runs while its own children are
+    already gone and its parents still exist (the EXISTS subqueries need
+    the parents alive). Self-referencing FKs need no special ordering:
+    a table's whole cohort goes in one statement.
+
+    Scale note: each statement pushes one semi-join to the database —
+    the server does the work; nothing row-shaped crosses the wire. For
+    purges too large for one server-side transaction, run the same
+    statements batched by key ranges.
+    """
+    if root_table not in tables:
+        raise KeyError(f"unknown root table {root_table!r}")
+
+    counter = [0]
+
+    def fresh_alias() -> str:
+        counter[0] += 1
+        return f"e{counter[0]}"
+
+    def requalify(pred: str, table: str, alias: str) -> str:
+        # rewrite '<table>.' column references to the enclosing alias;
+        # word-bounded so a table whose name suffixes another is safe
+        return re.sub(rf"\b{re.escape(table)}\.", f"{alias}.", pred)
+
+    # Predicates are stored referencing the table's own columns via the
+    # TABLE NAME, so embedding a predicate one level down is a single
+    # name→alias rewrite.
+    preds: dict[str, str] = {root_table: root_predicate}
+    order = toposort_tables(tables)
+    # forward pass in insert order: parents acquire predicates before
+    # children look them up, so chains compose transitively
+    for name in order:
+        if name in preds:
+            continue
+        clauses = []
+        for fk in tables[name].fks:
+            parent = fk.parent_table
+            if parent == name or parent not in tables:
+                continue  # self-refs need no separate statement
+            parent_pred = preds.get(parent)
+            if parent_pred is None:
+                continue
+            a = fresh_alias()
+            on = " AND ".join(
+                f"{a}.{pc} = {name}.{cc}"
+                for cc, pc in zip(fk.columns, fk.parent_columns)
+            )
+            inner = requalify(parent_pred, parent, a)
+            clauses.append(
+                f"EXISTS (SELECT 1 FROM {parent} {a} WHERE {on} AND ({inner}))"
+            )
+        if clauses:
+            preds[name] = " OR ".join(clauses)
+    return [
+        f"DELETE FROM {name} WHERE {preds[name]}"
+        for name in reversed(order)
+        if name in preds
+    ]

@@ -51,6 +51,50 @@ from .toposort import toposort_tables
 DEFAULT_ROW_COUNT = 1000
 
 
+def _array_literal(values: list) -> Column:
+    """ONE parsed ``array(...)`` literal for a Python list.
+
+    ``F.lit(list)`` in classic PySpark builds the array ELEMENT-BY-ELEMENT
+    — one py4j round trip per element — so a 10k-key parent array cost
+    ~5 s of pure socket time per FK edge, and an 85-table schema build
+    spent ~47% of its wall clock inside those listcomps (measured, r6).
+    Rendering the SQL text driver-side and parsing it once JVM-side is
+    O(1) round trips at any length. Covers the key types parent PKs can
+    carry (str/int/float/bool/Decimal/date/datetime); anything else
+    falls back to the per-element form — correct, just slow."""
+    import datetime
+    import decimal
+
+    def render(v) -> str | None:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, float):
+            return f"CAST({v!r} AS DOUBLE)"
+        if isinstance(v, decimal.Decimal):
+            _, digits, exp = v.as_tuple()
+            scale = max(0, -exp)
+            int_digits = max(len(digits) + exp, 0) if exp < 0 else len(digits) + exp
+            prec = max(int_digits + scale, 1)
+            return f"CAST('{v}' AS DECIMAL({prec},{scale}))"
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return None
+
+    parts = []
+    for v in values:
+        r = render(v)
+        if r is None:
+            return F.lit(list(values))  # unknown element type: slow path
+        parts.append(r)
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def _coprime_step(n: int, seed: int) -> int:
     """Smallest step ≥ some seed-derived start that is coprime with n —
     defines the affine permutation i -> (a*i + b) mod n."""
@@ -194,7 +238,7 @@ class GenerationPlan:
         if override is not None:
             if not override:
                 return self._fk_fallback(col, id_col, salt)
-            arr = F.lit(list(override))
+            arr = _array_literal(list(override))
             idx = (self._sample_idx(id_col, salt, len(override), col.unique, child_rows) + 1).cast("int")
             return F.element_at(arr, idx)
 
@@ -217,7 +261,7 @@ class GenerationPlan:
             # ONE array literal (a single Catalyst Literal node), not 10^5
             # F.lit() Column constructions — the per-element form blows up
             # py4j call count and plan size long before the threshold.
-            arr = F.lit(keys)
+            arr = _array_literal(keys)
             idx = (self._sample_idx(id_col, salt, len(keys), col.unique, child_rows) + 1).cast("int")
             return F.element_at(arr, idx)
 

@@ -15,6 +15,7 @@ from .operators import (
     multimodal,
     relational,
     relational2,
+    relational3,
     scalars,
     similarity,
     streaming_ops,
@@ -29,6 +30,7 @@ _MODULES = [
     generator_ops,
     streaming_ops,
     relational2,
+    relational3,
     scalars,
     events,
     text,
@@ -38,122 +40,94 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-5 window:
-#   1) the twenty queries NEW this round: stream_jdbc_exactly_once (the
-#      exactly-once transactional JDBC sink's driver-visible surface,
-#      rows-only), events_rollup_hierarchy (continuous-aggregate
-#      cascade), agg_sketch_union (mergeable HLL pre-aggregation,
-#      rows-only), text_containment (directional excerpt detection),
-#      corpus_split (hash train/val/test), skew_profile (heavy-key
-#      diagnostic), snapshot_merge_upsert (CDC MERGE semantics),
-#      sim_search_pq / sim_search_ivfpq (product-quantization ANN and
-#      the IVF×PQ composition, rows-only), multimodal_phash_dedup
-#      (integer-exact aHash near-dup over payload blocks),
-#      text_bpe_train (distributed BPE merge training, rows-only
-#      pinned vs a Python reference), orders_cohort_ltv (cohort LTV
-#      matrix), lineitem_yoy_growth (period comparison via lag over the
-#      aggregate), data_quality_profile (single-pass column profiler),
-#      events_forecast_baseline (seasonal-naive forecast floor),
-#      corpus_length_histogram (fixed-width length distribution),
-#      events_attribution (7-day last-touch credit), user_erasure_audit
-#      (FK-transitive right-to-be-forgotten impact report),
-#      events_ab_test (hash-split experiment readout),
-#      lineitem_discount_revenue (TPC-H Q6 scan stressor). One r5 key
-#      deliberately waits for r6 rather than squeeze the refresh slots
-#      further: basket_rules (strict-green via tools/driver_sim.py;
-#      its pair-count core is basket_pairs, in-window).
-#   2) the 19 queries new in r4 (plus events_gap_islands, which ceded
-#      its r4 slot) — their only driver evidence so far is the builder's
-#      local gate + the r4 judge's independent driver_sim run; this
-#      window supplies the external record. Four of them also CHANGED
-#      this round: text_doc_pairs_jaccard (absolute df-cap conf),
-#      graph_triangles (degree-ordered orientation), events_anomaly_mad
-#      and orders_rfm (exact/approx percentile dispatch).
-#   3) three r4-green sentinels re-swept because the shared dispatch
-#      helper changed under them (skew.small_rank_input grew a conf_name
-#      parameter + widened cache key): window_rank, window_ranks_pct,
-#      multimodal_dyn_batch.
-#   4) oldest-evidence (r3) keys fill the remaining 8 slots. The other
-#      30 r3-evidence keys wait for r6 — every one is locally
-#      strict-green via tools/driver_sim.py and has an in-window proxy
-#      re-validating its shared code path this round:
-#        - scalar_string/date/math → scalar_null + scalar_json (in the
-#          19) on the same scalar pack;
-#        - text_stats, text_term_freq/lang_id/quality/token_bpe,
-#          corpus_mixture/curation_pipeline, text_repetition,
-#          udf_surface → the seven in-window text/corpus entries on the
-#          same tokenize/loading paths (udf_surface's Arrow path also
-#          rides under multimodal_dyn_batch, in-window);
-#        - sim_centroid_by_label/_scalable, sim_classifier_udf →
-#          sim_knn_graph / dedup_semantic / the PQ family on the same
-#          embeddings machinery;
-#        - stream_sliding/_session/_user_profile/_dedup →
-#          stream_jdbc_exactly_once + r4-green stream_tumbling on the
-#          same scoped-conf stream source;
-#        - dedup_minhash_lsh/_embedding/_cluster, join_salted →
-#          dedup_semantic's CC loop + bench timing + invariant suites;
-#        - join_full_outer → snapshot_merge_upsert's full-outer shape;
-#        - window_frame → window_first_last's frame machinery;
-#        - agg_string/agg_median/sample_stratified,
-#          multimodal_frame_sample, gen_synthetic_orders → test-locked,
-#          with family siblings (agg_mode, sample_hash,
-#          multimodal_dyn_batch, fk_sample_join) carrying r4/r5
-#          evidence.
+# new/changed queries first, then oldest-evidence first. Round-6 window:
+#   1) the nine queries NEW this round: the TPC-H-shaped
+#      decision-support pack (lineitem_pricing_summary Q1,
+#      orders_shipping_priority Q3, orders_late_priority Q4,
+#      lineitem_priority_mix Q12, part_promo_revenue_share Q14,
+#      orders_big_volume Q18 — operators/relational3.py), window_ntile
+#      (quartile assignment), dedup_keep_best (keep-longest survivor
+#      policy), text_oov_rate (top-1000-vocab OOV quality signal).
+#   2) the four queries whose implementation CHANGED this round:
+#      graph_triangles (edge-frame cache restored in
+#      oriented_triangles), user_erasure_audit (erasure_audit refactor +
+#      cohortMod conf), events_ab_test (assignment salt conf),
+#      fk_sample_join (the generator's literal-memo / single-parse
+#      parent-key array rewrite runs under it).
+#   3) basket_rules — registered in r5 after the window froze; the ONLY
+#      key with zero external CORRECTNESS rows (r5 verdict ran it green
+#      via driver_sim; this supplies the missing driver row).
+#   4) the 30 keys whose newest driver evidence is r3 (the r5 verdict's
+#      rotation ask): scalar_string/date/math, text_stats,
+#      text_term_freq/lang_id/quality/token_bpe/repetition,
+#      corpus_mixture/curation_pipeline, udf_surface,
+#      stream_sliding/_session/_user_profile/_dedup,
+#      dedup_minhash_lsh/_embedding/_cluster, join_salted,
+#      join_full_outer, window_frame, agg_string/median,
+#      sample_stratified, multimodal_frame_sample, gen_synthetic_orders,
+#      sim_centroid_by_label/_scalable, sim_classifier_udf. After this
+#      sweep every registered key's newest evidence is r4 or later and
+#      the r1∪…∪r6 union covers the whole catalog.
+#   5) six r4-evidence keys fill the remaining slots (oldest-first
+#      tier): above_order_avg, agg_cube, agg_gsets, join_range,
+#      sim_search, events_funnel. The other r4 keys (all green, code
+#      unchanged since their sweep) rotate through r7.
 _SWEEP_FIRST = [
-    # -- 1) new in r5 -------------------------------------------------
-    "stream_jdbc_exactly_once",
-    "events_rollup_hierarchy",
-    "agg_sketch_union",
-    "text_containment",
-    "corpus_split",
-    "skew_profile",
-    "snapshot_merge_upsert",
-    "sim_search_pq",
-    "sim_search_ivfpq",
-    "multimodal_phash_dedup",
-    "text_bpe_train",
-    "orders_cohort_ltv",
-    "lineitem_yoy_growth",
-    "data_quality_profile",
-    "events_forecast_baseline",
-    "corpus_length_histogram",
-    "events_attribution",
+    # -- 1) new in r6 -------------------------------------------------
+    "lineitem_pricing_summary",
+    "orders_shipping_priority",
+    "orders_late_priority",
+    "lineitem_priority_mix",
+    "part_promo_revenue_share",
+    "orders_big_volume",
+    "window_ntile",
+    "dedup_keep_best",
+    "text_oov_rate",
+    # -- 2) changed in r6 ---------------------------------------------
+    "graph_triangles",
     "user_erasure_audit",
     "events_ab_test",
-    "lineitem_discount_revenue",
-    # -- 2) new in r4: first external driver sweep --------------------
-    "events_retention_cohorts",
-    "corpus_quantile_filter",
-    "text_doc_pairs_jaccard",
-    "events_rolling_active",
-    "agg_mode",
-    "unpivot_long",
-    "corpus_dup_ngrams",
-    "sim_knn_graph",
-    "dedup_semantic",
-    "events_user_paths",
-    "events_anomaly_mad",
-    "basket_pairs",
-    "orders_rfm",
-    "graph_triangles",
-    "graph_pagerank",
-    "window_first_last",
-    "scalar_null",
-    "events_gapfill",
-    "events_gap_islands",
-    # -- 3) sentinels: shared dispatch helper changed this round ------
-    "window_rank",
-    "window_ranks_pct",
-    "multimodal_dyn_batch",
-    # -- 4) oldest evidence (r3), refresh ----------------------------
-    "stream_interval_join",
-    "join_asof",
-    "pivot_wide",
-    "sample_hash",
-    "agg_approx_percentile",
-    "text_contamination",
-    "text_pii_scan",
-    "corpus_diff",
+    "fk_sample_join",
+    # -- 3) never externally swept ------------------------------------
+    "basket_rules",
+    # -- 4) oldest evidence (r3), refresh -----------------------------
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "text_stats",
+    "text_term_freq",
+    "text_lang_id",
+    "text_quality",
+    "text_token_bpe",
+    "text_repetition",
+    "corpus_mixture",
+    "corpus_curation_pipeline",
+    "udf_surface",
+    "stream_sliding",
+    "stream_session",
+    "stream_user_profile",
+    "stream_dedup",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "dedup_cluster",
+    "join_salted",
+    "join_full_outer",
+    "window_frame",
+    "agg_string",
+    "agg_median",
+    "sample_stratified",
+    "multimodal_frame_sample",
+    "gen_synthetic_orders",
+    "sim_centroid_by_label",
+    "sim_centroid_scalable",
+    "sim_classifier_udf",
+    # -- 5) oldest r4 keys, refresh -----------------------------------
+    "above_order_avg",
+    "agg_cube",
+    "agg_gsets",
+    "join_range",
+    "sim_search",
+    "events_funnel",
 ]
 
 

@@ -32,6 +32,13 @@ def get_spark(app_name: str = "sdt-spark", shuffle_partitions: int | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.maxResultSize", "2g")
+        # PySpark 4's per-API-call user-stack capture (error-context
+        # decoration) walks the Python stack on EVERY functions.* call —
+        # measured ~0.7s of pure inspect/IPython-probe overhead while
+        # constructing one wide generated table's plan. An engine builds
+        # plans programmatically, so the call-site breadcrumb has no
+        # reader here; the JVM exception text is unaffected.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # When a checkpoint dir is configured (skew.checkpoint_pinned's
         # reliable mode), GC checkpoint files with their RDDs instead of
         # accumulating a snapshot per derivation call in shared storage.

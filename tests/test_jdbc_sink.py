@@ -6,6 +6,8 @@ against a real relational database instead of MSSQL.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -345,3 +347,101 @@ def test_deploy_script_create_db_bracket(spark, tmp_path):
     log = deploy_script(spark, target, str(script), create_db=True)
     assert all(err is None for _, err in log)
     assert query_values(spark, target, "SELECT N FROM K2T") == [42]
+
+
+def test_erasure_delete_child_first_with_live_constraints(spark, tmp_path):
+    """End-to-end GDPR purge: generate + load the mini ERP schema into a
+    FRESH Derby db with ACTIVE FK constraints, run the FK-ordered
+    child-first DELETE plan for a customer cohort, and verify the cohort
+    is gone, unrelated rows survive, and referential integrity held
+    throughout (no constraint-disable bracket needed)."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.erasure import (
+        erasure_delete_statements,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        ensure_database,
+        query_values,
+    )
+
+    db = tmp_path / "erasuredb"
+    target = JdbcTarget(url=f"jdbc:derby:{db}", dialect="derby")
+    ensure_database(spark, target, "erasuredb")
+    assert all(
+        err is None for _, err in execute_statements(spark, target, DDL)
+    )
+    tables = _schema()
+    plan = GenerationPlan(
+        spark, tables, seed=3, row_counts={"Musteri": 40, "Siparis": 300}
+    )
+    built = plan.run(materialize=False)
+    write_table(built["Musteri"], target, "Musteri")
+    write_table(built["Siparis"], target, "Siparis")
+
+    victims = query_values(
+        spark, target, "SELECT Id FROM Musteri FETCH FIRST 5 ROWS ONLY"
+    )
+    in_list = ", ".join(f"'{v}'" for v in victims)
+    stmts = erasure_delete_statements(tables, "Musteri", f"Id IN ({in_list})")
+    # child-first: Siparis DELETE precedes Musteri DELETE
+    assert [s.split()[2] for s in stmts] == ["Siparis", "Musteri"]
+    log = execute_statements(spark, target, stmts, continue_on_error=False)
+    assert all(err is None for _, err in log)
+
+    assert query_values(
+        spark, target, f"SELECT COUNT(*) FROM Musteri WHERE Id IN ({in_list})"
+    ) == [0]
+    assert query_values(
+        spark, target,
+        f"SELECT COUNT(*) FROM Siparis WHERE MusteriId IN ({in_list})",
+    ) == [0]
+    # unrelated rows survive and closure still holds
+    assert query_values(spark, target, "SELECT COUNT(*) FROM Musteri") == [35]
+    orphans = query_values(
+        spark, target,
+        "SELECT COUNT(*) FROM Siparis s LEFT JOIN Musteri m ON m.Id = s.MusteriId "
+        "WHERE m.Id IS NULL",
+    )
+    assert orphans == [0]
+
+
+def test_erasure_statements_transitive_chain():
+    """Three-level chain (grandchild -> child -> root): predicates nest
+    with unique aliases and the order is leaf-first."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.erasure import (
+        erasure_delete_statements,
+    )
+
+    tables = {
+        "C": TableSpec(
+            name="C",
+            columns=[ColumnSpec("Id", "int", nullable=False)],
+            pk=["Id"],
+            fks=[],
+        ),
+        "O": TableSpec(
+            name="O",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False),
+                ColumnSpec("Cid", "int", nullable=False),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["Cid"], "C", ["Id"])],
+        ),
+        "L": TableSpec(
+            name="L",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False),
+                ColumnSpec("Oid", "int", nullable=False),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["Oid"], "O", ["Id"])],
+        ),
+    }
+    stmts = erasure_delete_statements(tables, "C", "Id % 7 = 0")
+    assert [s.split()[2] for s in stmts] == ["L", "O", "C"]
+    l_stmt = stmts[0]
+    # grandchild reaches the root through two nested EXISTS levels with
+    # distinct aliases
+    assert l_stmt.count("EXISTS") == 2
+    aliases = set(re.findall(r"FROM \w+ (e\d+)", l_stmt))
+    assert len(aliases) == 2

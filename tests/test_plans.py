@@ -314,3 +314,42 @@ def test_corpus_diff_shuffles_digests_not_text(spark):
     for i in exchanges:
         below = "\n".join(lines[i + 1 : i + 4])
         assert "md5(" in below, f"digest not computed below exchange:\n{below}"
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """lineitem_pricing_summary (Q1 shape): the shipdate cut reaches the
+    parquet scan, only the 7 needed columns are read, and a partial
+    HashAggregate sits below the single exchange (map-side combine —
+    6 groups per task, not per row)."""
+    df = registry.all_queries()["lineitem_pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_late_priority_is_left_semi(spark):
+    """orders_late_priority (Q4 shape): EXISTS must compile to ONE
+    LeftSemi join — never a per-row correlated probe or a distinct over
+    a full inner join."""
+    plan = _plan(registry.all_queries()["orders_late_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_share_broadcasts_part_dim(spark):
+    """part_promo_revenue_share (Q14 shape): part is the hinted
+    broadcast dim; the month filter is pushed to the lineitem scan."""
+    plan = _plan(registry.all_queries()["part_promo_revenue_share"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_keep_best_window_is_key_partitioned(spark):
+    """dedup_keep_best: the survivor window must partition by norm_key —
+    a global single-partition window over the corpus would collapse
+    100 TB onto one task (the catalog's window rule)."""
+    plan = _plan(registry.all_queries()["dedup_keep_best"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "hashpartitioning(norm_key" in plan
+    assert "Exchange SinglePartition" not in plan
