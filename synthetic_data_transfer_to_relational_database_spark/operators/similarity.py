@@ -599,6 +599,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(na)·sqrt(nb) over the same operands keeps the IEEE value
     bit-identical to the oracle's per-pair form.
 
+    The 64-dim dot-product fold is the whole cost, and cosine is
+    bitwise SYMMETRIC here (zip_with's per-element products and the
+    sequential sum are operand-order-independent, as is na·nb), so each
+    unordered pair is scored ONCE (src < dst) and exploded map-side
+    into both directed edges — half the fold evaluations of the naive
+    src != dst join for an identical result (r6: −40% wall).
+
     ``spark.sdt.knn.k`` overrides k for reuse outside the harness (the
     oracle above is generated for the default k=3 — override and the
     entry is effectively rows-only)."""
@@ -606,7 +613,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     a, b = _norm_sides(e, "src", "dst")
     scored = (
-        a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") != F.col("dst")))
+        a.join(b, (F.col("label") == F.col("blabel")) & (F.col("src") < F.col("dst")))
         .select(
             "src",
             "dst",
@@ -614,9 +621,21 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(_DOT_AB) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e"),
+        "label",
+        "cosine",
+    ).select(
+        F.col("e.s").alias("src"), F.col("e.d").alias("dst"), "label", "cosine"
+    )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        both.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("src", "dst", "label", "cosine", "rn")
     )
