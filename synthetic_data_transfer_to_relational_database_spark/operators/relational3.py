@@ -307,3 +307,64 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+@q(
+    "customer_idle_rich",
+    sql="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_cents
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_bal_cents
+    FROM customer CROSS JOIN thr
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > avg_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def customer_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the positive-balance
+    average with no RECENT order (none since 2000 — nearly every
+    customer in this dataset has ordered at least once, so the classic
+    never-ordered predicate would select nobody) — the anti-join +
+    global-scalar-threshold combination. Balances compare as integer
+    cents against an exact-sum ÷ exact-count average (one IEEE
+    division, identical in both engines — a raw AVG(double) threshold
+    would be partial-sum-order dependent and could flip boundary rows
+    between engines).
+
+    Scale notes: the threshold is a 1-row aggregate broadcast
+    (crossJoin of a lazy scalar — the tfidf/bounds recipe); the NOT
+    EXISTS compiles to a LeftAnti hash join keyed on custkey against an
+    orders scan pruned to that single column; the final aggregate
+    groups on nationkey with map-side combine."""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select(F.col("o_custkey").alias("ok"))
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(cents).cast("double") / F.count(F.lit(1))).alias("avg_cents")
+        )
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("ok"), "left_anti")
+        .crossJoin(F.broadcast(thr))
+        .filter(cents > F.col("avg_cents"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents).alias("total_bal_cents"),
+        )
+    )

@@ -1293,3 +1293,66 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@q(
+    "corpus_quality_resample",
+    sql="""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN n_chars >= 400 THEN 'high'
+                  WHEN n_chars >= 200 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, tier, bucket
+    FROM h
+    WHERE bucket < CASE tier WHEN 'high' THEN 1000
+                             WHEN 'mid' THEN 500
+                             ELSE 100 END
+    """,
+)
+def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep 100% of high-quality
+    documents, 50% of mid, 10% of low (tiers on length as the quality
+    proxy; swap in text_quality's score in production) — the standard
+    pretraining-mixture move that upsamples good text WITHOUT
+    duplicating rows. Membership is content-stable md5 bucketing with a
+    per-policy salt ('resample:'), so reruns, repartitions, and the two
+    engines agree row-for-row, and the draw is independent of
+    corpus_split's buckets (different salt, uncorrelated assignment).
+
+    Scale notes: pure map-side projection + filter — no shuffle at all;
+    the decision needs only (doc_id, n_chars), and the filter sits
+    directly on the scan."""
+    d = table(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") >= 400, "high")
+        .when(F.col("n_chars") >= 200, "mid")
+        .otherwise("low")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    keep = F.col("bucket") < (
+        F.when(F.col("tier") == "high", 1000)
+        .when(F.col("tier") == "mid", 500)
+        .otherwise(100)
+    )
+    return (
+        d.select(
+            "doc_id", "lang", "n_chars", tier.alias("tier"), bucket.alias("bucket")
+        )
+        .filter(keep)
+    )

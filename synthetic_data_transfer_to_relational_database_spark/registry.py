@@ -41,13 +41,16 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-6 window:
-#   1) the nine queries NEW this round: the TPC-H-shaped
+#   1) the twelve queries NEW this round: the TPC-H-shaped
 #      decision-support pack (lineitem_pricing_summary Q1,
 #      orders_shipping_priority Q3, orders_late_priority Q4,
 #      lineitem_priority_mix Q12, part_promo_revenue_share Q14,
-#      orders_big_volume Q18 — operators/relational3.py), window_ntile
-#      (quartile assignment), dedup_keep_best (keep-longest survivor
-#      policy), text_oov_rate (top-1000-vocab OOV quality signal).
+#      orders_big_volume Q18, customer_idle_rich Q22 —
+#      operators/relational3.py), window_ntile (quartile assignment),
+#      dedup_keep_best (keep-longest survivor policy),
+#      dedup_edit_distance (bucket-confined Levenshtein verify),
+#      text_oov_rate (top-1000-vocab OOV quality signal),
+#      corpus_quality_resample (tiered content-stable downsampling).
 #   2) the four queries whose implementation CHANGED this round:
 #      graph_triangles (edge-frame cache restored in
 #      oriented_triangles), user_erasure_audit (erasure_audit refactor +
@@ -68,10 +71,9 @@ _MODULES = [
 #      sim_centroid_by_label/_scalable, sim_classifier_udf. After this
 #      sweep every registered key's newest evidence is r4 or later and
 #      the r1∪…∪r6 union covers the whole catalog.
-#   5) six r4-evidence keys fill the remaining slots (oldest-first
-#      tier): above_order_avg, agg_cube, agg_gsets, join_range,
-#      sim_search, events_funnel. The other r4 keys (all green, code
-#      unchanged since their sweep) rotate through r7.
+#   5) three r4-evidence keys fill the remaining slots (oldest-first
+#      tier): above_order_avg, agg_cube, agg_gsets. The other r4 keys
+#      (all green, code unchanged since their sweep) rotate through r7.
 _SWEEP_FIRST = [
     # -- 1) new in r6 -------------------------------------------------
     "lineitem_pricing_summary",
@@ -80,9 +82,12 @@ _SWEEP_FIRST = [
     "lineitem_priority_mix",
     "part_promo_revenue_share",
     "orders_big_volume",
+    "customer_idle_rich",
     "window_ntile",
     "dedup_keep_best",
+    "dedup_edit_distance",
     "text_oov_rate",
+    "corpus_quality_resample",
     # -- 2) changed in r6 ---------------------------------------------
     "graph_triangles",
     "user_erasure_audit",
@@ -125,9 +130,6 @@ _SWEEP_FIRST = [
     "above_order_avg",
     "agg_cube",
     "agg_gsets",
-    "join_range",
-    "sim_search",
-    "events_funnel",
 ]
 
 
