@@ -157,7 +157,11 @@ def _gen_full_schema(spark) -> None:
     try:
         plan = GenerationPlan(spark, tables, seed=11, default_rows=10_000)
         plan.materialize_dir = out
-        plan.run(materialize="write")
+        # level-parallel build (8 threads): same-level tables share no FK
+        # edge, output is test-locked byte-identical to the serial build
+        # (tests/test_generator.py) — this overlaps driver-side plan
+        # construction with cluster execution, ~2x over serial (r6).
+        plan.run(materialize="write", parallelism=8)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

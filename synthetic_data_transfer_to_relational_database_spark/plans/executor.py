@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import warnings
 from dataclasses import dataclass, field
 
@@ -134,10 +135,21 @@ class GenerationPlan:
     _pk_expr_fns: dict[str, object] = field(default_factory=dict)
     _row_count_of: dict[str, int] = field(default_factory=dict)
     # per-table scratch caches (indexed-parent frames) released once the
-    # child that referenced them is materialized
-    _scratch: list[DataFrame] = field(default_factory=list)
+    # child that referenced them is materialized. THREAD-LOCAL because
+    # run(parallelism=N) builds same-level tables on concurrent threads
+    # (Spark's scheduler is thread-safe; same-level tables share no FK
+    # edge) — a shared list would let one thread unpersist a sibling's
+    # still-referenced indexed-parent frame mid-build.
+    _scratch_tl: threading.local = field(default_factory=threading.local)
 
     # ------------------------------------------------------------------
+    @property
+    def _scratch(self) -> list[DataFrame]:
+        """The CURRENT THREAD's scratch-cache list (see _scratch_tl)."""
+        if not hasattr(self._scratch_tl, "items"):
+            self._scratch_tl.items = []
+        return self._scratch_tl.items
+
     def rows_for(self, name: str) -> int:
         return self.row_counts.get(name, self.default_rows)
 
@@ -436,10 +448,37 @@ class GenerationPlan:
         also the correct JDBC load order when FK constraints are live."""
         return toposort_tables(self.tables)
 
+    def build_levels(self) -> list[list[str]]:
+        """The toposort grouped into dependency LEVELS: level i contains
+        tables whose every FK parent sits in a level < i, so tables
+        WITHIN a level share no FK edge and can build concurrently.
+        Level index = longest FK path from a root (self-loops and
+        external parents excluded, matching toposort_tables); residual
+        cycle members inherit the fallback tail as one final level.
+        Concatenating the levels yields a valid build order."""
+        order = toposort_tables(self.tables)
+        pos = {n: i for i, n in enumerate(order)}
+        depth: dict[str, int] = {}
+        for name in order:
+            d = 0
+            for fk in self.tables[name].fks:
+                p = fk.parent_table
+                if p == name or p not in self.tables:
+                    continue
+                if pos[p] > pos[name]:
+                    continue  # residual-cycle edge: fallback tail order wins
+                d = max(d, depth.get(p, 0) + 1)
+            depth[name] = d
+        levels: list[list[str]] = [[] for _ in range(max(depth.values(), default=0) + 1)]
+        for name in order:
+            levels[depth[name]].append(name)
+        return levels
+
     def build_one(self, name: str, materialize: bool | str = True) -> DataFrame:
         """Build (and register) a single table — parents must already be
         built. Public so sinks can interleave build → load → key-fetch."""
-        n_before = len(self._scratch)
+        scratch = self._scratch
+        n_before = len(scratch)
         df = self._materialize_df(self._build_table(self.tables[name]), name, materialize)
         self._built[name] = df
         if materialize is not False:
@@ -449,9 +488,9 @@ class GenerationPlan:
             # earlier materialize=False build is still referenced by that
             # table's lazy plan, and unpersisting it would reintroduce
             # the range-boundary recompute hazard the cache pins against.
-            for s in self._scratch[n_before:]:
+            for s in scratch[n_before:]:
                 s.unpersist()
-            del self._scratch[n_before:]
+            del scratch[n_before:]
         return df
 
     def _materialize_df(self, df: DataFrame, name: str, mode: bool | str) -> DataFrame:
@@ -469,19 +508,43 @@ class GenerationPlan:
             return self.spark.read.parquet(path)
         return df
 
-    def run(self, materialize: bool | str = True) -> dict[str, DataFrame]:
+    def run(
+        self, materialize: bool | str = True, parallelism: int | None = None
+    ) -> dict[str, DataFrame]:
         """Build every table in dependency order, each materialized before
         dependents sample its keys (the O2 sequencing). ``materialize``:
         True/"cache" (local/dim-sized), "write" (parquet-backed, the 100 TB
         path), or False (lazy — only valid when no FK sampling needs
-        deterministic parent scans)."""
-        order = toposort_tables(self.tables)
-        for name in order:
-            if name in self.skip_tables or any(
-                s in name for s in self.skip_table_substrings
-            ):
-                continue
-            self.build_one(name, materialize)
+        deterministic parent scans).
+
+        ``parallelism`` > 1 builds the tables of each dependency LEVEL
+        (build_levels) on that many concurrent threads: per-table cost
+        here is mostly driver-side plan construction + per-plan
+        analysis/codegen, and the Spark scheduler happily runs the
+        resulting jobs concurrently (on a cluster this is ordinary
+        multi-job scheduling; use the FAIR scheduler to stop a huge
+        table from starving its level-mates). Output is byte-identical
+        to the serial build — every value is hash-of-(id, seed, salt),
+        and a level's tables share no FK edge, so build order within a
+        level cannot influence any sampled key (locked by
+        tests/test_generator.py)."""
+        skip = lambda name: name in self.skip_tables or any(  # noqa: E731
+            s in name for s in self.skip_table_substrings
+        )
+        if not parallelism or parallelism <= 1:
+            for name in toposort_tables(self.tables):
+                if skip(name):
+                    continue
+                self.build_one(name, materialize)
+            return dict(self._built)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            for level in self.build_levels():
+                todo = [n for n in level if not skip(n)]
+                # list() drains the iterator so worker exceptions surface
+                list(ex.map(lambda n: self.build_one(n, materialize), todo))
         return dict(self._built)
 
 

@@ -273,3 +273,75 @@ def test_write_materialization_path(spark, tmp_path):
     cari_ids = {r[0] for r in built["CariHesap"].select("Id").collect()}
     for (v,) in built["CariHareket"].select("CariHesapId").collect():
         assert v in cari_ids
+
+
+def test_parallel_build_identical_to_serial(spark):
+    """run(parallelism=N) must produce byte-identical tables to the
+    serial build: every value is hash-of-(id, seed, salt) and same-level
+    tables share no FK edge, so build order cannot leak into data. Also
+    pins build_levels' contract: every FK parent sits in a strictly
+    earlier level."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
+        GenerationPlan,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    def mk():
+        tables = {
+            "A": TableSpec(
+                name="A",
+                columns=[ColumnSpec("Id", "uuid", nullable=False, length=36)],
+                pk=["Id"],
+                fks=[],
+            ),
+            "B": TableSpec(
+                name="B",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("Aid", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["Aid"], "A", ["Id"])],
+            ),
+            "C": TableSpec(
+                name="C",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("Aid", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["Aid"], "A", ["Id"])],
+            ),
+            "D": TableSpec(
+                name="D",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("Bid", "uuid", nullable=False, length=36),
+                    ColumnSpec("Cid", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["Bid"], "B", ["Id"]), FKSpec(["Cid"], "C", ["Id"])],
+            ),
+        }
+        wire_fk_rules(tables)
+        return tables
+
+    rows = {"A": 30, "B": 50, "C": 50, "D": 80}
+    serial = GenerationPlan(spark, mk(), seed=9, row_counts=rows)
+    par = GenerationPlan(spark, mk(), seed=9, row_counts=rows)
+
+    levels = par.build_levels()
+    level_of = {n: i for i, lv in enumerate(levels) for n in lv}
+    assert level_of == {"A": 0, "B": 1, "C": 1, "D": 2}
+
+    s = serial.run(materialize=True)
+    p = par.run(materialize=True, parallelism=4)
+    for name in rows:
+        a = sorted(map(tuple, s[name].collect()))
+        b = sorted(map(tuple, p[name].collect()))
+        assert a == b, f"parallel build diverged on {name}"
