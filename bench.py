@@ -81,6 +81,9 @@ EXTRA_R6 = ["lineitem_pricing_summary", "orders_big_volume"]
 # numbers; comparable from r7 on).
 GEN_FULL_SCHEMA = "gen_full_schema"
 NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, GEN_FULL_SCHEMA}
+# entries absent from the r4 record — ONE definition so a future
+# EXTRA_R7 extends a single set instead of three boolean chains
+R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, GEN_FULL_SCHEMA})
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both
 # totals means a regression in the three most expensive plans is visible
@@ -228,11 +231,7 @@ def run_sample(sf_dir: str) -> dict:
         ),
         "total_r3_comparable": round(sum(timings[k] for k in comparable), 3),
         "total_r4_comparable": round(
-            sum(
-                v for k, v in timings.items()
-                if k not in EXTRA_R5 and k not in EXTRA_R6 and k != GEN_FULL_SCHEMA
-            ),
-            3,
+            sum(v for k, v in timings.items() if k not in R4_EXCLUDED), 3
         ),
         # same exclusions as total_r3_comparable: this figure's whole
         # purpose is comparability with rounds that predate the entries
@@ -312,11 +311,7 @@ def main() -> None:
                 "method": f"best_of_2_x{len(samples)}jvm",
                 "total_r3_comparable": round(sum(queries[n] for n in comparable), 3),
                 "total_r4_comparable": round(
-                    sum(
-                        v for n, v in queries.items()
-                        if n not in EXTRA_R5 and n not in EXTRA_R6 and n != GEN_FULL_SCHEMA
-                    ),
-                    3,
+                    sum(v for n, v in queries.items() if n not in R4_EXCLUDED), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

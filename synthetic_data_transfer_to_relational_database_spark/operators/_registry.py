@@ -30,9 +30,23 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def hash_bucket(key: Column, mod: int) -> Column:
+    """Content-stable uniform bucket in [0, mod): the first 8 hex chars
+    of md5(key) read as a 32-bit int, modulo ``mod``. THE one definition
+    of the deterministic-assignment recipe (corpus_split's train/val/
+    test, corpus_quality_resample's tiered keep, events_ab_test's arm
+    assignment — each salts ``key`` its own way before calling). md5
+    rather than xxhash64 so DuckDB oracles reproduce it bit-for-bit
+    (the SQL twin is ``CAST(('0x' || substr(md5(<key>), 1, 8)) AS
+    BIGINT) % mod``); stable across runs, engines, and repartitioning,
+    which rand()/randomSplit are not."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
 
 
 def make_registry():

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import table
-from ._registry import make_registry
+from ._registry import hash_bucket, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -822,16 +822,8 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate has 2 groups. No shuffle carries event payloads."""
     e = table(spark, sf_dir, "events")
     salt = spark.conf.get("spark.sdt.abtest.salt", "")
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        % 2
+    variant = hash_bucket(
+        F.concat(F.col("user_id").cast("string"), F.lit(salt)), 2
     )
     assigned = e.select("user_id").distinct().select(
         "user_id", variant.alias("variant")

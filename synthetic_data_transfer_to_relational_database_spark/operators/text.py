@@ -21,7 +21,7 @@ from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from ..sources.tables import table
-from ._registry import make_registry
+from ._registry import hash_bucket, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -1066,11 +1066,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest instead when near-dup leakage across splits matters
     (compose with dedup_cluster's representatives upstream)."""
     d = table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = hash_bucket(F.col("doc_id").cast("string"), 1000)
     return d.select(
         "doc_id",
         "lang",
@@ -1333,17 +1329,8 @@ def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_chars") >= 200, "mid")
         .otherwise("low")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000
+    bucket = hash_bucket(
+        F.concat(F.lit("resample:"), F.col("doc_id").cast("string")), 1000
     )
     keep = F.col("bucket") < (
         F.when(F.col("tier") == "high", 1000)

@@ -9,6 +9,16 @@ child predicated by an ``EXISTS`` chain back to the root cohort — so a
 live database with ACTIVE FK constraints accepts the purge with no
 constraint-disable bracket and no orphan window.
 
+Self-referencing FKs are handled by SEVERING, not cascading: before a
+table's DELETE, an ``UPDATE ... SET <self-fk> = NULL`` clears surviving
+rows' links into the doomed cohort (GDPR erases the subject's rows, not
+rows that merely point at them). That requires the self-FK columns to be
+nullable — a non-nullable self-FK inside the purge set has no safe
+single-statement order, and the planner refuses loudly rather than emit
+a DELETE a live database would reject. Likewise for FK cycles SPANNING
+tables in the purge set: no child-first order exists, so the planner
+raises instead of producing statements that violate constraints.
+
 ``operators/relational2.erasure_audit`` is the read-only half (how many
 rows WOULD go); this module is the write half. Together they are the
 compliance workflow the audit's docstring promises.
@@ -32,9 +42,12 @@ def erasure_delete_statements(
     root_table: str,
     root_predicate: str,
 ) -> list[str]:
-    """Child-first DELETE statements purging every row that references
-    the cohort ``root_predicate`` selects in ``root_table`` (transitively
+    """Child-first purge statements for every row that references the
+    cohort ``root_predicate`` selects in ``root_table`` (transitively
     through the FK graph), ending with the root rows themselves.
+    Self-FK links from SURVIVING rows into the cohort are severed with
+    an ``UPDATE ... SET NULL`` immediately before that table's DELETE
+    (see module docstring for the policy and its preconditions).
 
     ``root_predicate`` references root columns bare (``c_custkey % 97 =
     0``) or as ``<root_table>.<col>``; it is embedded verbatim
@@ -46,8 +59,11 @@ def erasure_delete_statements(
     Ordering: reversed toposort — the exact inverse of the INSERT order
     the generator uses, so each DELETE runs while its own children are
     already gone and its parents still exist (the EXISTS subqueries need
-    the parents alive). Self-referencing FKs need no special ordering:
-    a table's whole cohort goes in one statement.
+    the parents alive).
+
+    Raises ``ValueError`` when no constraint-safe order exists: a
+    non-nullable self-FK on a purged table, or an FK cycle spanning two
+    purged tables.
 
     Scale note: each statement pushes one semi-join to the database —
     the server does the work; nothing row-shaped crosses the wire. For
@@ -73,6 +89,7 @@ def erasure_delete_statements(
     # name→alias rewrite.
     preds: dict[str, str] = {root_table: root_predicate}
     order = toposort_tables(tables)
+    pos = {n: i for i, n in enumerate(order)}
     # forward pass in insert order: parents acquire predicates before
     # children look them up, so chains compose transitively
     for name in order:
@@ -82,7 +99,7 @@ def erasure_delete_statements(
         for fk in tables[name].fks:
             parent = fk.parent_table
             if parent == name or parent not in tables:
-                continue  # self-refs need no separate statement
+                continue  # self-refs: severed below, never a new pred
             parent_pred = preds.get(parent)
             if parent_pred is None:
                 continue
@@ -97,8 +114,53 @@ def erasure_delete_statements(
             )
         if clauses:
             preds[name] = " OR ".join(clauses)
-    return [
-        f"DELETE FROM {name} WHERE {preds[name]}"
-        for name in reversed(order)
-        if name in preds
-    ]
+
+    # No valid child-first order exists when a purged parent sits LATER
+    # in the (cycle-fallback) order than a table referencing it: the
+    # reversed order would delete the parent while references survive.
+    for name in order:
+        for fk in tables[name].fks:
+            p = fk.parent_table
+            if p == name or p not in tables or p not in preds:
+                continue
+            if pos[p] > pos[name]:
+                raise ValueError(
+                    f"FK cycle spans the purge set ({name} -> {p}); no "
+                    "constraint-safe DELETE order exists — sever one "
+                    "edge manually (UPDATE ... SET NULL) and re-plan"
+                )
+
+    stmts: list[str] = []
+    for name in reversed(order):
+        if name not in preds:
+            continue
+        spec = tables[name]
+        pred = preds[name]
+        for fk in spec.fks:
+            if fk.parent_table != name:
+                continue
+            for cc in fk.columns:
+                try:
+                    col = spec.column(cc)
+                except KeyError:
+                    col = None
+                if col is not None and not col.nullable:
+                    raise ValueError(
+                        f"self-FK {name}.{cc} is NOT NULL; severing is "
+                        "impossible and a cohort DELETE would violate "
+                        "the constraint — drop the constraint or purge "
+                        "the whole table"
+                    )
+            a = fresh_alias()
+            on = " AND ".join(
+                f"{a}.{pc} = {name}.{cc}"
+                for cc, pc in zip(fk.columns, fk.parent_columns)
+            )
+            sets = ", ".join(f"{cc} = NULL" for cc in fk.columns)
+            stmts.append(
+                f"UPDATE {name} SET {sets} WHERE EXISTS "
+                f"(SELECT 1 FROM {name} {a} WHERE {on} AND "
+                f"({requalify(pred, name, a)}))"
+            )
+        stmts.append(f"DELETE FROM {name} WHERE {pred}")
+    return stmts

@@ -72,6 +72,12 @@ def _array_literal(values: list) -> Column:
         if isinstance(v, int):
             return f"{v}L"
         if isinstance(v, float):
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
             return f"CAST({v!r} AS DOUBLE)"
         if isinstance(v, decimal.Decimal):
             _, digits, exp = v.as_tuple()
@@ -453,22 +459,40 @@ class GenerationPlan:
         tables whose every FK parent sits in a level < i, so tables
         WITHIN a level share no FK edge and can build concurrently.
         Level index = longest FK path from a root (self-loops and
-        external parents excluded, matching toposort_tables); residual
-        cycle members inherit the fallback tail as one final level.
+        external parents excluded, matching toposort_tables).
+
+        Residual-CYCLE members (tables with an FK "back edge" — a parent
+        LATER in the fallback order — or targeted by one) are pinned
+        STRICTLY SERIAL: each gets a level above everything before it in
+        the order, so the parallel build observes exactly the serial
+        build's _built state at their turn (which parents exist decides
+        sample-vs-fallback for cycle edges; letting level-mates race
+        there would make output depend on thread timing).
         Concatenating the levels yields a valid build order."""
         order = toposort_tables(self.tables)
         pos = {n: i for i, n in enumerate(order)}
-        depth: dict[str, int] = {}
+        back_edge_nodes: set[str] = set()
         for name in order:
-            d = 0
             for fk in self.tables[name].fks:
                 p = fk.parent_table
                 if p == name or p not in self.tables:
                     continue
                 if pos[p] > pos[name]:
-                    continue  # residual-cycle edge: fallback tail order wins
-                d = max(d, depth.get(p, 0) + 1)
+                    back_edge_nodes.add(name)
+                    back_edge_nodes.add(p)
+        depth: dict[str, int] = {}
+        running_max = -1
+        for name in order:
+            d = 0
+            for fk in self.tables[name].fks:
+                p = fk.parent_table
+                if p == name or p not in self.tables or pos[p] > pos[name]:
+                    continue
+                d = max(d, depth[p] + 1)
+            if name in back_edge_nodes:
+                d = max(d, running_max + 1)
             depth[name] = d
+            running_max = max(running_max, d)
         levels: list[list[str]] = [[] for _ in range(max(depth.values(), default=0) + 1)]
         for name in order:
             levels[depth[name]].append(name)

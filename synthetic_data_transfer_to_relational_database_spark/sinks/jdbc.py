@@ -160,10 +160,17 @@ def ensure_database_statements(db_name: str) -> tuple[str, str]:
     """The mssql check/create SQL pair of the reference's
     ``ensure_database`` (apply_mssql.py:27-43): probe ``sys.databases``
     for the name, and bracket-quote the CREATE so reserved words /
-    odd characters in the db name survive. Exposed separately so the
-    statement text is unit-testable without a live SQL Server."""
-    check = f"SELECT database_id FROM sys.databases WHERE name = '{db_name}'"
-    create = f"CREATE DATABASE [{db_name}]"
+    odd characters in the db name survive — with T-SQL escaping the
+    reference skips (doubled ``'`` in the string literal, doubled ``]``
+    inside the brackets), so a quote in the name can neither break nor
+    widen the probe. Exposed separately so the statement text is
+    unit-testable without a live SQL Server."""
+    if not db_name:
+        raise ValueError("db_name must be non-empty")
+    probe_name = db_name.replace("'", "''")
+    bracket_name = db_name.replace("]", "]]")
+    check = f"SELECT database_id FROM sys.databases WHERE name = '{probe_name}'"
+    create = f"CREATE DATABASE [{bracket_name}]"
     return check, create
 
 
@@ -214,6 +221,8 @@ def ensure_database(
             return False
         execute_statements(spark, target, [create], continue_on_error=False)
         return True
+    if not db_name:
+        raise ValueError("db_name must be non-empty")
     log = execute_statements(
         spark, target, [f"CREATE DATABASE {db_name}"], continue_on_error=True
     )

@@ -345,3 +345,67 @@ def test_parallel_build_identical_to_serial(spark):
         a = sorted(map(tuple, s[name].collect()))
         b = sorted(map(tuple, p[name].collect()))
         assert a == b, f"parallel build diverged on {name}"
+
+
+def test_parallel_build_serializes_fk_cycles(spark):
+    """Residual-cycle tables must build strictly serially under
+    run(parallelism=N): which parents exist at build time decides
+    sample-vs-fallback for cycle edges, so racing them would make the
+    output timing-dependent. Levels pin each cycle member above
+    everything before it, and the parallel output equals serial."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
+        GenerationPlan,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    def mk():
+        tables = {
+            "P": TableSpec(
+                name="P",
+                columns=[ColumnSpec("Id", "uuid", nullable=False, length=36)],
+                pk=["Id"],
+                fks=[],
+            ),
+            "M": TableSpec(
+                name="M",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("Nid", "uuid", nullable=True, length=36),
+                    ColumnSpec("Pid", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["Nid"], "N", ["Id"]), FKSpec(["Pid"], "P", ["Id"])],
+            ),
+            "N": TableSpec(
+                name="N",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("Mid", "uuid", nullable=True, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["Mid"], "M", ["Id"])],
+            ),
+        }
+        wire_fk_rules(tables)
+        return tables
+
+    rows = {"P": 20, "M": 30, "N": 30}
+    par = GenerationPlan(spark, mk(), seed=4, row_counts=rows)
+    levels = par.build_levels()
+    level_of = {n: i for i, lv in enumerate(levels) for n in lv}
+    # M and N form the cycle: strictly serial, fallback (name) order
+    assert level_of["M"] < level_of["N"]
+    assert [n for lv in levels for n in lv] == par.build_order()
+
+    serial = GenerationPlan(spark, mk(), seed=4, row_counts=rows)
+    s = serial.run(materialize=True)
+    p = par.run(materialize=True, parallelism=4)
+    for name in rows:
+        assert sorted(map(tuple, s[name].collect())) == sorted(
+            map(tuple, p[name].collect())
+        ), f"cycle build diverged on {name}"

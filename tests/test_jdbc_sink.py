@@ -445,3 +445,119 @@ def test_erasure_statements_transitive_chain():
     assert l_stmt.count("EXISTS") == 2
     aliases = set(re.findall(r"FROM \w+ (e\d+)", l_stmt))
     assert len(aliases) == 2
+
+
+def test_erasure_self_fk_severs_before_delete(spark, tmp_path):
+    """A nullable self-FK is severed (UPDATE ... SET NULL) before the
+    cohort DELETE, so surviving rows pointing at doomed rows never
+    violate the live constraint; a NOT NULL self-FK refuses to plan."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.erasure import (
+        erasure_delete_statements,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        ensure_database,
+        query_values,
+    )
+
+    def emp_schema(nullable: bool) -> dict[str, TableSpec]:
+        tables = {
+            "Calisan": TableSpec(
+                name="Calisan",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("YoneticiId", "uuid", nullable=nullable, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["YoneticiId"], "Calisan", ["Id"])],
+            )
+        }
+        wire_fk_rules(tables)
+        return tables
+
+    with pytest.raises(ValueError, match="NOT NULL"):
+        erasure_delete_statements(emp_schema(False), "Calisan", "1 = 1")
+
+    db = tmp_path / "selffk"
+    target = JdbcTarget(url=f"jdbc:derby:{db}", dialect="derby")
+    ensure_database(spark, target, "selffk")
+    ddl = [
+        "CREATE TABLE Calisan (Id VARCHAR(36) NOT NULL PRIMARY KEY, "
+        "YoneticiId VARCHAR(36) REFERENCES Calisan(Id))"
+    ]
+    assert all(err is None for _, err in execute_statements(spark, target, ddl))
+    plan = GenerationPlan(spark, emp_schema(True), seed=5, row_counts={"Calisan": 60})
+    built = plan.run(materialize=False)
+    # parent-pointer rows must insert before referencing rows isn't
+    # guaranteed within one bulk append; insert with the constraint
+    # satisfied by writing managers first (NULL-manager rows), then rest
+    rows = built["Calisan"].collect()
+    ins = "INSERT INTO Calisan (Id, YoneticiId) VALUES ('%s', %s)"
+    # manager-first insert order: rounds of rows whose manager is in
+    stmts, inserted, pending = [], set(), list(rows)
+    while pending:
+        ready = [
+            r for r in pending
+            if r["YoneticiId"] is None or r["YoneticiId"] in inserted
+        ]
+        if not ready:
+            break  # rows whose manager chain leads outside: skip
+        for r in ready:
+            stmts.append(
+                ins % (r["Id"], "NULL" if r["YoneticiId"] is None else f"'{r['YoneticiId']}'")
+            )
+            inserted.add(r["Id"])
+        pending = [r for r in pending if r["Id"] not in inserted]
+    log = execute_statements(spark, target, stmts, continue_on_error=True)
+    loaded = [s for s, err in log if err is None]
+    assert len(loaded) >= 30  # enough rows with live self-references
+
+    victims = query_values(
+        spark, target,
+        "SELECT Id FROM Calisan WHERE YoneticiId IS NULL FETCH FIRST 3 ROWS ONLY",
+    )
+    in_list = ", ".join(f"'{v}'" for v in victims)
+    plan_stmts = erasure_delete_statements(
+        emp_schema(True), "Calisan", f"Id IN ({in_list})"
+    )
+    assert plan_stmts[0].startswith("UPDATE Calisan SET YoneticiId = NULL")
+    assert plan_stmts[1].startswith("DELETE FROM Calisan")
+    log2 = execute_statements(spark, target, plan_stmts, continue_on_error=False)
+    assert all(err is None for _, err in log2)
+    assert query_values(
+        spark, target, f"SELECT COUNT(*) FROM Calisan WHERE Id IN ({in_list})"
+    ) == [0]
+    # no dangling manager pointers anywhere
+    assert query_values(
+        spark, target,
+        "SELECT COUNT(*) FROM Calisan c LEFT JOIN Calisan m ON m.Id = c.YoneticiId "
+        "WHERE c.YoneticiId IS NOT NULL AND m.Id IS NULL",
+    ) == [0]
+
+
+def test_erasure_refuses_cross_table_fk_cycle():
+    from synthetic_data_transfer_to_relational_database_spark.plans.erasure import (
+        erasure_delete_statements,
+    )
+
+    tables = {
+        "X": TableSpec(
+            name="X",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False),
+                ColumnSpec("Yid", "int", nullable=True),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["Yid"], "Y", ["Id"])],
+        ),
+        "Y": TableSpec(
+            name="Y",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False),
+                ColumnSpec("Xid", "int", nullable=True),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["Xid"], "X", ["Id"])],
+        ),
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        erasure_delete_statements(tables, "X", "Id % 2 = 0")
