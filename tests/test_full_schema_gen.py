@@ -91,3 +91,29 @@ def test_unique_indexes_hold_on_real_schema(full_build):
             assert dupes == 0, f"{name} unique index {idx_cols} violated"
             checked += 1
     assert checked >= 15, f"only {checked} unique indexes were checkable"
+
+
+def test_erasure_plan_covers_full_reference_schema():
+    """The GDPR DELETE planner handles the real 85-table FK graph: a
+    CariHesap-rooted purge plans without error, severs that table's two
+    nullable self-FKs before its DELETE, and orders every DELETE
+    child-first (a table's DELETE precedes all its purged parents')."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.erasure import (
+        erasure_delete_statements,
+    )
+
+    tables = parse_schema_script(REFERENCE_SCRIPT)
+    stmts = erasure_delete_statements(tables, "CariHesap", "Id IN ('probe')")
+    deletes = [s.split()[2] for s in stmts if s.startswith("DELETE")]
+    assert "CariHesap" in deletes and len(deletes) > 10
+    # severing UPDATEs come immediately before the table's own DELETE
+    i = stmts.index(next(s for s in stmts if s.startswith("DELETE FROM CariHesap ")))
+    severed = {s.split()[1] for s in stmts[:i] if s.startswith("UPDATE")}
+    assert severed == {"CariHesap"}
+    # child-first: every purged table's DELETE precedes its purged parents'
+    pos = {t: k for k, t in enumerate(deletes)}
+    for name in deletes:
+        for fk in tables[name].fks:
+            p = fk.parent_table
+            if p != name and p in pos:
+                assert pos[name] < pos[p], (name, p)

@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "orders_rfm",
     "skew_profile",  # 1-row stats frame broadcast onto the top-10 keys
     "basket_rules",  # 1-row n_baskets crossJoin (the tfidf recipe)
+    "customer_idle_rich",  # 1-row avg-cents threshold crossJoin (same recipe)
 }
 
 
