@@ -47,5 +47,7 @@ def deploy_script(
 def deploy_statements(
     spark: SparkSession, target: JdbcTarget, statements: list[str]
 ) -> list[tuple[str, str | None]]:
-    """Replay pre-built DDL statements (e.g. from TableSpec.to_ddl)."""
+    """Replay pre-built DDL statements (e.g. from
+    ``sources.ddl.schema_to_ddl`` — the emitter that turns
+    catalog-/JSONL-derived TableSpecs into deployable T-SQL)."""
     return execute_statements(spark, target, statements, continue_on_error=True)

@@ -247,3 +247,92 @@ def parse_schema_script(path: str | Path, encoding: str = "utf-16") -> dict[str,
             tables[tname].unique_indexes.append(cols)
     wire_fk_rules(tables)
     return tables
+
+
+# --- DDL emission (inverse of the parser above) -------------------------
+
+_TSQL_OF = {
+    "uuid": "uniqueidentifier",
+    "int": "int",
+    "short": "smallint",
+    "long": "bigint",
+    "boolean": "bit",
+    "float": "real",
+    "double": "float",
+    "date": "date",
+    "timestamp": "datetime2(7)",
+    "time": "time(7)",
+    "binary": "varbinary(max)",
+}
+
+
+def table_to_ddl(spec: TableSpec) -> str:
+    """T-SQL ``CREATE TABLE`` for a TableSpec — the emitter the reference
+    never needed (it only REPLAYS an existing dump, apply_mssql.py) but a
+    catalog-derived pipeline does: specs reflected from a live database
+    (S4-S7) or a schema JSONL (S3) become deployable DDL. Exact inverse
+    of :func:`parse_create_table` — re-parsing the emitted text yields an
+    equal spec (round-trip property-tested). Unique INDEX statements are
+    not emitted (the parser resolves them onto column flags; the original
+    index sets are not retained)."""
+    lines = [f"CREATE TABLE [dbo].[{spec.name}]("]
+    for c in spec.columns:
+        if c.computed:
+            lines.append(f"\t[{c.name}] AS (NULL),")
+            continue
+        if c.unsafe and c.dtype != "binary":
+            # the original out-of-surface type (datetimeoffset/xml/...)
+            # is not retained; sql_variant is the stand-in that re-parses
+            # to the same unsafe-string spec the original did
+            lines.append(
+                f"\t[{c.name}] [sql_variant] {'NULL' if c.nullable else 'NOT NULL'},"
+            )
+            continue
+        if c.dtype.startswith("decimal"):
+            t = f"numeric({c.precision or 18}, {c.scale or 0})"
+        elif c.dtype == "string":
+            n = c.length if c.length is not None else 100
+            t = "nvarchar(max)" if n == -1 else f"nvarchar({n})"
+        else:
+            t = _TSQL_OF.get(c.dtype, "nvarchar(100)")
+        ident = " IDENTITY(1,1)" if c.identity else ""
+        null = "NULL" if c.nullable else "NOT NULL"
+        lines.append(f"\t[{c.name}] [{t.split('(')[0]}]{'(' + t.split('(', 1)[1] if '(' in t else ''}{ident} {null},")
+    if spec.pk:
+        cols = ", ".join(f"[{c}] ASC" for c in spec.pk)
+        lines.append(
+            f" CONSTRAINT [PK_{spec.name}] PRIMARY KEY CLUSTERED ({cols})"
+        )
+    else:
+        lines[-1] = lines[-1].rstrip(",")
+    lines.append(")")
+    return "\n".join(lines)
+
+
+def fk_to_ddl(child: str, fk: FKSpec) -> str:
+    """``ALTER TABLE ... ADD CONSTRAINT ... FOREIGN KEY`` — inverse of
+    :func:`parse_foreign_keys`."""
+    name = fk.name or f"FK_{child}_{fk.parent_table}_{'_'.join(fk.columns)}"
+    cols = ", ".join(f"[{c}]" for c in fk.columns)
+    pcols = ", ".join(f"[{c}]" for c in fk.parent_columns)
+    cascade = " ON DELETE CASCADE" if fk.on_delete_cascade else ""
+    return (
+        f"ALTER TABLE [dbo].[{child}] WITH CHECK ADD CONSTRAINT [{name}] "
+        f"FOREIGN KEY({cols}) REFERENCES [dbo].[{fk.parent_table}] ({pcols})"
+        f"{cascade}"
+    )
+
+
+def schema_to_ddl(tables: dict[str, TableSpec]) -> list[str]:
+    """Deployable batches for a whole schema: CREATE TABLEs in FK
+    dependency order, then every FK constraint (so self-references and
+    mutual FKs attach after both tables exist — the dump layout
+    script.sql itself uses). Feed straight into
+    ``sinks.deploy.deploy_statements``."""
+    from ..plans.toposort import toposort_tables
+
+    out = [table_to_ddl(tables[n]) for n in toposort_tables(tables)]
+    for n, spec in tables.items():
+        for fk in spec.fks:
+            out.append(fk_to_ddl(n, fk))
+    return out
