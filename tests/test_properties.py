@@ -63,3 +63,79 @@ def test_seq_code_base36_injective(idx):
 
     codes = {base36(i).rjust(6, "0") for i in idx}
     assert len(codes) == len(idx)
+
+
+# --- DDL emitter round trip (no Spark needed) ---------------------------
+
+_IDENT = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,20}", fullmatch=True)
+
+
+@st.composite
+def _column_specs(draw):
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+    )
+
+    name = draw(_IDENT)
+    kind = draw(
+        st.sampled_from(
+            ["string", "uuid", "int", "short", "long", "boolean", "float",
+             "double", "date", "timestamp", "time", "decimal", "computed",
+             "unsafe", "binary"]
+        )
+    )
+    nullable = draw(st.booleans())
+    if kind == "computed":
+        return ColumnSpec(name=name, dtype="string", computed=True)
+    if kind == "unsafe":
+        return ColumnSpec(name=name, dtype="string", nullable=nullable, unsafe=True)
+    if kind == "binary":
+        return ColumnSpec(name=name, dtype="binary", nullable=nullable, unsafe=True)
+    if kind == "decimal":
+        p = draw(st.integers(min_value=1, max_value=38))
+        s = draw(st.integers(min_value=0, max_value=p))
+        return ColumnSpec(
+            name=name, dtype=f"decimal({p},{s})", nullable=nullable,
+            precision=p, scale=s,
+        )
+    if kind == "string":
+        length = draw(st.sampled_from([-1, 1, 36, 100, 255, 4000]))
+        return ColumnSpec(name=name, dtype="string", nullable=nullable, length=length)
+    spec = ColumnSpec(name=name, dtype=kind, nullable=nullable)
+    if kind == "uuid":
+        spec.length = 36
+    if kind in ("int", "long"):
+        spec.identity = draw(st.booleans())
+        if spec.identity:
+            spec.nullable = False
+    return spec
+
+
+@given(name=_IDENT, cols=st.lists(_column_specs(), min_size=1, max_size=12,
+                                  unique_by=lambda c: c.name))
+@settings(max_examples=150)
+def test_ddl_emitter_parser_fixpoint(name, cols):
+    """parse(emit(spec)) == spec on every semantic field, for arbitrary
+    column combinations — the hypothesis widening of the 85-reference-
+    table fixpoint test (identity decimals, MAX strings, unsafe types,
+    computed columns in any mix)."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        TableSpec,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.ddl import (
+        parse_create_table,
+        table_to_ddl,
+    )
+
+    pk = [cols[0].name] if not (cols[0].computed or cols[0].unsafe) else []
+    spec = TableSpec(name=name, columns=cols, pk=pk)
+    back = parse_create_table(table_to_ddl(spec))
+    assert back is not None and back.name == name
+    assert back.pk == spec.pk
+    assert [c.name for c in back.columns] == [c.name for c in cols]
+    for a, b in zip(cols, back.columns):
+        for f in ("dtype", "nullable", "identity", "computed", "unsafe",
+                  "precision", "scale"):
+            assert getattr(a, f) == getattr(b, f), (a.name, f)
+        if a.length is not None and not a.unsafe:
+            assert b.length == a.length, a.name
