@@ -312,6 +312,7 @@ def load_plan_to_live_db(
     fetch_limit: int = 1_000_000,
     batchsize: int = 1000,
     num_partitions: int | None = None,
+    parallelism: int | None = None,
 ) -> list[str]:
     """Generate + bulk-append every table of a GenerationPlan into a LIVE
     database in dependency order, with identity read-back: after a table
@@ -320,15 +321,24 @@ def load_plan_to_live_db(
     the executor's assumed 1..n sequence — children of a pre-populated
     table then reference actual DB keys, not fabricated ones.
 
+    ``parallelism`` > 1 loads each FK dependency LEVEL's tables on that
+    many concurrent threads (``plan.build_levels()`` — level-mates share
+    no FK edge, so their appends cannot race a constraint, and the level
+    barrier guarantees every identity read-back lands before any child
+    samples it). The reference loads one table at a time on one
+    connection (run_engine.py:220); this is the same correctness order
+    with per-level fan-out on top of the per-table ``numPartitions``
+    connection fan-out.
+
     Returns the load order (also the constraint-safe order, O1)."""
     spark = plan.spark
-    order = [
-        n
-        for n in plan.build_order()
-        if n not in plan.skip_tables
-        and not any(s in n for s in plan.skip_table_substrings)
-    ]
-    for name in order:
+
+    def skip(n: str) -> bool:
+        return n in plan.skip_tables or any(
+            s in n for s in plan.skip_table_substrings
+        )
+
+    def load_one(name: str) -> None:
         table = plan.tables[name]
         df = plan.build_one(name)
         write_table(df, target, name, batchsize=batchsize, num_partitions=num_partitions)
@@ -340,6 +350,19 @@ def load_plan_to_live_db(
             if spec.identity:
                 keys = fetch_parent_keys(spark, target, name, pk_col, limit=fetch_limit)
                 plan.parent_keys_override.setdefault(name, {})[pk_col] = keys
+
+    order = [n for n in plan.build_order() if not skip(n)]
+    if not parallelism or parallelism <= 1:
+        for name in order:
+            load_one(name)
+        return order
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=parallelism) as ex:
+        for level in plan.build_levels():
+            todo = [n for n in level if not skip(n)]
+            list(ex.map(load_one, todo))  # drain so exceptions surface
     return order
 
 

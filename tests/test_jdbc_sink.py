@@ -561,3 +561,57 @@ def test_erasure_refuses_cross_table_fk_cycle():
     }
     with pytest.raises(ValueError, match="cycle"):
         erasure_delete_statements(tables, "X", "Id % 2 = 0")
+
+
+def test_parallel_live_load_preserves_fk_closure(spark, tmp_path):
+    """load_plan_to_live_db(parallelism=4): level-mates append
+    concurrently against live FK constraints; closure and row counts
+    match the serial path."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        ensure_database,
+        load_plan_to_live_db,
+        query_values,
+    )
+
+    db = tmp_path / "parload"
+    target = JdbcTarget(url=f"jdbc:derby:{db}", dialect="derby")
+    ensure_database(spark, target, "parload")
+    ddl = [
+        "CREATE TABLE Musteri (Id VARCHAR(36) NOT NULL PRIMARY KEY, "
+        "Unvan VARCHAR(100) NOT NULL)",
+        "CREATE TABLE Siparis (Id VARCHAR(36) NOT NULL PRIMARY KEY, "
+        "MusteriId VARCHAR(36) NOT NULL REFERENCES Musteri(Id), "
+        "Tutar DECIMAL(18,2))",
+        "CREATE TABLE Fatura (Id VARCHAR(36) NOT NULL PRIMARY KEY, "
+        "MusteriId VARCHAR(36) NOT NULL REFERENCES Musteri(Id))",
+    ]
+    assert all(err is None for _, err in execute_statements(spark, target, ddl))
+
+    tables = _schema()
+    tables["Fatura"] = TableSpec(
+        name="Fatura",
+        columns=[
+            ColumnSpec("Id", "uuid", nullable=False, length=36),
+            ColumnSpec("MusteriId", "uuid", nullable=False, length=36),
+        ],
+        pk=["Id"],
+        fks=[FKSpec(["MusteriId"], "Musteri", ["Id"])],
+    )
+    wire_fk_rules(tables)
+    plan = GenerationPlan(
+        spark, tables, seed=21,
+        row_counts={"Musteri": 40, "Siparis": 200, "Fatura": 150},
+    )
+    # Siparis and Fatura share a level -> loaded concurrently
+    assert plan.build_levels() == [["Musteri"], ["Fatura", "Siparis"]]
+    order = load_plan_to_live_db(plan, target, parallelism=4)
+    assert order[0] == "Musteri"
+    assert query_values(spark, target, "SELECT COUNT(*) FROM Siparis") == [200]
+    assert query_values(spark, target, "SELECT COUNT(*) FROM Fatura") == [150]
+    for child in ("Siparis", "Fatura"):
+        orphans = query_values(
+            spark, target,
+            f"SELECT COUNT(*) FROM {child} c LEFT JOIN Musteri m "
+            "ON m.Id = c.MusteriId WHERE m.Id IS NULL",
+        )
+        assert orphans == [0]
