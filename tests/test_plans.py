@@ -354,3 +354,25 @@ def test_keep_best_window_is_key_partitioned(spark):
     assert "Window" in plan
     assert "hashpartitioning(norm_key" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_oov_vocab_is_distributed_topk(spark):
+    """text_oov_rate's top-1000 vocabulary must compile to
+    TakeOrderedAndProject (per-partition top-k + one merge) — a global
+    single-partition sort/window over distinct tokens would collapse a
+    web-scale vocabulary onto one task."""
+    plan = _plan(registry.all_queries()["text_oov_rate"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_edit_distance_verify_is_bucket_confined(spark):
+    """dedup_edit_distance: Levenshtein runs JVM-side inside a norm-key
+    equi-join — never a cartesian, never a Python UDF."""
+    plan = _plan(registry.all_queries()["dedup_edit_distance"](spark, SF_DIR))
+    assert "levenshtein" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # equi-join keyed on the normalized prefix (AQE may broadcast the
+    # small side at test SF, so assert the join KEY, not the exchange)
+    assert "nk" in plan.split("Join")[1].splitlines()[0]
