@@ -375,4 +375,4 @@ def test_edit_distance_verify_is_bucket_confined(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # equi-join keyed on the normalized prefix (AQE may broadcast the
     # small side at test SF, so assert the join KEY, not the exchange)
-    assert "nk" in plan.split("Join")[1].splitlines()[0]
+    assert "Left keys [1]: [nk#" in plan
