@@ -122,6 +122,11 @@ class GenerationPlan:
     default_rows: int = DEFAULT_ROW_COUNT
     broadcast_threshold: int = 100_000
     num_partitions: int | None = None
+    # opt-in heavy-tailed FK sampling (see _sample_idx): 0.0 = uniform
+    # (the reference's semantics and every oracle-checked default);
+    # e.g. 2.0 makes low parent ids hot keys so the generated data
+    # exercises AQE skew-join / salting downstream.
+    fk_skew: float = 0.0
     # F4/F5/F6 skip filters (run_engine.py:23,25,221; fill_db.py:147) —
     # opt-in: pass rules.DEFAULT_SKIP_TABLES / DEFAULT_SKIP_COLUMNS for
     # the reference's behavior; default generates everything.
@@ -214,7 +219,17 @@ class GenerationPlan:
         keys never repeat. When more children than parent keys exist the
         guarantee CANNOT hold (pigeonhole): we warn at plan time — a
         live-DB load would hit the unique constraint — and the permutation
-        wraps (FK validity is preserved, uniqueness is not)."""
+        wraps (FK validity is preserved, uniqueness is not).
+
+        ``fk_skew`` > 0 (plan-level, opt-in) warps the with-replacement
+        draw to idx = floor(n·u^(1+skew)): low parent indices become
+        hot keys with a heavy-tailed frequency profile — the Zipf-ish
+        shape real FK data has (a few customers own most orders) and
+        uniform sampling never produces. Generated children then
+        actually EXERCISE the skew machinery downstream (AQE skew-join,
+        skew.salted_join, skew_profile). Still a pure deterministic
+        expression of (id, seed, salt); unique/without-replacement
+        sampling stays uniform (a permutation cannot be skewed)."""
         if unique and n <= self._MAX_PERMUTATION_N:
             if child_rows is not None and child_rows > n:
                 warnings.warn(
@@ -231,6 +246,13 @@ class GenerationPlan:
             # (a*(i mod n)) mod n, and the reduced product stays < n^2 <=
             # 2^63 no matter how many child rows there are.
             return F.pmod(F.pmod(id_col, F.lit(n)) * F.lit(a) + F.lit(s % max(n, 1)), F.lit(n))
+        if self.fk_skew > 0:
+            u = F.pmod(
+                F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(1 << 30)
+            ) / F.lit(float(1 << 30))
+            return F.floor(F.lit(float(n)) * F.pow(u, F.lit(1.0 + self.fk_skew))).cast(
+                "long"
+            )
         return F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n))
 
     def _fk_value(self, table: TableSpec, col: ColumnSpec, id_col: Column) -> Column:

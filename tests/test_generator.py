@@ -409,3 +409,67 @@ def test_parallel_build_serializes_fk_cycles(spark):
         assert sorted(map(tuple, s[name].collect())) == sorted(
             map(tuple, p[name].collect())
         ), f"cycle build diverged on {name}"
+
+
+def test_fk_skew_produces_heavy_tail_and_keeps_closure(spark):
+    """fk_skew warps with-replacement FK sampling into a heavy-tailed
+    (Zipf-ish) parent-frequency profile — the realistic shape that lets
+    generated data exercise skew-join machinery — while FK closure,
+    determinism, and the uniform default all hold."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
+        GenerationPlan,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    def mk():
+        tables = {
+            "P": TableSpec(
+                name="P",
+                columns=[ColumnSpec("Id", "uuid", nullable=False, length=36)],
+                pk=["Id"],
+            ),
+            "C": TableSpec(
+                name="C",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("Pid", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["Pid"], "P", ["Id"])],
+            ),
+        }
+        wire_fk_rules(tables)
+        return tables
+
+    rows = {"P": 100, "C": 5000}
+    skew = GenerationPlan(spark, mk(), seed=6, row_counts=rows, fk_skew=2.0)
+    built = skew.run(materialize=True)
+    parents = {r[0] for r in built["P"].select("Id").collect()}
+    freqs = sorted(
+        (r[1] for r in built["C"].groupBy("Pid").count().collect()), reverse=True
+    )
+    vals = [r[0] for r in built["C"].select("Pid").collect()]
+    assert set(vals) <= parents  # closure holds under skew
+    # heavy tail: the hottest parent carries far more than the uniform
+    # expectation (50), and the top decile dominates
+    assert freqs[0] > 150, freqs[:5]
+    assert sum(freqs[:10]) > 0.35 * 5000
+
+    # determinism: same seed -> identical skewed sample
+    again = GenerationPlan(spark, mk(), seed=6, row_counts=rows, fk_skew=2.0)
+    built2 = again.run(materialize=True)
+    assert sorted(map(tuple, built["C"].collect())) == sorted(
+        map(tuple, built2["C"].collect())
+    )
+
+    # default stays uniform: no parent anywhere near the skewed peak
+    uni = GenerationPlan(spark, mk(), seed=6, row_counts=rows).run(materialize=True)
+    ufreqs = sorted(
+        (r[1] for r in uni["C"].groupBy("Pid").count().collect()), reverse=True
+    )
+    assert ufreqs[0] < 110
