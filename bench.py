@@ -68,8 +68,12 @@ EXTRA = ["text_doc_pairs_jaccard", "sim_knn_graph"]
 EXTRA_R5 = ["sim_search_pq"]
 # New in r6 (no prior numbers; comparable from r7): the heaviest two of
 # the TPC-H-shaped pack — the full-scan pricing summary (Q1 shape) and
-# the 3-way-join big-order aggregate (Q18 shape).
-EXTRA_R6 = ["lineitem_pricing_summary", "orders_big_volume"]
+# the 3-way-join big-order aggregate (Q18 shape) — plus the streaming
+# engine's first tracked number: stream_tumbling runs the watermarked
+# micro-batch pipeline to completion (source -> stateful agg ->
+# complete-mode sink), so checkpoint + state-store costs are in the
+# timing, not just the logical agg.
+EXTRA_R6 = ["lineitem_pricing_summary", "orders_big_volume", "stream_tumbling"]
 # New in r6: the engine the repo is named for, at benchmark scale — the
 # reference's FULL 85-table script.sql schema generated at 10k rows per
 # table (850k rows, 131 FK constraints) through the parquet
