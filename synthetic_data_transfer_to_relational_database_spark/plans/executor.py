@@ -246,7 +246,11 @@ class GenerationPlan:
             # (a*(i mod n)) mod n, and the reduced product stays < n^2 <=
             # 2^63 no matter how many child rows there are.
             return F.pmod(F.pmod(id_col, F.lit(n)) * F.lit(a) + F.lit(s % max(n, 1)), F.lit(n))
-        if self.fk_skew > 0:
+        # `not unique`: a unique-indexed FK that overflows the permutation
+        # cap falls through to the hash fallback — skewing THAT draw would
+        # concentrate duplicates on hot parents and guarantee index
+        # violations, the opposite of the uniform fallback's best effort
+        if self.fk_skew > 0 and not unique:
             u = F.pmod(
                 F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(1 << 30)
             ) / F.lit(float(1 << 30))
@@ -520,6 +524,32 @@ class GenerationPlan:
             levels[depth[name]].append(name)
         return levels
 
+    def skips(self, name: str) -> bool:
+        """True when the F4/F5 skip filters exclude ``name``."""
+        return name in self.skip_tables or any(
+            s in name for s in self.skip_table_substrings
+        )
+
+    def for_each_level(self, fn, parallelism: int | None = None) -> None:
+        """Apply ``fn(table_name)`` over every non-skipped table — serial
+        in toposort order, or (parallelism > 1) fanned out per dependency
+        level with a barrier between levels. THE one implementation of
+        the level-concurrency contract (residual-cycle serialization,
+        identity-read-back-before-children); run() and the live-DB
+        loader both drive through it so they cannot drift."""
+        if not parallelism or parallelism <= 1:
+            for name in toposort_tables(self.tables):
+                if not self.skips(name):
+                    fn(name)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            for level in self.build_levels():
+                todo = [n for n in level if not self.skips(n)]
+                # drain so worker exceptions surface at the barrier
+                list(ex.map(fn, todo))
+
     def build_one(self, name: str, materialize: bool | str = True) -> DataFrame:
         """Build (and register) a single table — parents must already be
         built. Public so sinks can interleave build → load → key-fetch."""
@@ -574,23 +604,7 @@ class GenerationPlan:
         and a level's tables share no FK edge, so build order within a
         level cannot influence any sampled key (locked by
         tests/test_generator.py)."""
-        skip = lambda name: name in self.skip_tables or any(  # noqa: E731
-            s in name for s in self.skip_table_substrings
-        )
-        if not parallelism or parallelism <= 1:
-            for name in toposort_tables(self.tables):
-                if skip(name):
-                    continue
-                self.build_one(name, materialize)
-            return dict(self._built)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=parallelism) as ex:
-            for level in self.build_levels():
-                todo = [n for n in level if not skip(n)]
-                # list() drains the iterator so worker exceptions surface
-                list(ex.map(lambda n: self.build_one(n, materialize), todo))
+        self.for_each_level(lambda n: self.build_one(n, materialize), parallelism)
         return dict(self._built)
 
 

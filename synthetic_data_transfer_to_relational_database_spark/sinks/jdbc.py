@@ -333,11 +333,6 @@ def load_plan_to_live_db(
     Returns the load order (also the constraint-safe order, O1)."""
     spark = plan.spark
 
-    def skip(n: str) -> bool:
-        return n in plan.skip_tables or any(
-            s in n for s in plan.skip_table_substrings
-        )
-
     def load_one(name: str) -> None:
         table = plan.tables[name]
         df = plan.build_one(name)
@@ -351,19 +346,9 @@ def load_plan_to_live_db(
                 keys = fetch_parent_keys(spark, target, name, pk_col, limit=fetch_limit)
                 plan.parent_keys_override.setdefault(name, {})[pk_col] = keys
 
-    order = [n for n in plan.build_order() if not skip(n)]
-    if not parallelism or parallelism <= 1:
-        for name in order:
-            load_one(name)
-        return order
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=parallelism) as ex:
-        for level in plan.build_levels():
-            todo = [n for n in level if not skip(n)]
-            list(ex.map(load_one, todo))  # drain so exceptions surface
-    return order
+    # one implementation of the level-concurrency contract (the plan's)
+    plan.for_each_level(load_one, parallelism)
+    return [n for n in plan.build_order() if not plan.skips(n)]
 
 
 def fetch_parent_keys(

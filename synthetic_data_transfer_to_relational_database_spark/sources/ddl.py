@@ -272,32 +272,41 @@ def table_to_ddl(spec: TableSpec) -> str:
     catalog-derived pipeline does: specs reflected from a live database
     (S4-S7) or a schema JSONL (S3) become deployable DDL. Exact inverse
     of :func:`parse_create_table` — re-parsing the emitted text yields an
-    equal spec (round-trip property-tested). Unique INDEX statements are
-    not emitted (the parser resolves them onto column flags; the original
+    equal spec (round-trip property-tested, with two DEPLOYABILITY
+    corrections the fixpoint tolerates: PK member columns are forced
+    NOT NULL — SQL Server rejects nullable PRIMARY KEY members, and
+    JSONL-derived specs default nullable — and string lengths outside
+    nvarchar's 1..4000 become nvarchar(max), covering catalog-reflected
+    CLOB sizes like 2147483647). Unique INDEX statements are not
+    emitted (the parser resolves them onto column flags; the original
     index sets are not retained)."""
     lines = [f"CREATE TABLE [dbo].[{spec.name}]("]
     for c in spec.columns:
         if c.computed:
             lines.append(f"\t[{c.name}] AS (NULL),")
             continue
+        nullable = c.nullable and c.name not in spec.pk
+        null = "NULL" if nullable else "NOT NULL"
         if c.unsafe and c.dtype != "binary":
             # the original out-of-surface type (datetimeoffset/xml/...)
             # is not retained; sql_variant is the stand-in that re-parses
             # to the same unsafe-string spec the original did
-            lines.append(
-                f"\t[{c.name}] [sql_variant] {'NULL' if c.nullable else 'NOT NULL'},"
-            )
+            lines.append(f"\t[{c.name}] [sql_variant] {null},")
             continue
         if c.dtype.startswith("decimal"):
-            t = f"numeric({c.precision or 18}, {c.scale or 0})"
+            base, args = "numeric", f"({c.precision or 18}, {c.scale or 0})"
         elif c.dtype == "string":
             n = c.length if c.length is not None else 100
-            t = "nvarchar(max)" if n == -1 else f"nvarchar({n})"
+            if n == -1 or n > 4000 or n <= 0:
+                base, args = "nvarchar", "(max)"
+            else:
+                base, args = "nvarchar", f"({n})"
         else:
             t = _TSQL_OF.get(c.dtype, "nvarchar(100)")
+            base, _, rest = t.partition("(")
+            args = f"({rest}" if rest else ""
         ident = " IDENTITY(1,1)" if c.identity else ""
-        null = "NULL" if c.nullable else "NOT NULL"
-        lines.append(f"\t[{c.name}] [{t.split('(')[0]}]{'(' + t.split('(', 1)[1] if '(' in t else ''}{ident} {null},")
+        lines.append(f"\t[{c.name}] [{base}]{args}{ident} {null},")
     if spec.pk:
         cols = ", ".join(f"[{c}] ASC" for c in spec.pk)
         lines.append(
@@ -327,12 +336,15 @@ def schema_to_ddl(tables: dict[str, TableSpec]) -> list[str]:
     """Deployable batches for a whole schema: CREATE TABLEs in FK
     dependency order, then every FK constraint (so self-references and
     mutual FKs attach after both tables exist — the dump layout
-    script.sql itself uses). Feed straight into
+    script.sql itself uses). FKs whose parent is OUTSIDE the schema are
+    skipped (the same rule toposort applies) — emitting them would be a
+    guaranteed-failing ALTER. Feed straight into
     ``sinks.deploy.deploy_statements``."""
     from ..plans.toposort import toposort_tables
 
     out = [table_to_ddl(tables[n]) for n in toposort_tables(tables)]
     for n, spec in tables.items():
         for fk in spec.fks:
-            out.append(fk_to_ddl(n, fk))
+            if fk.parent_table in tables:
+                out.append(fk_to_ddl(n, fk))
     return out

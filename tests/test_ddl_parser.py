@@ -176,3 +176,39 @@ def test_ddl_emitter_round_trips_reference_schema():
             assert back_fk.on_delete_cascade == fk.on_delete_cascade
     batches = schema_to_ddl(tables)
     assert len(batches) == 85 + sum(len(t.fks) for t in tables.values())
+
+
+def test_ddl_emitter_deployability_corrections():
+    """Deployability guards: nullable PK members emit NOT NULL (SQL
+    Server error 8111 otherwise), catalog-sized/invalid string lengths
+    clamp to nvarchar(max), and FKs pointing outside the schema are not
+    emitted (a guaranteed-failing ALTER)."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.ddl import (
+        parse_create_table,
+        schema_to_ddl,
+        table_to_ddl,
+    )
+
+    spec = TableSpec(
+        name="T",
+        columns=[
+            ColumnSpec("Id", "uuid", nullable=True, length=36),  # JSONL default
+            ColumnSpec("Body", "string", nullable=True, length=2147483647),
+            ColumnSpec("Tag", "string", nullable=True, length=0),
+        ],
+        pk=["Id"],
+        fks=[FKSpec(["Id"], "NotInSchema", ["Id"])],
+    )
+    ddl = table_to_ddl(spec)
+    back = parse_create_table(ddl)
+    assert back.column("Id").nullable is False  # PK forced NOT NULL
+    assert back.column("Body").length == -1  # > 4000 -> max
+    assert back.column("Tag").length == -1  # <= 0 -> max
+    batches = schema_to_ddl({"T": spec})
+    assert len(batches) == 1  # external-parent FK skipped
+    assert "NotInSchema" not in batches[0]

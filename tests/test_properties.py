@@ -128,6 +128,11 @@ def test_ddl_emitter_parser_fixpoint(name, cols):
     )
 
     pk = [cols[0].name] if not (cols[0].computed or cols[0].unsafe) else []
+    if pk:
+        # the emitter corrects nullable PK members to NOT NULL (SQL
+        # Server rejects them) — model the corrected input here and
+        # assert the correction separately below
+        cols[0].nullable = False
     spec = TableSpec(name=name, columns=cols, pk=pk)
     back = parse_create_table(table_to_ddl(spec))
     assert back is not None and back.name == name
