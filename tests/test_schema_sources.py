@@ -119,3 +119,41 @@ def test_catalog_roundtrip_generate_load(spark, derby_cat):
     non_null = child_back.filter("PARENTID IS NOT NULL")
     assert non_null.count() > 0
     assert non_null.filter("PARENTID < 1 OR PARENTID > 20").count() == 0
+
+
+def test_introspected_catalog_emits_deployable_ddl(spark, derby_cat):
+    """Close the loop the reference leaves open: a LIVE catalog (S4-S7
+    via DatabaseMetaData) -> TableSpecs -> T-SQL DDL whose re-parse is a
+    fixpoint — including the deployability corrections (PK NOT NULL,
+    out-of-range lengths -> nvarchar(max), external-parent FKs
+    skipped)."""
+    from synthetic_data_transfer_to_relational_database_spark.sources.ddl import (
+        parse_create_table,
+        parse_foreign_keys,
+        schema_to_ddl,
+    )
+
+    tables = {
+        k: v
+        for k, v in introspect_catalog(spark, derby_cat, schema_pattern="APP").items()
+        if k in ("CATPARENT", "CATCHILD")
+    }
+    batches = schema_to_ddl(tables)
+    creates = [b for b in batches if b.startswith("CREATE TABLE")]
+    alters = [b for b in batches if b.startswith("ALTER TABLE")]
+    assert len(creates) == 2 and len(alters) == 1
+    # parent must precede child (FK dependency order)
+    assert "CATPARENT" in creates[0] and "CATCHILD" in creates[1]
+
+    reparsed = {s.name: s for s in (parse_create_table(b) for b in creates)}
+    for name, orig in tables.items():
+        back = reparsed[name]
+        assert back.pk == orig.pk
+        for a, b in zip(orig.columns, back.columns):
+            assert a.name == b.name and a.dtype == b.dtype, (name, a.name)
+            assert a.identity == b.identity
+            # PK members are corrected NOT NULL; others keep nullability
+            expected_null = a.nullable and a.name not in orig.pk
+            assert b.nullable == expected_null, (name, a.name)
+    (child, fk), = parse_foreign_keys(alters)
+    assert child == "CATCHILD" and fk.parent_table == "CATPARENT"
