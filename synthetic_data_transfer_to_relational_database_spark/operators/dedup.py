@@ -200,20 +200,32 @@ def build_lsh_index(docs: DataFrame) -> DataFrame:
     return _band_explode(_minhash_signatures(docs))
 
 
-def dedup_incremental(new_docs: DataFrame, corpus_index: DataFrame) -> DataFrame:
+def dedup_incremental(
+    new_docs: DataFrame | None,
+    corpus_index: DataFrame,
+    new_index: DataFrame | None = None,
+) -> DataFrame:
     """Incremental near-dup — the daily-ingest shape: sign and band only
     the NEW batch (O(new × K), map-side), bucket-join it against the
     existing corpus' persisted ``build_lsh_index`` output, and estimate
     Jaccard from the full signatures. The corpus is never re-shingled;
     if the index is stored bucketed by (band, band_sig), the join
-    shuffles just the new batch's banded signatures.
+    shuffles just the new batch's banded signatures. A caller that
+    already holds the batch's banded signatures (the streaming ingest
+    signs each batch exactly ONCE and reuses it for the in-batch join,
+    the cross-corpus join, and the index append) passes them as
+    ``new_index`` and skips the re-signing.
 
     Returns (new_doc_id, corpus_doc_id, est_jaccard) candidate pairs;
     callers threshold est_jaccard (or verify exactly, as
     dedup_lsh_verified does for the batch case). Semantics are
     test-locked: restricted to cross pairs, this equals the full-corpus
     dedup_minhash_lsh run (tests/test_llm_ops.py)."""
-    new_banded = _band_explode(_minhash_signatures(new_docs))
+    if new_index is None:
+        if new_docs is None:
+            raise ValueError("pass new_docs or new_index")
+        new_index = _band_explode(_minhash_signatures(new_docs))
+    new_banded = new_index
     n, c = new_banded.alias("n"), corpus_index.alias("c")
     return (
         n.join(

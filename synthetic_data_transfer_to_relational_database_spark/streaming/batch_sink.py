@@ -33,6 +33,27 @@ def committed_batch_ids(spark: SparkSession, path: str) -> set[int]:
         return set()
 
 
+def drain_if_committed(spark: SparkSession, batch_df: DataFrame, path: str, batch_id: int) -> bool:
+    """Replay guard shared by every ledgered foreachBatch sink: True when
+    ``batch_id`` is already in the ledger, after draining the batch
+    through the noop sink (Spark 4 validates that foreachBatch processes
+    every partition — STATE_STORE_COMMIT_VALIDATION — so an early return
+    without the drain would fail the query)."""
+    if batch_id in committed_batch_ids(spark, path):
+        batch_df.write.format("noop").mode("overwrite").save()
+        return True
+    return False
+
+
+def mark_batch_committed(spark: SparkSession, path: str, batch_id: int) -> None:
+    """Append ``batch_id`` to the sink ledger — the LAST step of a
+    ledgered batch commit (everything before it must be idempotent
+    under replay; everything after it is skipped by drain_if_committed)."""
+    spark.createDataFrame([(batch_id,)], "batch_id long").write.mode("append").parquet(
+        _ledger_path(path)
+    )
+
+
 def write_stream_to_parquet(
     sdf: DataFrame,
     path: str,
@@ -47,12 +68,7 @@ def write_stream_to_parquet(
     spark = sdf.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(spark, path):
-            # replayed batch after recovery — already written. Spark 4
-            # validates that foreachBatch processes every partition
-            # (STATE_STORE_COMMIT_VALIDATION), so drain through the noop
-            # sink instead of returning early.
-            batch_df.write.format("noop").mode("overwrite").save()
+        if drain_if_committed(spark, batch_df, path, batch_id):
             return
         # Each batch OVERWRITES its own batch_id-scoped subdirectory: a
         # crash after the data write but before the ledger append replays
@@ -62,9 +78,7 @@ def write_stream_to_parquet(
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(os.path.join(path, "data", f"batch_id={batch_id}"))
-        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode("append").parquet(
-            _ledger_path(path)
-        )
+        mark_batch_committed(spark, path, batch_id)
 
     writer = sdf.writeStream.outputMode(output_mode).foreachBatch(write_batch)
     if available_now:

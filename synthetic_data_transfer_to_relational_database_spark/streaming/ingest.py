@@ -5,11 +5,21 @@ bucketed LSH index) and against itself, survivors land in the corpus
 parquet AND their signatures extend the index, so batch N+1 dedups
 against batches 1..N without ever re-signing or re-shuffling them.
 
-Composes three existing primitives: ``dedup.build_lsh_index`` /
-``dedup.dedup_incremental`` (operators/dedup.py) and the idempotent
-batch-ledger recipe (streaming/batch_sink.py). The index side of the
-join never shuffles (bucketed by (band, band_sig) — plan-locked in
-tests/test_llm_ops.py); each batch pays only its own signature cost.
+Composes existing primitives: ``dedup.build_lsh_index`` /
+``dedup.dedup_incremental`` / ``dedup.connected_components``
+(operators/dedup.py) and the idempotent batch-ledger recipe
+(streaming/batch_sink.py). The index side of the join never shuffles
+(bucketed by (band, band_sig) — plan-locked in tests/test_llm_ops.py);
+each batch's signatures are computed exactly ONCE and reused for the
+in-batch join, the cross-corpus join, and the index append.
+
+In-batch semantics are CLUSTER dedup (the dedup_cluster/SemDeDup rule,
+not greedy pairwise): near-dup pairs form connected components and the
+LOWEST doc_id of each component survives. Greedy pairwise rejection is
+order-dependent and wrong under transitivity — with B a dup of both A
+and C (but A~C below threshold), pairwise drops B *and* C while the
+component rule keeps {A}, C having been reachable from A through B.
+The cross-corpus check then applies to the component survivors.
 
 Replay semantics: committed batch_ids drain through the noop sink. A
 crash between the survivor write and the ledger append replays the
@@ -27,10 +37,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
-from ..operators.dedup import build_lsh_index, dedup_incremental
+from ..operators.dedup import build_lsh_index, connected_components, dedup_incremental
 from ..sinks.parquet_layout import read_bucketed, write_bucketed
-from .batch_sink import _ledger_path, committed_batch_ids
+from .batch_sink import drain_if_committed, mark_batch_committed
 
 _N_BUCKETS = 4
 
@@ -49,7 +60,7 @@ def stream_documents(spark: SparkSession, path: str, max_files_per_trigger: int 
     )
 
 
-def bootstrap_index(spark: SparkSession, docs: DataFrame, index_table: str, path: str) -> None:
+def bootstrap_index(docs: DataFrame, index_table: str, path: str) -> None:
     """Create the corpus LSH index table (possibly from an empty seed
     corpus) bucketed by (band, band_sig) so every later ingest batch
     joins against it shuffle-free."""
@@ -70,55 +81,87 @@ def write_stream_dedup_ingest(
 
     Per micro-batch:
 
-    1. cross-corpus: ``dedup_incremental(batch, index)`` — candidates
-       from the bucket join against the persisted index, est_jaccard
-       >= ``threshold`` rejects the batch doc;
-    2. in-batch: the same machinery with the batch as its own corpus;
-       the HIGHER doc_id of a duplicate pair is rejected (first-seen
-       wins, deterministic);
-    3. survivors append to ``<out_path>/data/batch_id=N`` (idempotent
-       batch-scoped overwrite) and their signatures append to the
-       bucketed index table, so subsequent batches dedup against them.
+    1. rows sharing a doc_id collapse to one (deterministically: lowest
+       text) — exact same-key duplicates within a crawl file must not
+       double-land in the corpus;
+    2. in-batch: near-dup pairs (bucket join of the batch's banded
+       signatures against themselves, est_jaccard >= ``threshold``)
+       form connected components; the lowest doc_id per component
+       survives (see module docstring for why pairwise is wrong);
+    3. cross-corpus: the in-batch survivors' signatures join the
+       persisted index; any hit rejects the doc;
+    4. survivors append to ``<out_path>/data/batch_id=N`` (idempotent
+       batch-scoped overwrite) and their signatures (reused, not
+       recomputed) append to the bucketed index table, so subsequent
+       batches dedup against them.
     """
     spark = docs.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(spark, out_path):
-            batch_df.write.format("noop").mode("overwrite").save()
+        if drain_if_committed(spark, batch_df, out_path, batch_id):
             return
-        batch_df = batch_df.persist()
+        one_per_id = Window.partitionBy("doc_id").orderBy("text")
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(one_per_id))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist()
+        )
+        banded = build_lsh_index(batch).persist()
+        survivors = None
         try:
+            # 2. in-batch component dedup (signatures from `banded`)
+            edges = (
+                dedup_incremental(None, banded, new_index=banded)
+                .filter(F.col("est_jaccard") >= threshold)
+                .filter(F.col("new_doc_id") < F.col("corpus_doc_id"))
+                .select(
+                    F.col("new_doc_id").alias("src"),
+                    F.col("corpus_doc_id").alias("dst"),
+                )
+            )
+            comp = connected_components(edges).select(
+                F.col("node").alias("doc_id"), F.col("label").alias("__rep")
+            )
+            reps = (
+                batch.select("doc_id")
+                .join(comp, "doc_id", "left")
+                .filter(
+                    F.coalesce(F.col("__rep"), F.col("doc_id")) == F.col("doc_id")
+                )
+                .select("doc_id")
+            )
+            rep_banded = banded.join(reps, "doc_id", "left_semi")
+            # 3. cross-corpus rejection of the component survivors
             corpus_dupes = (
-                dedup_incremental(batch_df, read_bucketed(spark, index_table))
+                dedup_incremental(
+                    None, read_bucketed(spark, index_table), new_index=rep_banded
+                )
                 .filter(F.col("est_jaccard") >= threshold)
                 .select(F.col("new_doc_id").alias("doc_id"))
+                .distinct()
             )
-            in_batch_dupes = (
-                dedup_incremental(batch_df, build_lsh_index(batch_df))
-                .filter(
-                    (F.col("est_jaccard") >= threshold)
-                    & (F.col("new_doc_id") > F.col("corpus_doc_id"))
-                )
-                .select(F.col("new_doc_id").alias("doc_id"))
-            )
-            dupes = corpus_dupes.unionByName(in_batch_dupes).distinct()
-            survivors = batch_df.join(dupes, "doc_id", "left_anti").persist()
+            survivor_ids = reps.join(corpus_dupes, "doc_id", "left_anti")
+            survivors = batch.join(survivor_ids, "doc_id", "left_semi").persist()
             survivors.write.mode("overwrite").parquet(
                 os.path.join(out_path, "data", f"batch_id={batch_id}")
             )
+            # 4. index append reuses the cached signatures
             write_bucketed(
-                build_lsh_index(survivors),
+                banded.join(
+                    survivors.select("doc_id"), "doc_id", "left_semi"
+                ),
                 index_table,
                 ["band", "band_sig"],
                 _N_BUCKETS,
                 mode="append",
             )
-            spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-                "append"
-            ).parquet(_ledger_path(out_path))
-            survivors.unpersist()
+            mark_batch_committed(spark, out_path, batch_id)
         finally:
-            batch_df.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
+            banded.unpersist()
+            batch.unpersist()
 
     writer = (
         docs.writeStream.outputMode("append")

@@ -282,7 +282,7 @@ def test_stream_dedup_ingest_rejects_cross_and_in_batch_dups(spark, tmp_path):
     index_table = "t_ingest_idx"
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
     empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
-    bootstrap_index(spark, empty, index_table, str(tmp_path / "idx"))
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
 
     out = str(tmp_path / "corpus")
     ckpt = str(tmp_path / "ckpt")
@@ -312,4 +312,57 @@ def test_stream_dedup_ingest_rejects_cross_and_in_batch_dups(spark, tmp_path):
     run()  # restart drill: no new files -> nothing changes
     again = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
     assert again == docs
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_stream_dedup_ingest_cluster_semantics_and_id_collapse(spark, tmp_path):
+    """The in-batch rule is CLUSTER dedup: all near-dup pairs form
+    components and only the component-minimum doc survives (three
+    mutually-similar variants -> one survivor, regardless of which
+    pairs the bands happened to surface). Rows sharing a doc_id
+    collapse to a single row before any of it."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        bootstrap_index,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    base = [f"tok{i:02d}" for i in range(12)]
+    a = " ".join(base)
+    b = " ".join(base[:-1] + ["varb"])  # one token differs from a
+    c = " ".join(["varc"] + base[1:])   # one token differs from a
+    batch = pd.DataFrame(
+        [
+            mk(1, a), mk(2, b), mk(3, c),
+            mk(7, "same id twice this row and the next one"),
+            mk(7, "same id twice this row and the next one"),
+        ]
+    )
+    batch.to_parquet(src / "b1.parquet", index=False)
+
+    index_table = "t_ingest_cluster_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
+
+    out = str(tmp_path / "corpus")
+    write_stream_dedup_ingest(
+        stream_documents(spark, str(src)), index_table, out,
+        str(tmp_path / "ckpt"), threshold=0.5,
+    ).awaitTermination()
+
+    rows = spark.read.parquet(f"{out}/data").collect()
+    ids = sorted(r.doc_id for r in rows)
+    # {1,2,3} one component -> survivor 1; 7 collapses to one row
+    assert ids == [1, 7], ids
+    assert len(rows) == 2
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
