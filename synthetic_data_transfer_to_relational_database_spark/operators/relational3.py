@@ -297,15 +297,42 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles of order value within each priority class. The order key
     totally orders ties so both engines assign identical buckets.
 
-    Scale notes: one hash-partitioned window per priority class — no
-    global single-partition sort (the catalog's window rule); NTILE is
-    computed in the same pass as the sort, nothing extra shuffles."""
+    Scale notes: o_orderpriority has FIVE distinct values, so the
+    one-window form (``Window.partitionBy``) sorts ~20% of all orders
+    through one task each — the same single-task collapse class as an
+    unpartitioned window. Like ``window_ranks_pct``
+    (relational2.py), the physical form is COST-BASED: below
+    ``spark.sdt.rank.smallInputBytes`` the single window wins (the
+    distributed derivation's fixed jobs cost more than one small sort);
+    above it NTILE is derived from ``skew.group_distribution_ranks``
+    (range-partition the (priority, price, key) total order, broadcast
+    per-slice offsets, local row_number + the ceil-first-buckets
+    arithmetic) — exact same buckets
+    (tests/test_skew_ranks.py::test_window_ntile_branches_match proves
+    bit-equality against the naive window), no task ever sorts more
+    than one range slice."""
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    proj = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    from .skew import group_distribution_ranks, small_rank_input
+
+    if small_rank_input(proj, cache_key=("window_ntile", sf_dir)):
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            "o_totalprice", "o_orderkey"
+        )
+        return proj.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+        )
+    return group_distribution_ranks(
+        proj,
+        "o_orderpriority",
+        ["o_totalprice", "o_orderkey"],
+        n_tiles=4,
+    ).select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("price_quartile"),
+        F.col("__ntile").alias("price_quartile"),
     )
 
 

@@ -218,6 +218,7 @@ def test_scalable_rank_helpers_have_no_group_only_windows(spark):
         for name, bounded_keys in [
             ("window_ranks_pct", ("__pid",)),
             ("window_rank", ("__pid",)),
+            ("window_ntile", ("__pid",)),
             ("multimodal_dyn_batch", ("__pid", "batch_id")),
             ("corpus_quantile_filter", ("__pid",)),
         ]:

@@ -273,6 +273,30 @@ def test_window_ranks_pct_branches_match(spark, sf_dir_mid):
     assert small_branch == big_branch
 
 
+def test_window_ntile_branches_match(spark, sf_dir_mid):
+    """window_ntile's two physical branches (one NTILE window vs the
+    group_distribution_ranks ceil-first-buckets derivation) must assign
+    identical buckets on real data — the equality that licenses its
+    cost-based dispatch (the r6 verdict's low-cardinality-window item)."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.relational3 import (
+        QUERIES,
+    )
+
+    def run():
+        return {
+            r["o_orderkey"]: (r["o_orderpriority"], r["price_quartile"])
+            for r in QUERIES["window_ntile"](spark, sf_dir_mid).collect()
+        }
+
+    small_branch = run()
+    spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
+    try:
+        big_branch = run()
+    finally:
+        spark.conf.unset("spark.sdt.rank.smallInputBytes")
+    assert small_branch == big_branch
+
+
 def test_no_window_partitioned_by_group_alone(spark, orders):
     """The plan property the function exists for: the only Window sorts
     within (slice, group) — bounded by the range slice — never by the
