@@ -26,8 +26,11 @@ crash between the survivor write and the ledger append replays the
 batch; the survivor write is batch-id-scoped overwrite (harmless), the
 index append however re-appends signatures — duplicate index rows cost
 space, never correctness (candidate pairs are dropDuplicates'd and a
-doc already in the corpus rejects its replayed twin anyway). Compact
-the index offline if replays accumulate.
+doc already in the corpus rejects its replayed twin anyway).
+``compact_index`` removes the accumulated twins offline (one
+dropDuplicates pass, bucketed rewrite in place); pass
+``compact_every=N`` to ``write_stream_dedup_ingest`` to run it every N
+committed batches.
 """
 
 from __future__ import annotations
@@ -69,6 +72,50 @@ def bootstrap_index(docs: DataFrame, index_table: str, path: str) -> None:
     )
 
 
+def _table_location(spark: SparkSession, table_name: str) -> str | None:
+    """Storage location of a catalog table (None for managed tables whose
+    location Spark should keep choosing itself)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect():
+        if r.col_name == "Location":
+            return r.data_type
+    return None
+
+
+def compact_index(spark: SparkSession, index_table: str) -> int:
+    """Offline compaction of the corpus LSH index: crash-replays of an
+    ingest batch re-append that batch's signatures (see module
+    docstring), so the index accumulates exact twin rows — a space cost,
+    never a correctness one. This rewrites the table to one row per
+    (doc_id, band), the clean ``build_lsh_index`` invariant, preserving
+    the table's location and its (band, band_sig) bucketing so every
+    later ingest join stays shuffle-free.
+
+    The compacted rows are pinned via ``checkpoint_pinned(eager=True)``
+    BEFORE the overwrite: the rewrite must not read the files it is
+    replacing (Spark rejects self-overwrite at analysis time), and a
+    cut lineage fails loudly rather than recomputing mid-write. With
+    ``sc.setCheckpointDir`` configured the pin survives executor loss;
+    if the driver dies mid-overwrite the index is rebuildable from the
+    corpus parquet (``bootstrap_index`` — the index is derived state,
+    a cache of signatures, never the only copy of anything).
+
+    Returns the number of duplicate rows removed.
+    """
+    from ..operators.skew import checkpoint_pinned
+
+    idx = read_bucketed(spark, index_table)
+    loc = _table_location(spark, index_table)
+    compacted = checkpoint_pinned(
+        idx.dropDuplicates(["doc_id", "band"]), eager=True
+    )
+    removed = idx.count() - compacted.count()
+    if removed:
+        write_bucketed(
+            compacted, index_table, ["band", "band_sig"], _N_BUCKETS, path=loc
+        )
+    return removed
+
+
 def write_stream_dedup_ingest(
     docs: DataFrame,
     index_table: str,
@@ -76,6 +123,7 @@ def write_stream_dedup_ingest(
     checkpoint_dir: str,
     threshold: float = 0.5,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Drain a documents stream through incremental near-dup rejection.
 
@@ -93,7 +141,11 @@ def write_stream_dedup_ingest(
     4. survivors append to ``<out_path>/data/batch_id=N`` (idempotent
        batch-scoped overwrite) and their signatures (reused, not
        recomputed) append to the bucketed index table, so subsequent
-       batches dedup against them.
+       batches dedup against them;
+    5. with ``compact_every=N``, every Nth committed batch runs
+       ``compact_index`` so crash-replay signature twins never
+       accumulate unboundedly (runs AFTER the ledger commit — a crash
+       during compaction replays nothing).
     """
     spark = docs.sparkSession
 
@@ -157,6 +209,8 @@ def write_stream_dedup_ingest(
                 mode="append",
             )
             mark_batch_committed(spark, out_path, batch_id)
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_index(spark, index_table)
         finally:
             if survivors is not None:
                 survivors.unpersist()

@@ -366,3 +366,129 @@ def test_stream_dedup_ingest_cluster_semantics_and_id_collapse(spark, tmp_path):
     assert ids == [1, 7], ids
     assert len(rows) == 2
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_compact_index_restores_no_crash_rowcount(spark, tmp_path):
+    """compact_index (streaming/ingest.py): a crash between the survivor
+    write and the ledger append replays the batch's index append, so the
+    index accumulates exact twin signature rows. Compaction must restore
+    the no-crash row count (one row per (doc_id, band)), keep the table
+    at its location with its (band, band_sig) bucketing, and be a no-op
+    on an already-clean index."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.dedup import (
+        build_lsh_index,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        write_bucketed,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        _N_BUCKETS,
+        bootstrap_index,
+        compact_index,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    docs = pd.DataFrame(
+        [
+            mk(1, "the quick brown fox jumps over the lazy dog once"),
+            mk(2, "completely different words about spark engines here"),
+        ]
+    )
+    docs.to_parquet(src / "b1.parquet", index=False)
+
+    index_table = "t_compact_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
+
+    write_stream_dedup_ingest(
+        stream_documents(spark, str(src)), index_table,
+        str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    clean = spark.table(index_table).count()
+    assert clean > 0
+
+    # clean index -> compaction is a pure no-op (zero removed, no rewrite)
+    assert compact_index(spark, index_table) == 0
+    assert spark.table(index_table).count() == clean
+
+    # simulate the crash-replay: step 4's index append runs again
+    replayed = build_lsh_index(
+        spark.read.parquet(str(tmp_path / "corpus" / "data"))
+    )
+    write_bucketed(
+        replayed, index_table, ["band", "band_sig"], _N_BUCKETS, mode="append"
+    )
+    assert spark.table(index_table).count() == 2 * clean
+
+    assert compact_index(spark, index_table) == clean
+    assert spark.table(index_table).count() == clean
+    # bucketing metadata survives the rewrite (the shuffle-free-join
+    # contract) and so does the external location
+    detail = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {index_table}").collect()
+    }
+    assert detail.get("Num Buckets") == str(_N_BUCKETS)
+    assert "band" in detail.get("Bucket Columns", "")
+    assert str(tmp_path / "idx") in detail.get("Location", "")
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_compact_every_wires_into_ingest(spark, tmp_path):
+    """write_stream_dedup_ingest(compact_every=1) must leave the index
+    clean (one row per (doc_id, band)) after every committed batch and
+    not change WHAT is accepted — dedup results identical to the
+    uncompacted run."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        bootstrap_index,
+        compact_index,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    pd.DataFrame(
+        [mk(1, base), mk(2, "completely different words about spark engines")]
+    ).to_parquet(src / "b1.parquet", index=False)
+    pd.DataFrame(
+        [mk(10, base), mk(11, "fresh unique content nothing like the rest")]
+    ).to_parquet(src / "b2.parquet", index=False)
+
+    index_table = "t_compact_wire_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
+
+    out = str(tmp_path / "corpus")
+    write_stream_dedup_ingest(
+        stream_documents(spark, str(src)), index_table, out,
+        str(tmp_path / "ckpt"), compact_every=1,
+    ).awaitTermination()
+
+    ids = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert ids == {1, 2, 11}, ids  # 10 is the cross-batch near-dup
+    # index already compact after the wired runs
+    assert compact_index(spark, index_table) == 0
+    idx = spark.table(index_table)
+    assert idx.count() == idx.select("doc_id", "band").distinct().count()
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
