@@ -79,10 +79,22 @@ def erasure_delete_statements(
         counter[0] += 1
         return f"e{counter[0]}"
 
+    quoted = re.compile(r"'(?:[^']|'')*'")
+
     def requalify(pred: str, table: str, alias: str) -> str:
         # rewrite '<table>.' column references to the enclosing alias;
-        # word-bounded so a table whose name suffixes another is safe
-        return re.sub(rf"\b{re.escape(table)}\.", f"{alias}.", pred)
+        # word-bounded so a table whose name suffixes another is safe,
+        # and SQL string literals are carried through untouched — a root
+        # predicate like `name LIKE 'orders.%'` on table `orders` must
+        # keep its literal when embedded one level down
+        rx = re.compile(rf"\b{re.escape(table)}\.")
+        out, last = [], 0
+        for m in quoted.finditer(pred):
+            out.append(rx.sub(f"{alias}.", pred[last : m.start()]))
+            out.append(m.group(0))
+            last = m.end()
+        out.append(rx.sub(f"{alias}.", pred[last:]))
+        return "".join(out)
 
     # Predicates are stored referencing the table's own columns via the
     # TABLE NAME, so embedding a predicate one level down is a single

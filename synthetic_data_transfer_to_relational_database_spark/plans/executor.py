@@ -90,7 +90,13 @@ def _array_literal(values: list) -> Column:
         if isinstance(v, datetime.date):
             return f"DATE '{v.isoformat()}'"
         if isinstance(v, str):
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            if "\\" in v:
+                # backslash rendering differs between the default parser
+                # and legacy spark.sql.parser.escapedStringLiterals=true
+                # — take the per-element F.lit path for those
+                return None
+            # doubled quote parses identically in BOTH parser modes
+            return "'" + v.replace("'", "''") + "'"
         return None
 
     parts = []

@@ -156,6 +156,28 @@ def execute_transaction(
 # --- K2: idempotent database creation -----------------------------------
 
 
+def _sql_states(exc: Exception) -> set[str]:
+    """SQLStates along the Java cause chain of a py4j-raised error
+    (empty for non-JVM exceptions). Derby wraps the interesting
+    SQLException a level or two down, so the chain is walked (bounded —
+    Java cause chains can self-reference)."""
+    states: set[str] = set()
+    j = getattr(exc, "java_exception", None)
+    for _ in range(10):
+        if j is None:
+            break
+        get_state = getattr(j, "getSQLState", None)
+        if get_state is not None:
+            try:
+                s = get_state()
+            except Exception:
+                s = None
+            if s:
+                states.add(s)
+        j = j.getCause() if hasattr(j, "getCause") else None
+    return states
+
+
 def ensure_database_statements(db_name: str) -> tuple[str, str]:
     """The mssql check/create SQL pair of the reference's
     ``ensure_database`` (apply_mssql.py:27-43): probe ``sys.databases``
@@ -207,8 +229,13 @@ def ensure_database(
         try:
             _connect(jvm, probe).close()
             return False
-        except Exception:
-            pass  # XJ004: database not found — fall through and create
+        except Exception as exc:
+            # only SQLState XJ004 (database not found) means "absent".
+            # Anything else — bad driver/classpath, permissions, a
+            # corrupt-but-existing database (XJ040) — must surface, not
+            # be misread as absence and "created" over.
+            if "XJ004" not in _sql_states(exc):
+                raise
         creator = JdbcTarget(
             url=base + ";create=true", driver=target.driver,
             properties=target.properties, dialect="derby",

@@ -266,6 +266,17 @@ _TSQL_OF = {
 }
 
 
+def _bq(name: str) -> str:
+    """Bracket-quote an identifier, doubling ``]`` — the same escaping
+    ``ensure_database_statements`` (sinks/jdbc.py) applies. A spec name
+    containing ``]`` must not terminate the quote early (malformed, and
+    injectable, DDL otherwise). Note the PARSER's ``[^\\]]+`` identifier
+    regexes do not unescape ``]]`` back, so the emit→parse fixpoint holds
+    only for ``]``-free names — the emitter's job here is to never
+    produce malformed DDL, not to extend the parser's surface."""
+    return "[" + name.replace("]", "]]") + "]"
+
+
 def table_to_ddl(spec: TableSpec) -> str:
     """T-SQL ``CREATE TABLE`` for a TableSpec — the emitter the reference
     never needed (it only REPLAYS an existing dump, apply_mssql.py) but a
@@ -280,10 +291,10 @@ def table_to_ddl(spec: TableSpec) -> str:
     CLOB sizes like 2147483647). Unique INDEX statements are not
     emitted (the parser resolves them onto column flags; the original
     index sets are not retained)."""
-    lines = [f"CREATE TABLE [dbo].[{spec.name}]("]
+    lines = [f"CREATE TABLE [dbo].{_bq(spec.name)}("]
     for c in spec.columns:
         if c.computed:
-            lines.append(f"\t[{c.name}] AS (NULL),")
+            lines.append(f"\t{_bq(c.name)} AS (NULL),")
             continue
         nullable = c.nullable and c.name not in spec.pk
         null = "NULL" if nullable else "NOT NULL"
@@ -291,7 +302,7 @@ def table_to_ddl(spec: TableSpec) -> str:
             # the original out-of-surface type (datetimeoffset/xml/...)
             # is not retained; sql_variant is the stand-in that re-parses
             # to the same unsafe-string spec the original did
-            lines.append(f"\t[{c.name}] [sql_variant] {null},")
+            lines.append(f"\t{_bq(c.name)} [sql_variant] {null},")
             continue
         if c.dtype.startswith("decimal"):
             base, args = "numeric", f"({c.precision or 18}, {c.scale or 0})"
@@ -306,11 +317,11 @@ def table_to_ddl(spec: TableSpec) -> str:
             base, _, rest = t.partition("(")
             args = f"({rest}" if rest else ""
         ident = " IDENTITY(1,1)" if c.identity else ""
-        lines.append(f"\t[{c.name}] [{base}]{args}{ident} {null},")
+        lines.append(f"\t{_bq(c.name)} [{base}]{args}{ident} {null},")
     if spec.pk:
-        cols = ", ".join(f"[{c}] ASC" for c in spec.pk)
+        cols = ", ".join(f"{_bq(c)} ASC" for c in spec.pk)
         lines.append(
-            f" CONSTRAINT [PK_{spec.name}] PRIMARY KEY CLUSTERED ({cols})"
+            f" CONSTRAINT {_bq('PK_' + spec.name)} PRIMARY KEY CLUSTERED ({cols})"
         )
     else:
         lines[-1] = lines[-1].rstrip(",")
@@ -322,12 +333,12 @@ def fk_to_ddl(child: str, fk: FKSpec) -> str:
     """``ALTER TABLE ... ADD CONSTRAINT ... FOREIGN KEY`` — inverse of
     :func:`parse_foreign_keys`."""
     name = fk.name or f"FK_{child}_{fk.parent_table}_{'_'.join(fk.columns)}"
-    cols = ", ".join(f"[{c}]" for c in fk.columns)
-    pcols = ", ".join(f"[{c}]" for c in fk.parent_columns)
+    cols = ", ".join(_bq(c) for c in fk.columns)
+    pcols = ", ".join(_bq(c) for c in fk.parent_columns)
     cascade = " ON DELETE CASCADE" if fk.on_delete_cascade else ""
     return (
-        f"ALTER TABLE [dbo].[{child}] WITH CHECK ADD CONSTRAINT [{name}] "
-        f"FOREIGN KEY({cols}) REFERENCES [dbo].[{fk.parent_table}] ({pcols})"
+        f"ALTER TABLE [dbo].{_bq(child)} WITH CHECK ADD CONSTRAINT {_bq(name)} "
+        f"FOREIGN KEY({cols}) REFERENCES [dbo].{_bq(fk.parent_table)} ({pcols})"
         f"{cascade}"
     )
 

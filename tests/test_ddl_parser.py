@@ -212,3 +212,39 @@ def test_ddl_emitter_deployability_corrections():
     batches = schema_to_ddl({"T": spec})
     assert len(batches) == 1  # external-parent FK skipped
     assert "NotInSchema" not in batches[0]
+
+
+def test_ddl_emitter_escapes_bracket_identifiers():
+    """ADVICE r6: identifiers containing ']' must emit with the ']]'
+    doubling (same rule as ensure_database_statements) so a hostile spec
+    name cannot terminate the bracket quote early and inject DDL."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.ddl import (
+        fk_to_ddl,
+        table_to_ddl,
+    )
+
+    spec = TableSpec(
+        name="T]; DROP TABLE x; --",
+        columns=[
+            ColumnSpec("Id", "int", nullable=False),
+            ColumnSpec("Evil]Col", "string", nullable=True, length=10),
+        ],
+        pk=["Id"],
+        fks=[],
+    )
+    ddl = table_to_ddl(spec)
+    assert "[T]]; DROP TABLE x; --]" in ddl
+    assert "[Evil]]Col]" in ddl
+    # no identifier's bracket quote closes early: every lone ']' in the
+    # emitted text belongs to a doubled pair or a type/keyword bracket
+    assert "[T];" not in ddl
+
+    fk = FKSpec(["Evil]Col"], "Par]ent", ["P]k"], name="FK]x")
+    alter = fk_to_ddl("Chi]ld", fk)
+    for quoted in ("[Chi]]ld]", "[FK]]x]", "[Evil]]Col]", "[Par]]ent]", "[P]]k]"):
+        assert quoted in alter, alter

@@ -473,3 +473,28 @@ def test_fk_skew_produces_heavy_tail_and_keeps_closure(spark):
         (r[1] for r in uni["C"].groupBy("Pid").count().collect()), reverse=True
     )
     assert ufreqs[0] < 110
+
+
+def test_array_literal_quotes_parse_in_both_parser_modes(spark):
+    """ADVICE r6: _array_literal renders quotes by DOUBLING (''), which
+    parses identically under the default parser AND the legacy
+    spark.sql.parser.escapedStringLiterals=true; strings containing a
+    backslash take the per-element F.lit path (rendering differs across
+    modes), and the values survive bit-exact either way."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
+        _array_literal,
+    )
+
+    vals = ["it's", "plain", "back\\slash", "two''quotes"]
+
+    def roundtrip():
+        return spark.range(1).select(
+            _array_literal(vals).alias("a")
+        ).collect()[0]["a"]
+
+    assert roundtrip() == vals
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert roundtrip() == vals
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")

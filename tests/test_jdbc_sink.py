@@ -615,3 +615,71 @@ def test_parallel_live_load_preserves_fk_closure(spark, tmp_path):
             "ON m.Id = c.MusteriId WHERE m.Id IS NULL",
         )
         assert orphans == [0]
+
+
+def test_erasure_requalify_preserves_string_literals():
+    """ADVICE r6: a root predicate whose string literal contains
+    '<table>.' (e.g. name LIKE 'C.%' on root table C) must keep its
+    literal bytes when embedded in a child's EXISTS — only column
+    references outside quotes are re-qualified."""
+    from synthetic_data_transfer_to_relational_database_spark.plans.erasure import (
+        erasure_delete_statements,
+    )
+
+    tables = {
+        "C": TableSpec(
+            name="C",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False),
+                ColumnSpec("Name", "string"),
+            ],
+            pk=["Id"],
+            fks=[],
+        ),
+        "O": TableSpec(
+            name="O",
+            columns=[
+                ColumnSpec("Id", "int", nullable=False),
+                ColumnSpec("Cid", "int", nullable=False),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["Cid"], "C", ["Id"])],
+        ),
+    }
+    stmts = erasure_delete_statements(
+        tables, "C", "C.Name LIKE 'C.%' AND C.Id > 0"
+    )
+    child = stmts[0]
+    assert "LIKE 'C.%'" in child, child          # literal untouched
+    assert re.search(r"e\d+\.Name LIKE", child)  # column ref requalified
+    assert re.search(r"e\d+\.Id > 0", child)
+
+
+def test_sql_states_walks_java_cause_chain():
+    """_sql_states: pulls SQLStates from the py4j java_exception cause
+    chain (bounded against self-referencing chains), empty for plain
+    Python errors — the probe only treats XJ004 as 'database absent'."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        _sql_states,
+    )
+
+    class JExc:
+        def __init__(self, state, cause=None):
+            self._state, self._cause = state, cause
+
+        def getSQLState(self):
+            return self._state
+
+        def getCause(self):
+            return self._cause
+
+    class PyExc(Exception):
+        def __init__(self, j):
+            self.java_exception = j
+
+    chain = JExc(None, JExc("XJ040", JExc("XJ004")))
+    assert _sql_states(PyExc(chain)) == {"XJ040", "XJ004"}
+    assert _sql_states(ValueError("boom")) == set()
+    loop = JExc("08001")
+    loop._cause = loop  # self-referencing cause must terminate
+    assert _sql_states(PyExc(loop)) == {"08001"}
