@@ -81,13 +81,22 @@ EXTRA_R6 = ["lineitem_pricing_summary", "orders_big_volume", "stream_tumbling"]
 # memory, dependents re-read from storage). Single pass per JVM — a
 # 10-table-per-second pipeline is not a microbenchmark, and its cost is
 # plan construction + 85 unique-plan compiles, which best-of-2 would
-# halve dishonestly. Excluded from every comparable total (no prior
-# numbers; comparable from r7 on).
+# halve dishonestly. Excluded from the QUERY totals permanently (two
+# orders of magnitude above query scale — folding it in would drown
+# them), but from r7 its own per-key series IS comparable
+# round-over-round: r6 recorded 38.062 s; method unchanged since.
 GEN_FULL_SCHEMA = "gen_full_schema"
-NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, GEN_FULL_SCHEMA}
+# New in r7: the same 85-table build with fk_skew=1.0 — every
+# with-replacement FK draw warped heavy-tailed (hot low parent ids), so
+# the bench clock covers the skew machinery commit 60cefcc built (the
+# r6 verdict: "nothing times it yet"). Same single-pass method and the
+# same exclusion rules as GEN_FULL_SCHEMA; its series starts r7.
+GEN_FULL_SCHEMA_SKEW = "gen_full_schema_skew"
+_GEN_KEYS = {GEN_FULL_SCHEMA, GEN_FULL_SCHEMA_SKEW}
+NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *_GEN_KEYS}
 # entries absent from the r4 record — ONE definition so a future
 # EXTRA_R7 extends a single set instead of three boolean chains
-R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, GEN_FULL_SCHEMA})
+R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *_GEN_KEYS})
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both
 # totals means a regression in the three most expensive plans is visible
@@ -147,12 +156,13 @@ def _gen_1m(spark):
 _REFERENCE_SCRIPT = "/root/reference/script.sql"
 
 
-def _gen_full_schema(spark) -> None:
+def _gen_full_schema(spark, fk_skew: float = 0.0) -> None:
     """The reference's complete 85-table ERP schema (script.sql), parsed
     and generated at 10k rows/table through the parquet write path —
     toposorted FK closure, subtype PK permutations, identity sequences,
     the lot. This is the end-to-end pipeline run_engine.py performs at 15
-    rows/table, at 667× its row count."""
+    rows/table, at 667× its row count. ``fk_skew=1.0`` warps every
+    with-replacement FK draw heavy-tailed (the skew series)."""
     import shutil
     import tempfile
 
@@ -162,7 +172,9 @@ def _gen_full_schema(spark) -> None:
     tables = parse_schema_script(_REFERENCE_SCRIPT)
     out = tempfile.mkdtemp(prefix="sdt_bench_fullgen_")
     try:
-        plan = GenerationPlan(spark, tables, seed=11, default_rows=10_000)
+        plan = GenerationPlan(
+            spark, tables, seed=11, default_rows=10_000, fk_skew=fk_skew
+        )
         plan.materialize_dir = out
         # level-parallel build (16 threads): same-level tables share no
         # FK edge, output is test-locked byte-identical to the serial
@@ -211,12 +223,13 @@ def run_sample(sf_dir: str) -> dict:
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
 
     if os.path.exists(_REFERENCE_SCRIPT):
-        t0 = time.perf_counter()
-        _gen_full_schema(spark)
-        dt = round(time.perf_counter() - t0, 3)
-        timings[GEN_FULL_SCHEMA] = dt
-        first_pass[GEN_FULL_SCHEMA] = dt
-        spark.catalog.clearCache()
+        for key, skew in ((GEN_FULL_SCHEMA, 0.0), (GEN_FULL_SCHEMA_SKEW, 1.0)):
+            t0 = time.perf_counter()
+            _gen_full_schema(spark, fk_skew=skew)
+            dt = round(time.perf_counter() - t0, 3)
+            timings[key] = dt
+            first_pass[key] = dt
+            spark.catalog.clearCache()
 
     # Forced-scalable branch: threshold 0 routes window_rank through the
     # range-slice derivation (the dispatch cache keys on the threshold,
@@ -233,7 +246,7 @@ def run_sample(sf_dir: str) -> dict:
     return {
         "queries": timings,
         "total": round(
-            sum(v for k, v in timings.items() if k != GEN_FULL_SCHEMA), 3
+            sum(v for k, v in timings.items() if k not in _GEN_KEYS), 3
         ),
         "total_r3_comparable": round(sum(timings[k] for k in comparable), 3),
         "total_r4_comparable": round(
@@ -286,12 +299,13 @@ def main() -> None:
         n: min(s["queries"][n] for s in samples if n in s["queries"]) for n in names
     }
     comparable = [n for n in names if n not in NONCOMPARABLE]
-    # headline value stays the QUERY total: gen_full_schema is a
-    # pipeline benchmark two orders of magnitude above the query scale,
-    # and folding it in would make the headline meaningless against
-    # every earlier round. It rides in "queries" on its own key.
+    # headline value stays the QUERY total: the gen_full_schema pair is
+    # a pipeline benchmark two orders of magnitude above the query
+    # scale, and folding it in would make the headline meaningless
+    # against every earlier round. Each rides in "queries" on its own
+    # key (plain comparable from r6, skew series from r7).
     total = round(
-        sum(v for n, v in queries.items() if n != GEN_FULL_SCHEMA), 3
+        sum(v for n, v in queries.items() if n not in _GEN_KEYS), 3
     )
 
     # The full per-JVM samples go to a repo file, NOT stdout: r4's merged

@@ -498,3 +498,76 @@ def test_array_literal_quotes_parse_in_both_parser_modes(spark):
         assert roundtrip() == vals
     finally:
         spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+def test_fk_skew_feeds_salted_join_end_to_end(spark):
+    """r6 verdict stretch item: the generator's fk_skew knob feeding the
+    skew machinery it was built to exercise. Generate a heavy-tailed
+    child table, join it back to its parent with skew.salted_join, and
+    assert (a) the salted join is row-identical to the plain join, and
+    (b) the hot parent's rows actually spread across multiple salt
+    values — the property that splits one overloaded reducer into
+    n_salts at cluster scale (AQE's skew split needs >256 MB partitions
+    to trigger; the salt is the deterministic, size-independent form)."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.skew import (
+        salted_join,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
+        GenerationPlan,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    tables = {
+        "P": TableSpec(
+            name="P",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("Unvan", "string", nullable=True, length=40),
+            ],
+            pk=["Id"],
+        ),
+        "C": TableSpec(
+            name="C",
+            columns=[
+                ColumnSpec("Id", "uuid", nullable=False, length=36),
+                ColumnSpec("Pid", "uuid", nullable=False, length=36),
+            ],
+            pk=["Id"],
+            fks=[FKSpec(["Pid"], "P", ["Id"])],
+        ),
+    }
+    wire_fk_rules(tables)
+    plan = GenerationPlan(
+        spark, tables, seed=9, row_counts={"P": 50, "C": 4000}, fk_skew=2.0
+    )
+    built = plan.run(materialize=True)
+    fact = built["C"].select(F.col("Pid"), F.col("Id").alias("child_id"))
+    dim = built["P"].select(F.col("Id").alias("Pid"), "Unvan")
+
+    salted = salted_join(fact, dim, "Pid", n_salts=8)
+    plain = fact.join(dim, "Pid")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # the generated tail is hot enough to need the salt, and the salt
+    # spreads that key: its fact rows land on >= 4 of the 8 salt values
+    hot = fact.groupBy("Pid").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > 200  # ~3x the uniform expectation of 80
+    n_salt_vals = (
+        fact.filter(F.col("Pid") == hot["Pid"])
+        .select(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in fact.columns], F.lit(42)),
+                F.lit(8),
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salt_vals >= 4, n_salt_vals
