@@ -585,15 +585,18 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue lost to small-quantity orders — lines
     whose quantity is under 20% of their part's average quantity. The
-    correlated scalar subquery of the classic form is decorrelated into
-    a per-part aggregate joined back on the part key; the threshold is
-    an exact-decimal-sum ÷ count division so both engines compare
-    against the identical double.
+    classic correlated scalar subquery (the oracle SQL keeps that
+    decorrelated-join spelling) is computed here as a per-part WINDOW
+    aggregate instead: same exact-decimal-sum ÷ count threshold, but ONE
+    scan of lineitem and ONE shuffle on l_partkey — the join form scans
+    the fact twice (once for the threshold aggregate, once for the
+    probe) and pays a sort-merge join on top
+    (tests/test_plans.py::test_small_qty_revenue_single_scan_no_join).
 
-    Scale notes: the brand filter reaches the part scan and cuts the
-    fact side before anything shuffles; the threshold aggregate and the
-    join-back both key on l_partkey — ONE shuffle partitioning serves
-    both (Spark reuses the exchange); the final sum is a scalar
+    Scale notes: l_partkey is a HIGH-cardinality window key (grows with
+    the corpus), so partitions stay bounded — the opposite of the
+    window_ntile 5-value case; the brand filter reaches the part scan
+    and AQE broadcasts the surviving slice; the final sum is a scalar
     partial-agg reduce."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -603,17 +606,14 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
         .select("p_partkey")
     )
-    bl = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    thr = bl.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (
-            F.lit(0.2)
-            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-        ).alias("qty_thr")
+    bl = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    thr = F.lit(0.2) * (
+        F.sum(_dec("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        bl.join(thr, F.col("l_partkey") == F.col("t_partkey"))
+        bl.withColumn("qty_thr", thr)
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(

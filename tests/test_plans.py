@@ -377,3 +377,57 @@ def test_edit_distance_verify_is_bucket_confined(spark):
     # equi-join keyed on the normalized prefix (AQE may broadcast the
     # small side at test SF, so assert the join KEY, not the exchange)
     assert "Left keys [1]: [nk#" in plan
+
+
+def test_nation_volume_broadcasts_nation_and_pushes_dates(spark):
+    """nation_volume_shipping (Q7 shape): nation broadcasts in BOTH
+    roles (two BroadcastExchanges feed the plan), the ship-date range is
+    a pushed parquet filter, and the aggregate is partial+final."""
+    plan = _plan(registry.all_queries()["nation_volume_shipping"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_market_share_single_aggregate_with_pushdown(spark):
+    """market_share (Q8 shape): numerator and denominator live in ONE
+    hash aggregate (no second pass over the joined fact), the order-date
+    range reaches the orders scan, and the region/type equality filters
+    reach their dim scans."""
+    plan = _plan(registry.all_queries()["market_share"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,AMERICA)" in plan
+    # one shuffle total (the o_year aggregate exchange) computes both
+    # CASE-gated sums — every other Exchange is a broadcast
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "hashpartitioning(o_year" in plan
+
+
+def test_customer_distribution_keeps_left_outer(spark):
+    """customer_distribution (Q13 shape): the priority predicate is
+    embedded in the join condition, so the join must STAY LeftOuter
+    (zero-order customers survive) while the predicate still pushes to
+    the orders scan."""
+    plan = _plan(registry.all_queries()["customer_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_small_qty_revenue_single_scan_no_join(spark):
+    """small_qty_revenue (Q17 shape): the per-part threshold is a window
+    aggregate, not a decorrelated self-join — exactly ONE lineitem scan,
+    no sort-merge join, and the window keys on the high-cardinality
+    l_partkey."""
+    import re
+
+    plan = _plan(registry.all_queries()["small_qty_revenue"](spark, SF_DIR))
+    # lineitem once + part once (formatted details list each node once)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(l_partkey" in plan
+    assert "Exchange SinglePartition" not in plan.split("HashAggregate")[0]
