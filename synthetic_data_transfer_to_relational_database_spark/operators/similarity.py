@@ -30,7 +30,6 @@ QUERIES, ORACLE, q = make_registry()
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _TOP_K = 5
-_N_PLANES = 8
 
 
 def _fold_sum(arr_expr: str) -> str:

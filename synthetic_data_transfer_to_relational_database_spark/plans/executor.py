@@ -90,13 +90,17 @@ def _array_literal(values: list) -> Column:
         if isinstance(v, datetime.date):
             return f"DATE '{v.isoformat()}'"
         if isinstance(v, str):
-            if "\\" in v:
-                # backslash rendering differs between the default parser
-                # and legacy spark.sql.parser.escapedStringLiterals=true
-                # — take the per-element F.lit path for those
+            if "\\" in v or "'" in v:
+                # NO quoting scheme parses identically in both the
+                # default parser and the legacy
+                # spark.sql.parser.escapedStringLiterals=true mode:
+                # backslash escapes are literal in legacy mode, and a
+                # doubled quote is NOT collapsed there either
+                # (engine-verified: "it''s" survives doubled). Strings
+                # containing either character take the F.lit path —
+                # slower, parser-independent.
                 return None
-            # doubled quote parses identically in BOTH parser modes
-            return "'" + v.replace("'", "''") + "'"
+            return "'" + v + "'"
         return None
 
     parts = []

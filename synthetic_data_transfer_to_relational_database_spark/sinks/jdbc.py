@@ -230,11 +230,16 @@ def ensure_database(
             _connect(jvm, probe).close()
             return False
         except Exception as exc:
-            # only SQLState XJ004 (database not found) means "absent".
-            # Anything else — bad driver/classpath, permissions, a
-            # corrupt-but-existing database (XJ040) — must surface, not
-            # be misread as absence and "created" over.
-            if "XJ004" not in _sql_states(exc):
+            # only "database not found" means "absent": embedded Derby
+            # raises SQLState XJ004; the network client surfaces the
+            # same condition as 08004 (connection authorization/database
+            # not found — and if 08004 were actually an auth failure,
+            # the create=true connect below fails loudly the same way,
+            # so nothing is masked). Anything else — bad driver/
+            # classpath, permissions, a corrupt-but-existing database
+            # (XJ040) — must surface, not be misread as absence and
+            # "created" over.
+            if not {"XJ004", "08004"} & _sql_states(exc):
                 raise
         creator = JdbcTarget(
             url=base + ";create=true", driver=target.driver,

@@ -104,15 +104,21 @@ def compact_index(spark: SparkSession, index_table: str) -> int:
     from ..operators.skew import checkpoint_pinned
 
     idx = read_bucketed(spark, index_table)
+    # cheap no-op detection FIRST (one aggregate scan, no checkpoint):
+    # the common case — a crash-free ingest with compact_every set — must
+    # not pay an O(index) checkpoint materialization every Nth batch just
+    # to discover there is nothing to remove
+    total = idx.count()
+    removed = total - idx.select("doc_id", "band").distinct().count()
+    if not removed:
+        return 0
     loc = _table_location(spark, index_table)
     compacted = checkpoint_pinned(
         idx.dropDuplicates(["doc_id", "band"]), eager=True
     )
-    removed = idx.count() - compacted.count()
-    if removed:
-        write_bucketed(
-            compacted, index_table, ["band", "band_sig"], _N_BUCKETS, path=loc
-        )
+    write_bucketed(
+        compacted, index_table, ["band", "band_sig"], _N_BUCKETS, path=loc
+    )
     return removed
 
 

@@ -476,26 +476,41 @@ def test_fk_skew_produces_heavy_tail_and_keeps_closure(spark):
 
 
 def test_array_literal_quotes_parse_in_both_parser_modes(spark):
-    """ADVICE r6: _array_literal renders quotes by DOUBLING (''), which
-    parses identically under the default parser AND the legacy
-    spark.sql.parser.escapedStringLiterals=true; strings containing a
-    backslash take the per-element F.lit path (rendering differs across
-    modes), and the values survive bit-exact either way."""
+    """ADVICE r6 (corrected by the r7 review): NO quoting scheme parses
+    identically under both the default parser and the legacy
+    spark.sql.parser.escapedStringLiterals=true (a doubled quote is not
+    collapsed in legacy mode — engine-verified), so any string
+    containing a quote OR backslash must route the array through the
+    F.lit fallback. Three arrays so each path is actually exercised:
+    plain strings take the fast expr path (asserted via the plan),
+    quote- and backslash-bearing arrays each take the fallback, and all
+    three round-trip bit-exact in BOTH parser modes."""
     from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
         _array_literal,
     )
 
-    vals = ["it's", "plain", "back\\slash", "two''quotes"]
+    plain = ["alpha", "beta gamma", "d-elta_9"]
+    quoted = ["it's", "two''quotes", "plain"]
+    slashed = ["back\\slash", "plain"]
 
-    def roundtrip():
+    # routing is asserted structurally so no case silently takes the
+    # other path (the vacuous-test trap the r7 review caught): the SQL-
+    # text expr renders elements as 'a','b' (no space), F.lit as 'a', 'b'
+    assert "','" in str(_array_literal(plain))
+    assert "','" not in str(_array_literal(quoted))
+    assert "','" not in str(_array_literal(slashed))
+
+    def roundtrip(vals):
         return spark.range(1).select(
             _array_literal(vals).alias("a")
         ).collect()[0]["a"]
 
-    assert roundtrip() == vals
+    for vals in (plain, quoted, slashed):
+        assert roundtrip(vals) == vals
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     try:
-        assert roundtrip() == vals
+        for vals in (plain, quoted, slashed):
+            assert roundtrip(vals) == vals
     finally:
         spark.conf.unset("spark.sql.parser.escapedStringLiterals")
 
