@@ -122,6 +122,83 @@ def compact_index(spark: SparkSession, index_table: str) -> int:
     return removed
 
 
+def forget_documents(
+    spark: SparkSession,
+    index_table: str,
+    out_path: str,
+    doc_ids,
+) -> dict:
+    """Right-to-be-forgotten / takedown over the ingested corpus: remove
+    ``doc_ids`` consistently from BOTH the corpus parquet and the LSH
+    index, so the documents are gone from every downstream read AND
+    future near-copies of them are accepted again (a forgotten document
+    must not keep rejecting its own resubmission through leftover
+    signatures — that would be remembering it).
+
+    ``doc_ids`` is an iterable of ids or a one-column DataFrame.
+
+    Scale shape: takedown lists are small (broadcast); only the batch
+    partitions that actually CONTAIN a target are rewritten — the
+    ``batch_id=N`` directory layout the ingest writes is the pruning
+    unit, every other batch's files are untouched bytes. The index
+    rewrite is one linear anti-join pass that also dedups replay twins
+    (a takedown doubles as a compaction — same recipe as
+    ``compact_index``). At 100 TB batch takedown requests and run this
+    periodically, not per-request; the batch ledger is NOT touched
+    (the batches stay committed — replays of them would re-dedup their
+    survivors and re-reject nothing that matters, since the forgotten
+    doc's signatures are gone from the index by then).
+
+    Returns {"docs_removed", "index_rows_removed", "batches_rewritten"}.
+    """
+    from ..operators.skew import checkpoint_pinned
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        )
+    ids = F.broadcast(doc_ids.select("doc_id").distinct())
+
+    data = spark.read.option("basePath", os.path.join(out_path, "data")).parquet(
+        os.path.join(out_path, "data")
+    )
+    hit_batches = [
+        r["batch_id"]
+        for r in data.join(ids, "doc_id", "left_semi")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ]
+    docs_removed = 0
+    for b in sorted(hit_batches):
+        path = os.path.join(out_path, "data", f"batch_id={b}")
+        batch = spark.read.parquet(path)
+        kept = checkpoint_pinned(batch.join(ids, "doc_id", "left_anti"), eager=True)
+        docs_removed += batch.count() - kept.count()
+        kept.write.mode("overwrite").parquet(path)
+
+    idx = read_bucketed(spark, index_table)
+    idx_total = idx.count()
+    scrubbed = checkpoint_pinned(
+        idx.join(ids, "doc_id", "left_anti").dropDuplicates(["doc_id", "band"]),
+        eager=True,
+    )
+    index_rows_removed = idx_total - scrubbed.count()
+    if index_rows_removed:
+        write_bucketed(
+            scrubbed,
+            index_table,
+            ["band", "band_sig"],
+            _N_BUCKETS,
+            path=_table_location(spark, index_table),
+        )
+    return {
+        "docs_removed": docs_removed,
+        "index_rows_removed": index_rows_removed,
+        "batches_rewritten": len(hit_batches),
+    }
+
+
 def write_stream_dedup_ingest(
     docs: DataFrame,
     index_table: str,

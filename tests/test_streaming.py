@@ -492,3 +492,72 @@ def test_compact_every_wires_into_ingest(spark, tmp_path):
     idx = spark.table(index_table)
     assert idx.count() == idx.select("doc_id", "band").distinct().count()
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_forget_documents_scrubs_corpus_and_index(spark, tmp_path):
+    """forget_documents (takedown / right-to-be-forgotten): the target
+    doc disappears from the corpus parquet AND the LSH index, only the
+    batch partitions containing it are rewritten, and — the defining
+    invariant — a resubmitted near-copy of the forgotten document is
+    ACCEPTED afterwards (leftover signatures must not keep rejecting
+    it; that would be remembering the forgotten text)."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        bootstrap_index,
+        forget_documents,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    secret = "the secret recipe tokens appear only in this takedown doc"
+    pd.DataFrame(
+        [mk(1, secret), mk(2, "completely different words about spark engines")]
+    ).to_parquet(src / "b1.parquet", index=False)
+    pd.DataFrame(
+        [mk(10, "fresh unique content nothing like anything previous")]
+    ).to_parquet(src / "b2.parquet", index=False)
+
+    index_table = "t_forget_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
+
+    out = str(tmp_path / "corpus")
+
+    def run():
+        write_stream_dedup_ingest(
+            stream_documents(spark, str(src)), index_table, out,
+            str(tmp_path / "ckpt"),
+        ).awaitTermination()
+
+    run()
+    assert {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()} == {1, 2, 10}
+    # a near-copy of doc 1 is rejected while doc 1 is remembered
+    pd.DataFrame([mk(20, secret)]).to_parquet(src / "b3.parquet", index=False)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()} == {1, 2, 10}
+
+    stats = forget_documents(spark, index_table, out, [1, 20])
+    assert stats["docs_removed"] == 1          # 20 never landed
+    assert stats["batches_rewritten"] == 1     # only doc 1's batch dir
+    assert stats["index_rows_removed"] > 0
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs == {2, 10}
+    assert spark.table(index_table).filter(F.col("doc_id") == 1).count() == 0
+    # other docs' signatures intact
+    assert spark.table(index_table).filter(F.col("doc_id") == 2).count() > 0
+
+    # the forgotten text, resubmitted with a new id, is now ACCEPTED
+    pd.DataFrame([mk(30, secret)]).to_parquet(src / "b4.parquet", index=False)
+    run()
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs == {2, 10, 30}, docs
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
