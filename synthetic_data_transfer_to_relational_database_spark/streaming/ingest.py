@@ -157,7 +157,9 @@ def forget_documents(
         doc_ids = spark.createDataFrame(
             [(int(i),) for i in doc_ids], "doc_id bigint"
         )
-    ids = F.broadcast(doc_ids.select("doc_id").distinct())
+    ids = F.broadcast(
+        doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).distinct()
+    )
 
     data = spark.read.option("basePath", os.path.join(out_path, "data")).parquet(
         os.path.join(out_path, "data")
@@ -196,6 +198,40 @@ def forget_documents(
         "docs_removed": docs_removed,
         "index_rows_removed": index_rows_removed,
         "batches_rewritten": len(hit_batches),
+    }
+
+
+def verify_index(spark: SparkSession, index_table: str, out_path: str) -> dict:
+    """Maintenance audit closing the ingest loop: the persisted LSH
+    index must equal ``build_lsh_index`` of the current corpus as a
+    (doc_id, band, band_sig) SET — same signatures, no stale rows for
+    forgotten docs, no missing rows for accepted ones. Twin rows from
+    un-compacted crash replays are tolerated (they are a space matter;
+    ``compact_index`` removes them) but any row signature-mismatched or
+    present on one side only is a real inconsistency: run after
+    ``forget_documents``/``compact_index`` in a maintenance window, and
+    rebuild with ``bootstrap_index`` when it reports drift.
+
+    Scale shape: one re-sign pass over the corpus (map-side, the same
+    cost as one ingest batch per unit of corpus) and one distinct
+    anti-join each way keyed by (doc_id, band) — linear, no quadratics.
+
+    Returns {"ok", "missing_from_index", "stale_in_index"}.
+    """
+    expected = build_lsh_index(
+        spark.read.parquet(os.path.join(out_path, "data")).drop("batch_id")
+    ).select("doc_id", "band", "band_sig")
+    actual = read_bucketed(spark, index_table).select("doc_id", "band", "band_sig")
+    missing = expected.join(
+        actual, ["doc_id", "band", "band_sig"], "left_anti"
+    ).count()
+    stale = actual.join(
+        expected, ["doc_id", "band", "band_sig"], "left_anti"
+    ).count()
+    return {
+        "ok": missing == 0 and stale == 0,
+        "missing_from_index": missing,
+        "stale_in_index": stale,
     }
 
 

@@ -561,3 +561,78 @@ def test_forget_documents_scrubs_corpus_and_index(spark, tmp_path):
     docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
     assert docs == {2, 10, 30}, docs
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_verify_index_detects_drift(spark, tmp_path):
+    """verify_index: green on a healthy ingest, green after a takedown
+    (forget_documents scrubs both sides), tolerant of crash-replay twin
+    rows, and red with the offending counts when the index holds stale
+    rows the corpus no longer backs."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.dedup import (
+        build_lsh_index,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        write_bucketed,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        _N_BUCKETS,
+        bootstrap_index,
+        forget_documents,
+        stream_documents,
+        verify_index,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    pd.DataFrame(
+        [
+            mk(1, "the quick brown fox jumps over the lazy dog once"),
+            mk(2, "completely different words about spark engines here"),
+        ]
+    ).to_parquet(src / "b1.parquet", index=False)
+
+    index_table = "t_verify_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
+    out = str(tmp_path / "corpus")
+    write_stream_dedup_ingest(
+        stream_documents(spark, str(src)), index_table, out,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+
+    assert verify_index(spark, index_table, out)["ok"]
+
+    # crash-replay twins are a space matter, not drift
+    corpus = spark.read.parquet(f"{out}/data").drop("batch_id")
+    write_bucketed(
+        build_lsh_index(corpus), index_table, ["band", "band_sig"],
+        _N_BUCKETS, mode="append",
+    )
+    assert verify_index(spark, index_table, out)["ok"]
+
+    # takedown keeps both sides consistent
+    forget_documents(spark, index_table, out, [1])
+    report = verify_index(spark, index_table, out)
+    assert report["ok"], report
+
+    # genuine drift: signatures for a doc the corpus never held
+    fake = build_lsh_index(
+        spark.createDataFrame([mk(99, "rows the corpus does not back")])
+    )
+    write_bucketed(
+        fake, index_table, ["band", "band_sig"], _N_BUCKETS, mode="append"
+    )
+    report = verify_index(spark, index_table, out)
+    assert not report["ok"]
+    assert report["stale_in_index"] > 0
+    assert report["missing_from_index"] == 0
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
