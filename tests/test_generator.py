@@ -586,3 +586,37 @@ def test_fk_skew_feeds_salted_join_end_to_end(spark):
         .count()
     )
     assert n_salt_vals >= 4, n_salt_vals
+
+
+def test_array_literal_fuzz_roundtrip_both_parser_modes(spark):
+    """Fuzz the literal renderer: ONE array of many adversarial strings
+    (quotes, doubled quotes, backslashes, unicode, whitespace, empty)
+    must round-trip bit-exact in the default AND the legacy
+    escapedStringLiterals parser mode. Seeded generation so the suite is
+    deterministic; one array per mode rather than a Spark collect per
+    fuzz example (that would be minutes)."""
+    import random
+
+    from synthetic_data_transfer_to_relational_database_spark.plans.executor import (
+        _array_literal,
+    )
+
+    rng = random.Random(7)
+    alphabet = "ab'\\\"%_ \tçİ;,()-"
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 9)))
+        for _ in range(40)
+    ]
+    vals += ["", "'", "''", "\\", "\\'", "'; DROP TABLE x; --", "a'b\\c"]
+
+    def roundtrip():
+        return spark.range(1).select(
+            _array_literal(vals).alias("a")
+        ).collect()[0]["a"]
+
+    assert roundtrip() == vals
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert roundtrip() == vals
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")

@@ -636,3 +636,67 @@ def test_verify_index_detects_drift(spark, tmp_path):
     assert report["stale_in_index"] > 0
     assert report["missing_from_index"] == 0
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_compact_index_under_reliable_checkpoint_dir(spark, tmp_path):
+    """compact_index's rewrite pins rows via checkpoint_pinned, which
+    switches to RELIABLE checkpoints when sc.setCheckpointDir is
+    configured (the cluster-scale setting — executor-resident blocks die
+    with an executor mid-rewrite). Same compaction result, files under
+    the configured dir."""
+    import os as _os
+
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.dedup import (
+        build_lsh_index,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        write_bucketed,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        _N_BUCKETS,
+        bootstrap_index,
+        compact_index,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        [
+            {"doc_id": 1, "text": "the quick brown fox leaps again",
+             "lang": "en", "source": "s", "n_chars": 31},
+            {"doc_id": 2, "text": "completely different spark words",
+             "lang": "en", "source": "s", "n_chars": 32},
+        ]
+    ).to_parquet(src / "b1.parquet", index=False)
+
+    index_table = "t_compact_reliable_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
+    out = str(tmp_path / "corpus")
+    write_stream_dedup_ingest(
+        stream_documents(spark, str(src)), index_table, out,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    clean = spark.table(index_table).count()
+    # replay twins
+    write_bucketed(
+        build_lsh_index(spark.read.parquet(f"{out}/data").drop("batch_id")),
+        index_table, ["band", "band_sig"], _N_BUCKETS, mode="append",
+    )
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        assert compact_index(spark, index_table) == clean
+        assert any(files for _, _, files in _os.walk(ckpt)), (
+            "compaction did not use the reliable checkpoint dir"
+        )
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert spark.table(index_table).count() == clean
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
