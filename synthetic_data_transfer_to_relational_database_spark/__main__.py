@@ -1,0 +1,236 @@
+"""Command-line entry points mirroring the reference's three scripts, so
+a reference user can switch workflows one-for-one:
+
+- ``deploy``   ≙ apply_mssql.py (read dump → GO batches → sanitize →
+  replay with per-batch error containment, optional check-then-create)
+- ``rules``    ≙ generate_config_v2.py (schema source → inferred
+  provider-rule config → data_rules.json) — with the difference the
+  reference never shipped: OUR generate command actually consumes the
+  file (SURVEY.md §0: data_rules.json is written but read by nothing).
+- ``generate`` ≙ fill_db.py / run_engine.py (dependency-ordered
+  referentially-consistent synthetic data), writing parquet or
+  bulk-loading a live database with identity read-back.
+
+Usage:
+
+    python -m synthetic_data_transfer_to_relational_database_spark deploy \
+        --script script.sql --url jdbc:derby:/tmp/erp;create=true --dialect derby
+    python -m synthetic_data_transfer_to_relational_database_spark rules \
+        --script script.sql --out data_rules.json
+    python -m synthetic_data_transfer_to_relational_database_spark generate \
+        --script script.sql --rules data_rules.json --rows 1000 --out /tmp/gen
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _schema(args):
+    """Load TableSpecs from whichever schema source was given (both
+    parsers wire FK rules)."""
+    if args.script:
+        from .sources.ddl import parse_schema_script
+
+        return parse_schema_script(args.script, encoding=args.encoding)
+    if args.jsonl:
+        from .sources.jsonl_schema import parse_jsonl_schema
+
+        return parse_jsonl_schema(args.jsonl)
+    raise SystemExit("one of --script/--jsonl is required")
+
+
+def _target(url: str, dialect: str, driver: str | None):
+    from .sinks.jdbc import JdbcTarget
+
+    return JdbcTarget(url=url, driver=driver, dialect=dialect)
+
+
+def _spark(app: str):
+    """(session, owned): stop only sessions this command created — a CLI
+    invoked in-process (tests, notebooks) must not kill the caller's."""
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    return get_spark(app), existing is None
+
+
+def _add_schema_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--script", help="T-SQL DDL dump (script.sql shape)")
+    p.add_argument("--jsonl", help="schema-description JSONL (S3 source)")
+    p.add_argument(
+        "--encoding", default="utf-16",
+        help="DDL dump encoding (default utf-16, the SSMS dump default; "
+        "falls back automatically on decode failure)",
+    )
+
+
+def cmd_deploy(args) -> int:
+    from .sinks.deploy import deploy_script
+
+    spark, owned = _spark("sdt-deploy")
+    try:
+        log = deploy_script(
+            spark,
+            _target(args.url, args.dialect, args.driver),
+            args.script,
+            encoding=args.encoding,
+            target_db=args.target_db,
+            source_db=args.source_db,
+            create_db=args.create_db,
+            admin_target=(
+                _target(args.admin_url, args.dialect, args.driver)
+                if args.admin_url
+                else None
+            ),
+        )
+    finally:
+        if owned:
+            spark.stop()
+    failed = [(stmt, err) for stmt, err in log if err]
+    print(f"deployed {len(log) - len(failed)}/{len(log)} batches")
+    for stmt, err in failed:
+        print(f"FAILED: {stmt[:80]!r}: {err}", file=sys.stderr)
+    return 1 if failed and not args.continue_on_error else 0
+
+
+def cmd_rules(args) -> int:
+    from .plans.rules import dump_rules
+
+    tables = _schema(args)
+    config = dump_rules(tables)
+    with open(args.out, "w") as f:
+        json.dump(config, f, indent=2, ensure_ascii=False)
+    n_rules = sum(len(v) for v in config.values())
+    print(f"wrote {args.out}: {len(config)} tables, {n_rules} column rules")
+    return 0
+
+
+def _row_counts(args, tables) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for part in args.row_counts.split(",") if args.row_counts else []:
+        name, _, n = part.partition("=")
+        if name not in tables:
+            raise SystemExit(f"--row-counts: unknown table {name!r}")
+        counts[name] = int(n)
+    return counts
+
+
+def cmd_generate(args) -> int:
+    from .plans.executor import GenerationPlan
+
+    tables = _schema(args)
+    if args.rules:
+        from .plans.rules import load_rules
+
+        with open(args.rules) as f:
+            load_rules(tables, json.load(f))
+    spark, owned = _spark("sdt-generate")
+    try:
+        plan = GenerationPlan(
+            spark,
+            tables,
+            seed=args.seed,
+            default_rows=args.rows,
+            row_counts=_row_counts(args, tables),
+            fk_skew=args.fk_skew,
+        )
+        if args.load_url:
+            from .sinks.jdbc import load_plan_to_live_db
+
+            order = load_plan_to_live_db(
+                plan,
+                _target(args.load_url, args.dialect, args.driver),
+                batchsize=args.batchsize,
+                num_partitions=args.num_partitions,
+                parallelism=args.parallelism,
+            )
+            print(f"loaded {len(order)} tables: {', '.join(order)}")
+        else:
+            plan.materialize_dir = args.out
+            built = plan.run(materialize="write", parallelism=args.parallelism)
+            print(f"wrote {len(built)} tables under {args.out}")
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m synthetic_data_transfer_to_relational_database_spark",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("deploy", help="replay a DDL dump into a database")
+    p.add_argument("--script", required=True)
+    p.add_argument(
+        "--encoding", default="utf-16",
+        help="DDL dump encoding (default utf-16)",
+    )
+    p.add_argument("--url", required=True, help="JDBC url")
+    p.add_argument("--driver", help="JDBC driver class")
+    p.add_argument(
+        "--dialect", default="generic", choices=["derby", "mssql", "generic"]
+    )
+    p.add_argument("--target-db", help="rewrite identifiers to this database")
+    p.add_argument("--source-db", help="database name to rewrite FROM")
+    p.add_argument(
+        "--create-db", action="store_true",
+        help="check-then-create the database first (K2)",
+    )
+    p.add_argument(
+        "--admin-url",
+        help="admin connection for --create-db (mssql master; defaults to --url)",
+    )
+    p.add_argument(
+        "--continue-on-error", action="store_true",
+        help="exit 0 even when batches failed (they are always contained)",
+    )
+    p.set_defaults(fn=cmd_deploy)
+
+    p = sub.add_parser(
+        "rules", help="infer a provider-rule config from a schema source"
+    )
+    _add_schema_args(p)
+    p.add_argument("--out", default="data_rules.json")
+    p.set_defaults(fn=cmd_rules)
+
+    p = sub.add_parser(
+        "generate",
+        help="generate referentially-consistent data to parquet or a live DB",
+    )
+    _add_schema_args(p)
+    p.add_argument("--rules", help="data_rules.json to apply (rules command)")
+    p.add_argument("--rows", type=int, default=1000, help="default rows/table")
+    p.add_argument(
+        "--row-counts", help="per-table overrides, e.g. Musteri=100,Hareket=5000"
+    )
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--fk-skew", type=float, default=0.0,
+        help="heavy-tailed FK sampling exponent (0 = uniform, reference semantics)",
+    )
+    p.add_argument("--parallelism", type=int, help="concurrent tables per FK level")
+    p.add_argument("--out", default="spark-warehouse/_generated", help="parquet dir")
+    p.add_argument("--load-url", help="bulk-load a live DB instead of parquet")
+    p.add_argument("--driver", help="JDBC driver class for --load-url")
+    p.add_argument(
+        "--dialect", default="generic", choices=["derby", "mssql", "generic"]
+    )
+    p.add_argument("--batchsize", type=int, default=1000)
+    p.add_argument("--num-partitions", type=int)
+    p.set_defaults(fn=cmd_generate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

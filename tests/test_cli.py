@@ -1,0 +1,153 @@
+"""CLI parity tests: python -m synthetic_data_transfer_to_relational_database_spark
+mirrors the reference's three scripts (deploy ≙ apply_mssql.py,
+rules ≙ generate_config_v2.py, generate ≙ fill_db.py/run_engine.py), so a
+reference user switches workflows one-for-one. Invoked in-process via
+main(argv) — the CLI must not stop a SparkSession it did not create."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from synthetic_data_transfer_to_relational_database_spark.__main__ import main
+
+REFERENCE_SCRIPT = "/root/reference/script.sql"
+
+MINI_SPEC = """CREATE TABLE [dbo].[Musteri](
+\t[Id] [uniqueidentifier] NOT NULL,
+\t[Unvan] [nvarchar](100) NOT NULL,
+ CONSTRAINT [PK_Musteri] PRIMARY KEY CLUSTERED ([Id] ASC)
+)
+GO
+CREATE TABLE [dbo].[Siparis](
+\t[Id] [uniqueidentifier] NOT NULL,
+\t[MusteriId] [uniqueidentifier] NOT NULL,
+\t[Tutar] [numeric](18, 2) NULL,
+ CONSTRAINT [PK_Siparis] PRIMARY KEY CLUSTERED ([Id] ASC)
+)
+GO
+ALTER TABLE [dbo].[Siparis] WITH CHECK ADD CONSTRAINT [FK_Siparis_Musteri] FOREIGN KEY([MusteriId]) REFERENCES [dbo].[Musteri] ([Id])
+GO
+"""
+
+
+def test_cli_rules_writes_consumable_config(tmp_path):
+    spec = tmp_path / "spec.sql"
+    spec.write_text(MINI_SPEC, encoding="utf-16")
+    out = tmp_path / "data_rules.json"
+    assert main(["rules", "--script", str(spec), "--out", str(out)]) == 0
+    cfg = json.loads(out.read_text())
+    assert set(cfg) == {"Musteri", "Siparis"}
+    # FK binding wins over provider rules (generate_config_v2.py:81-93)
+    assert cfg["Siparis"]["MusteriId"].startswith("foreign_key:Musteri")
+    assert cfg["Musteri"]["Id"]  # every column got a rule
+
+
+def test_cli_generate_parquet_with_rules_and_row_counts(spark, tmp_path):
+    spec = tmp_path / "spec.sql"
+    spec.write_text(MINI_SPEC, encoding="utf-16")
+    rules = tmp_path / "data_rules.json"
+    assert main(["rules", "--script", str(spec), "--out", str(rules)]) == 0
+    out = tmp_path / "gen"
+    assert (
+        main(
+            [
+                "generate", "--script", str(spec), "--rules", str(rules),
+                "--rows", "30", "--row-counts", "Musteri=10",
+                "--seed", "5", "--out", str(out),
+            ]
+        )
+        == 0
+    )
+    assert sorted(os.path.basename(p) for p in glob.glob(f"{out}/*")) == [
+        "Musteri", "Siparis",
+    ]
+    m = spark.read.parquet(f"{out}/Musteri")
+    s = spark.read.parquet(f"{out}/Siparis")
+    assert m.count() == 10 and s.count() == 30
+    parents = {r[0] for r in m.select("Id").collect()}
+    for (v,) in s.select("MusteriId").collect():
+        assert v in parents  # FK closure through the CLI path
+    # the in-process invocation did NOT stop the caller's session
+    assert spark.range(1).count() == 1
+
+
+def test_cli_deploy_then_generate_into_live_db(spark, tmp_path):
+    """The reference's full workflow through the CLI: deploy a dump into
+    a fresh database (create-db bracket), then generate + bulk-load
+    referentially-consistent rows into it."""
+    from synthetic_data_transfer_to_relational_database_spark.sinks.jdbc import (
+        JdbcTarget,
+        query_values,
+    )
+
+    dump = tmp_path / "dump.sql"
+    dump.write_text(
+        "CREATE TABLE Musteri (Id VARCHAR(36) NOT NULL PRIMARY KEY,"
+        " Unvan VARCHAR(100) NOT NULL)\nGO\n"
+        "CREATE TABLE Siparis (Id VARCHAR(36) NOT NULL PRIMARY KEY,"
+        " MusteriId VARCHAR(36) NOT NULL REFERENCES Musteri(Id),"
+        " Tutar DECIMAL(18,2))\nGO\n",
+        encoding="utf-16",
+    )
+    db = tmp_path / "clidb"
+    url = f"jdbc:derby:{db}"
+    assert (
+        main(
+            [
+                "deploy", "--script", str(dump), "--url", url,
+                "--dialect", "derby", "--create-db",
+            ]
+        )
+        == 0
+    )
+
+    spec = tmp_path / "spec.sql"
+    spec.write_text(MINI_SPEC, encoding="utf-16")
+    assert (
+        main(
+            [
+                "generate", "--script", str(spec), "--rows", "25",
+                "--row-counts", "Musteri=8", "--load-url", url,
+                "--dialect", "derby",
+            ]
+        )
+        == 0
+    )
+    target = JdbcTarget(url=url, dialect="derby")
+    assert query_values(spark, target, "SELECT COUNT(*) FROM Musteri") == [8]
+    assert query_values(spark, target, "SELECT COUNT(*) FROM Siparis") == [25]
+    # live FK constraint held throughout the load (child references real
+    # parent rows — the reference's ID-cache guarantee, run_engine.py:142)
+    assert query_values(
+        spark,
+        target,
+        "SELECT COUNT(*) FROM Siparis s WHERE NOT EXISTS "
+        "(SELECT 1 FROM Musteri m WHERE m.Id = s.MusteriId)",
+    ) == [0]
+
+
+def test_cli_deploy_reports_contained_failures(tmp_path):
+    dump = tmp_path / "dump.sql"
+    dump.write_text(
+        "CREATE TABLE OkT (N INT)\nGO\nCREATE GARBAGE SYNTAX\nGO\n",
+        encoding="utf-16",
+    )
+    db = tmp_path / "faildb"
+    args = ["deploy", "--script", str(dump), "--url", f"jdbc:derby:{db}",
+            "--dialect", "derby", "--create-db"]
+    assert main(args) == 1  # failed batch -> nonzero
+    assert main(args + ["--continue-on-error"]) in (0, 1)  # contained either way
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_SCRIPT), reason="reference checkout not present"
+)
+def test_cli_rules_on_full_reference_schema(tmp_path):
+    out = tmp_path / "data_rules.json"
+    assert main(["rules", "--script", REFERENCE_SCRIPT, "--out", str(out)]) == 0
+    cfg = json.loads(out.read_text())
+    assert len(cfg) == 85  # the reference's data_rules.json covers 85 tables
