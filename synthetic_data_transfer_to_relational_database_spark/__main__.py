@@ -14,7 +14,7 @@ a reference user can switch workflows one-for-one:
 Usage:
 
     python -m synthetic_data_transfer_to_relational_database_spark deploy \
-        --script script.sql --url jdbc:derby:/tmp/erp;create=true --dialect derby
+        --script script.sql --url "jdbc:derby:/tmp/erp" --dialect derby --create-db
     python -m synthetic_data_transfer_to_relational_database_spark rules \
         --script script.sql --out data_rules.json
     python -m synthetic_data_transfer_to_relational_database_spark generate \
@@ -50,13 +50,18 @@ def _target(url: str, dialect: str, driver: str | None):
 
 def _spark(app: str):
     """(session, owned): stop only sessions this command created — a CLI
-    invoked in-process (tests, notebooks) must not kill the caller's."""
-    from pyspark.sql import SparkSession
+    invoked in-process (tests, notebooks) must not kill the caller's.
+    Ownership is decided by the GLOBAL SparkContext, not
+    getActiveSession(): the active session is thread-local, so a call
+    from a worker thread of a session-owning host app would otherwise
+    look unowned, grab the existing session via getOrCreate, and stop
+    it."""
+    from pyspark import SparkContext
 
     from .session import get_spark
 
-    existing = SparkSession.getActiveSession()
-    return get_spark(app), existing is None
+    existing = SparkContext._active_spark_context is not None  # noqa: SLF001
+    return get_spark(app), not existing
 
 
 def _add_schema_args(p: argparse.ArgumentParser) -> None:
@@ -113,7 +118,11 @@ def cmd_rules(args) -> int:
 def _row_counts(args, tables) -> dict[str, int]:
     counts: dict[str, int] = {}
     for part in args.row_counts.split(",") if args.row_counts else []:
-        name, _, n = part.partition("=")
+        name, eq, n = part.partition("=")
+        if not eq or not n.isdigit():
+            raise SystemExit(
+                f"--row-counts: expected table=N, got {part!r}"
+            )
         if name not in tables:
             raise SystemExit(f"--row-counts: unknown table {name!r}")
         counts[name] = int(n)

@@ -104,12 +104,14 @@ def compact_index(spark: SparkSession, index_table: str) -> int:
     from ..operators.skew import checkpoint_pinned
 
     idx = read_bucketed(spark, index_table)
-    # cheap no-op detection FIRST (one aggregate scan, no checkpoint):
+    # cheap no-op detection FIRST (ONE aggregation job, no checkpoint):
     # the common case — a crash-free ingest with compact_every set — must
     # not pay an O(index) checkpoint materialization every Nth batch just
     # to discover there is nothing to remove
-    total = idx.count()
-    removed = total - idx.select("doc_id", "band").distinct().count()
+    total, distinct = idx.agg(
+        F.count(F.lit(1)), F.count_distinct("doc_id", "band")
+    ).first()
+    removed = total - distinct
     if not removed:
         return 0
     loc = _table_location(spark, index_table)
@@ -164,19 +166,24 @@ def forget_documents(
     data = spark.read.option("basePath", os.path.join(out_path, "data")).parquet(
         os.path.join(out_path, "data")
     )
-    hit_batches = [
-        r["batch_id"]
+    # one job finds the hit partitions AND the per-batch removal counts —
+    # the rewrite loop below must not rescan a partition just to count
+    hits = {
+        r["batch_id"]: r["count"]
         for r in data.join(ids, "doc_id", "left_semi")
-        .select("batch_id")
-        .distinct()
+        .groupBy("batch_id")
+        .count()
         .collect()
-    ]
-    docs_removed = 0
-    for b in sorted(hit_batches):
+    }
+    docs_removed = sum(hits.values())
+    for b in sorted(hits):
         path = os.path.join(out_path, "data", f"batch_id={b}")
         batch = spark.read.parquet(path)
         kept = checkpoint_pinned(batch.join(ids, "doc_id", "left_anti"), eager=True)
-        docs_removed += batch.count() - kept.count()
+        # a fully-emptied partition still writes a schema-bearing empty
+        # part file (Spark 4 FileFormatWriter), so later corpus reads
+        # keep working — locked by
+        # tests/test_streaming.py::test_forget_all_documents_keeps_corpus_readable
         kept.write.mode("overwrite").parquet(path)
 
     idx = read_bucketed(spark, index_table)
@@ -197,7 +204,7 @@ def forget_documents(
     return {
         "docs_removed": docs_removed,
         "index_rows_removed": index_rows_removed,
-        "batches_rewritten": len(hit_batches),
+        "batches_rewritten": len(hits),
     }
 
 

@@ -140,7 +140,19 @@ def test_cli_deploy_reports_contained_failures(tmp_path):
     args = ["deploy", "--script", str(dump), "--url", f"jdbc:derby:{db}",
             "--dialect", "derby", "--create-db"]
     assert main(args) == 1  # failed batch -> nonzero
-    assert main(args + ["--continue-on-error"]) in (0, 1)  # contained either way
+    # same failures, flag set -> exit 0 (containment is the contract)
+    assert main(args + ["--continue-on-error"]) == 0
+
+
+def test_cli_row_counts_rejects_malformed_input(tmp_path):
+    spec = tmp_path / "spec.sql"
+    spec.write_text(MINI_SPEC, encoding="utf-16")
+    for bad in ["Musteri", "Musteri=ten", "Musteri=5,"]:
+        with pytest.raises(SystemExit, match="row-counts"):
+            main(
+                ["generate", "--script", str(spec), "--row-counts", bad,
+                 "--out", str(tmp_path / "x")]
+            )
 
 
 @pytest.mark.skipif(

@@ -700,3 +700,52 @@ def test_compact_index_under_reliable_checkpoint_dir(spark, tmp_path):
         spark.sparkContext.setCheckpointDir(None)
     assert spark.table(index_table).count() == clean
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_forget_all_documents_keeps_corpus_readable(spark, tmp_path):
+    """Takedown of EVERY document must leave the corpus readable (Spark
+    writes a schema-bearing empty part file per emptied partition) —
+    subsequent reads, verify_index, and further forget calls see an
+    empty corpus, not an 'unable to infer schema' error."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        bootstrap_index,
+        forget_documents,
+        stream_documents,
+        verify_index,
+        write_stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        [
+            {"doc_id": 1, "text": "the quick brown fox leaps once more",
+             "lang": "en", "source": "s", "n_chars": 35},
+            {"doc_id": 2, "text": "completely different spark engine words",
+             "lang": "en", "source": "s", "n_chars": 39},
+        ]
+    ).to_parquet(src / "b1.parquet", index=False)
+
+    index_table = "t_forget_all_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    empty = spark.createDataFrame([], spark.read.parquet(str(src)).schema)
+    bootstrap_index(empty, index_table, str(tmp_path / "idx"))
+    out = str(tmp_path / "corpus")
+    write_stream_dedup_ingest(
+        stream_documents(spark, str(src)), index_table, out,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+
+    stats = forget_documents(spark, index_table, out, [1, 2])
+    assert stats["docs_removed"] == 2
+    assert spark.read.parquet(f"{out}/data").count() == 0
+    assert spark.table(index_table).count() == 0
+    report = verify_index(spark, index_table, out)
+    assert report["ok"], report
+    # a second takedown over the emptied corpus is a clean no-op
+    again = forget_documents(spark, index_table, out, [1])
+    assert again == {"docs_removed": 0, "index_rows_removed": 0,
+                     "batches_rewritten": 0}
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
