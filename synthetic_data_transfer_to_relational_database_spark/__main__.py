@@ -169,6 +169,88 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    from . import registry
+
+    queries = registry.all_queries()
+    if args.list:
+        for name in queries:
+            print(name)
+        return 0
+    if not args.name:
+        raise SystemExit("--name is required (or --list)")
+    if args.name not in queries:
+        raise SystemExit(f"unknown query {args.name!r} (see --list)")
+    spark, owned = _spark("sdt-query")
+    try:
+        df = queries[args.name](spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .streaming.ingest import (
+        bootstrap_index,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    spark, owned = _spark("sdt-ingest")
+    try:
+        if not spark.catalog.tableExists(args.index_table):
+            empty = spark.createDataFrame(
+                [], spark.read.parquet(args.src).schema
+            )
+            bootstrap_index(empty, args.index_table, args.index_path)
+        write_stream_dedup_ingest(
+            stream_documents(spark, args.src),
+            args.index_table,
+            args.out,
+            args.checkpoint,
+            threshold=args.threshold,
+            compact_every=args.compact_every,
+        ).awaitTermination()
+        n = spark.read.parquet(f"{args.out}/data").count()
+        print(f"corpus now holds {n} documents")
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
+def cmd_maintain(args) -> int:
+    from .streaming.ingest import compact_index, forget_documents, verify_index
+
+    spark, owned = _spark("sdt-maintain")
+    try:
+        if args.action == "compact":
+            removed = compact_index(spark, args.index_table)
+            print(f"removed {removed} duplicate index rows")
+        elif args.action == "forget":
+            if not args.ids:
+                raise SystemExit("forget requires --ids")
+            stats = forget_documents(
+                spark, args.index_table, args.out,
+                [int(i) for i in args.ids.split(",")],
+            )
+            print(json.dumps(stats))
+        else:  # verify
+            report = verify_index(spark, args.index_table, args.out)
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="python -m synthetic_data_transfer_to_relational_database_spark",
@@ -236,6 +318,39 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batchsize", type=int, default=1000)
     p.add_argument("--num-partitions", type=int)
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser(
+        "query", help="run a registered catalog query over a testdata dir"
+    )
+    p.add_argument("--name", help="query key (registry.all_queries())")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", help="write result parquet instead of printing")
+    p.add_argument("--limit", type=int, default=20, help="rows to print")
+    p.add_argument("--list", action="store_true", help="list query names")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser(
+        "ingest",
+        help="stream a documents directory through incremental near-dup "
+        "rejection into a corpus + LSH index",
+    )
+    p.add_argument("--src", required=True, help="directory of documents parquet")
+    p.add_argument("--out", required=True, help="corpus output path")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--index-table", default="corpus_lsh_index")
+    p.add_argument("--index-path", default="spark-warehouse/_corpus_index")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--compact-every", type=int)
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser(
+        "maintain", help="corpus/index maintenance: compact | forget | verify"
+    )
+    p.add_argument("action", choices=["compact", "forget", "verify"])
+    p.add_argument("--index-table", default="corpus_lsh_index")
+    p.add_argument("--out", required=True, help="corpus path (ingest --out)")
+    p.add_argument("--ids", help="comma-separated doc_ids for forget")
+    p.set_defaults(fn=cmd_maintain)
 
     args = parser.parse_args(argv)
     return args.fn(args)

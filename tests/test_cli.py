@@ -163,3 +163,67 @@ def test_cli_rules_on_full_reference_schema(tmp_path):
     assert main(["rules", "--script", REFERENCE_SCRIPT, "--out", str(out)]) == 0
     cfg = json.loads(out.read_text())
     assert len(cfg) == 85  # the reference's data_rules.json covers 85 tables
+
+
+def test_cli_query_list_and_run(spark, tmp_path, capsys):
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.splitlines()
+    assert "revenue_by_nation" in names and len(names) >= 140
+    out = tmp_path / "res"
+    assert (
+        main(
+            ["query", "--name", "revenue_by_nation",
+             "--sf-dir", "/root/testdata/sf0.001", "--out", str(out)]
+        )
+        == 0
+    )
+    res = spark.read.parquet(str(out))
+    assert res.count() > 0 and "revenue" in res.columns
+    with pytest.raises(SystemExit, match="unknown query"):
+        main(["query", "--name", "nope"])
+
+
+def test_cli_ingest_and_maintain_workflow(spark, tmp_path, capsys):
+    """The corpus pipeline end-to-end through the CLI: ingest a crawl
+    directory (near-dup rejected), verify the index, forget a document,
+    verify again."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    pd.DataFrame(
+        [
+            {"doc_id": 1, "text": base, "lang": "en", "source": "s",
+             "n_chars": len(base)},
+            {"doc_id": 2, "text": base + " twin", "lang": "en", "source": "s",
+             "n_chars": len(base) + 5},
+            {"doc_id": 3, "text": "completely different words about engines",
+             "lang": "en", "source": "s", "n_chars": 40},
+        ]
+    ).to_parquet(src / "crawl.parquet", index=False)
+
+    idx = "t_cli_ingest_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    out = str(tmp_path / "corpus")
+    assert (
+        main(
+            ["ingest", "--src", str(src), "--out", out,
+             "--checkpoint", str(tmp_path / "ckpt"),
+             "--index-table", idx, "--index-path", str(tmp_path / "idx"),
+             "--compact-every", "1"]
+        )
+        == 0
+    )
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs == {1, 3}, docs  # 2 is a near-dup of 1 (cluster rule)
+
+    assert main(["maintain", "verify", "--index-table", idx, "--out", out]) == 0
+    assert main(
+        ["maintain", "forget", "--index-table", idx, "--out", out, "--ids", "1"]
+    ) == 0
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs == {3}
+    assert main(["maintain", "verify", "--index-table", idx, "--out", out]) == 0
+    assert main(["maintain", "compact", "--index-table", idx, "--out", out]) == 0
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
