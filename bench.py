@@ -92,11 +92,20 @@ GEN_FULL_SCHEMA = "gen_full_schema"
 # r6 verdict: "nothing times it yet"). Same single-pass method and the
 # same exclusion rules as GEN_FULL_SCHEMA; its series starts r7.
 GEN_FULL_SCHEMA_SKEW = "gen_full_schema_skew"
-_GEN_KEYS = {GEN_FULL_SCHEMA, GEN_FULL_SCHEMA_SKEW}
-NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *_GEN_KEYS}
+# New in r7: the streaming corpus-ingest pipeline's first tracked
+# number — the sf documents table split into 4 crawl files, drained as
+# 4 micro-batches through write_stream_dedup_ingest (sign once,
+# in-batch cluster dedup, cross-corpus index join, bucketed index
+# append, ledger commit). Single pass (a stateful pipeline, not a
+# microbenchmark); file split + index bootstrap happen OUTSIDE the
+# timed region. Excluded from every comparable total; series starts r7.
+INGEST_CORPUS = "ingest_corpus_4batches"
+_PIPELINE_KEYS = {GEN_FULL_SCHEMA, GEN_FULL_SCHEMA_SKEW, INGEST_CORPUS}
+_GEN_KEYS = _PIPELINE_KEYS  # historical alias used by the totals below
+NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *_PIPELINE_KEYS}
 # entries absent from the r4 record — ONE definition so a future
 # EXTRA_R7 extends a single set instead of three boolean chains
-R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *_GEN_KEYS})
+R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *_PIPELINE_KEYS})
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both
 # totals means a regression in the three most expensive plans is visible
@@ -187,6 +196,54 @@ def _gen_full_schema(spark, fk_skew: float = 0.0) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _ingest_corpus(spark, sf_dir: str) -> float:
+    """4 crawl files through the incremental near-dup ingest; returns the
+    drain wall time — the split/bootstrap setup runs before the clock
+    starts."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        bootstrap_index,
+        stream_documents,
+        write_stream_dedup_ingest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sdt_bench_ingest_")
+    table = "t_bench_ingest_idx"
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        split = os.path.join(tmp, "split")
+        docs.withColumn("__f", docs.doc_id % 4).repartition(4, "__f").write.partitionBy(
+            "__f"
+        ).mode("overwrite").parquet(split)
+        for i, d in enumerate(sorted(_glob.glob(os.path.join(split, "__f=*")))):
+            stage = os.path.join(tmp, f"stage{i}")
+            spark.read.parquet(d).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(
+                _glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                os.path.join(src, f"crawl{i}.parquet"),
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        empty = spark.createDataFrame([], spark.read.parquet(src).schema)
+        bootstrap_index(empty, table, os.path.join(tmp, "idx"))
+
+        t0 = time.perf_counter()
+        write_stream_dedup_ingest(
+            stream_documents(spark, src),
+            table,
+            os.path.join(tmp, "corpus"),
+            os.path.join(tmp, "ckpt"),
+        ).awaitTermination()
+        return time.perf_counter() - t0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_sample(sf_dir: str) -> dict:
     """One JVM sample: best-of-2 per headline query."""
     from synthetic_data_transfer_to_relational_database_spark import registry
@@ -221,6 +278,11 @@ def run_sample(sf_dir: str) -> dict:
         fn = queries[name]
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
+
+    dt = round(_ingest_corpus(spark, sf_dir), 3)
+    timings[INGEST_CORPUS] = dt
+    first_pass[INGEST_CORPUS] = dt
+    spark.catalog.clearCache()
 
     if os.path.exists(_REFERENCE_SCRIPT):
         for key, skew in ((GEN_FULL_SCHEMA, 0.0), (GEN_FULL_SCHEMA_SKEW, 1.0)):
