@@ -205,7 +205,7 @@ def _ingest_corpus(spark, sf_dir: str) -> float:
     import tempfile
 
     from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
-        bootstrap_index,
+        ensure_index,
         stream_documents,
         write_stream_dedup_ingest,
     )
@@ -228,8 +228,7 @@ def _ingest_corpus(spark, sf_dir: str) -> float:
                 os.path.join(src, f"crawl{i}.parquet"),
             )
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        empty = spark.createDataFrame([], spark.read.parquet(src).schema)
-        bootstrap_index(empty, table, os.path.join(tmp, "idx"))
+        ensure_index(spark, table, os.path.join(tmp, "idx"), docs_src=src)
 
         t0 = time.perf_counter()
         write_stream_dedup_ingest(

@@ -197,18 +197,17 @@ def cmd_query(args) -> int:
 
 def cmd_ingest(args) -> int:
     from .streaming.ingest import (
-        bootstrap_index,
+        ensure_index,
         stream_documents,
         write_stream_dedup_ingest,
     )
 
     spark, owned = _spark("sdt-ingest")
     try:
-        if not spark.catalog.tableExists(args.index_table):
-            empty = spark.createDataFrame(
-                [], spark.read.parquet(args.src).schema
-            )
-            bootstrap_index(empty, args.index_table, args.index_path)
+        # register-or-bootstrap, never overwrite: a second CLI invocation
+        # is a NEW process whose in-memory catalog forgot the table, but
+        # the index files at --index-path are the accumulated crawl state
+        ensure_index(spark, args.index_table, args.index_path, docs_src=args.src)
         write_stream_dedup_ingest(
             stream_documents(spark, args.src),
             args.index_table,
@@ -225,23 +224,55 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def _parse_ids(raw: str) -> list[int]:
+    ids = []
+    for part in raw.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            ids.append(int(part))
+        except ValueError:
+            raise SystemExit(
+                f"--ids must be comma-separated integers, got {part!r}"
+            ) from None
+    if not ids:
+        raise SystemExit("--ids must name at least one doc_id")
+    return ids
+
+
 def cmd_maintain(args) -> int:
-    from .streaming.ingest import compact_index, forget_documents, verify_index
+    from .streaming.ingest import (
+        compact_index,
+        ensure_index,
+        forget_documents,
+        verify_index,
+    )
 
     spark, owned = _spark("sdt-maintain")
     try:
+        try:
+            # maintenance in a fresh process: re-register the index files
+            # into this session's in-memory catalog; a missing index is a
+            # loud error, never a silent fresh bootstrap
+            ensure_index(spark, args.index_table, args.index_path)
+        except ValueError as exc:
+            raise SystemExit(str(exc)) from None
         if args.action == "compact":
             removed = compact_index(spark, args.index_table)
             print(f"removed {removed} duplicate index rows")
         elif args.action == "forget":
+            if not args.out:
+                raise SystemExit("forget requires --out (the corpus path)")
             if not args.ids:
                 raise SystemExit("forget requires --ids")
             stats = forget_documents(
-                spark, args.index_table, args.out,
-                [int(i) for i in args.ids.split(",")],
+                spark, args.index_table, args.out, _parse_ids(args.ids)
             )
             print(json.dumps(stats))
         else:  # verify
+            if not args.out:
+                raise SystemExit("verify requires --out (the corpus path)")
             report = verify_index(spark, args.index_table, args.out)
             print(json.dumps(report))
             return 0 if report["ok"] else 1
@@ -348,7 +379,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("action", choices=["compact", "forget", "verify"])
     p.add_argument("--index-table", default="corpus_lsh_index")
-    p.add_argument("--out", required=True, help="corpus path (ingest --out)")
+    p.add_argument("--index-path", default="spark-warehouse/_corpus_index")
+    p.add_argument(
+        "--out",
+        help="corpus path (ingest --out); required for forget/verify, "
+        "unused by compact",
+    )
     p.add_argument("--ids", help="comma-separated doc_ids for forget")
     p.set_defaults(fn=cmd_maintain)
 

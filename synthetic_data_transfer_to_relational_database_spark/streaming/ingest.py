@@ -72,6 +72,73 @@ def bootstrap_index(docs: DataFrame, index_table: str, path: str) -> None:
     )
 
 
+def ensure_index(
+    spark: SparkSession,
+    index_table: str,
+    path: str,
+    docs_src: "str | DataFrame | None" = None,
+) -> str:
+    """Make ``index_table`` resolvable in THIS session's catalog without
+    destroying prior state. The index's bucket metadata lives in Spark's
+    catalog — in-memory and per-process here (no Hive metastore) — while
+    the index DATA outlives the process at ``path``. A fresh process
+    resuming a daily-crawl ingest must therefore re-REGISTER the
+    existing files, never re-bootstrap over them: bootstrapping
+    unconditionally would overwrite the index with an empty table and
+    every near-dup of the prior crawls would be silently re-accepted.
+
+    Resolution order:
+
+    1. already in the catalog → no-op (``"exists"``);
+    2. ``path`` holds previously-written index files → re-register the
+       external table over them with the same (band, band_sig) bucket
+       spec, so ingest joins stay shuffle-free (``"registered"``);
+    3. nothing anywhere → bootstrap a fresh index (``"bootstrapped"``);
+       ``docs_src`` seeds it — a documents DataFrame (possibly a real
+       seed corpus to sign), or a parquet directory whose schema makes
+       the empty frame, or None → ``ValueError`` (a maintenance command
+       pointed at a missing index must fail loudly, not invent one).
+
+    With a persistent metastore configured this degrades to the
+    ``"exists"`` fast path after the first call.
+    """
+    from pyspark.errors import AnalysisException
+
+    if spark.catalog.tableExists(index_table):
+        return "exists"
+    # normalize relative local paths: CREATE TABLE LOCATION and
+    # saveAsTable(option("path")) would otherwise anchor them differently
+    loc = path if "://" in path else os.path.abspath(path)
+    try:
+        existing = spark.read.parquet(loc)
+    except AnalysisException:  # path absent, or no schema-bearing files
+        existing = None
+    if existing is not None:
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in existing.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE `{index_table}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY (band, band_sig) INTO {_N_BUCKETS} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        return "registered"
+    if docs_src is None:
+        raise ValueError(
+            f"index table {index_table!r} is not in the catalog and {loc!r} "
+            "holds no index files — run ingest first (or pass docs_src to "
+            "bootstrap a fresh index)"
+        )
+    docs = (
+        docs_src
+        if isinstance(docs_src, DataFrame)
+        else spark.createDataFrame([], spark.read.parquet(docs_src).schema)
+    )
+    bootstrap_index(docs, index_table, loc)
+    return "bootstrapped"
+
+
 def _table_location(spark: SparkSession, table_name: str) -> str | None:
     """Storage location of a catalog table (None for managed tables whose
     location Spark should keep choosing itself)."""

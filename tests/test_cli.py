@@ -225,5 +225,37 @@ def test_cli_ingest_and_maintain_workflow(spark, tmp_path, capsys):
     docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
     assert docs == {3}
     assert main(["maintain", "verify", "--index-table", idx, "--out", out]) == 0
-    assert main(["maintain", "compact", "--index-table", idx, "--out", out]) == 0
+    # compact needs no corpus path — --out must not be demanded for it
+    assert main(
+        ["maintain", "compact", "--index-table", idx,
+         "--index-path", str(tmp_path / "idx")]
+    ) == 0
+
+    # day-2 crawl in a FRESH process (simulated by dropping the catalog
+    # entry — the external index files persist): ingest must re-register
+    # the index, not bootstrap over it, so day-1 near-dups still reject
+    spark.sql(f"DROP TABLE {idx}")
+    doc3 = "completely different words about engines"
+    pd.DataFrame(
+        [
+            {"doc_id": 10, "text": doc3 + " too", "lang": "en", "source": "s",
+             "n_chars": len(doc3) + 4},  # near-dup of surviving doc 3
+            {"doc_id": 11, "text": "brand new totally unrelated sentence content",
+             "lang": "en", "source": "s", "n_chars": 44},
+        ]
+    ).to_parquet(src / "crawl2.parquet", index=False)
+    assert (
+        main(
+            ["ingest", "--src", str(src), "--out", out,
+             "--checkpoint", str(tmp_path / "ckpt"),
+             "--index-table", idx, "--index-path", str(tmp_path / "idx")]
+        )
+        == 0
+    )
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs == {3, 11}, docs  # 10 rejected against the day-1 index
+
+    with pytest.raises(SystemExit, match="comma-separated integers"):
+        main(["maintain", "forget", "--index-table", idx, "--out", out,
+              "--ids", "17;93"])
     spark.sql(f"DROP TABLE IF EXISTS {idx}")

@@ -368,6 +368,59 @@ def test_stream_dedup_ingest_cluster_semantics_and_id_collapse(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
 
 
+def test_ensure_index_survives_process_restart(spark, tmp_path):
+    """ensure_index (streaming/ingest.py): the catalog here is in-memory
+    and per-process, so a fresh CLI invocation forgets the index TABLE
+    while its FILES persist. ensure_index must re-REGISTER those files —
+    the regression it guards: an unconditional bootstrap would overwrite
+    the index with an empty table and every near-dup of prior crawls
+    would be silently re-accepted — and the re-registered table must
+    keep the (band, band_sig) bucket spec that makes ingest joins
+    shuffle-free."""
+    import shutil
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        bootstrap_index,
+        ensure_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (2, "completely different words about spark engines", "en", "s", 46),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    table = "t_ensure_idx"
+    path = str(tmp_path / "idx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bootstrap_index(docs, table, path)
+    before = sorted(map(tuple, spark.table(table).collect()))
+    assert before  # a non-empty index is what the overwrite bug destroys
+
+    assert ensure_index(spark, table, path) == "exists"
+    spark.sql(f"DROP TABLE {table}")  # external table: files persist —
+    # exactly what a process restart does to the in-memory catalog
+    assert ensure_index(spark, table, path) == "registered"
+    assert sorted(map(tuple, spark.table(table).collect())) == before
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    assert desc.get("Num Buckets") == "4", desc
+    assert "band" in desc.get("Bucket Columns", ""), desc
+
+    # nothing in the catalog AND nothing on disk: maintenance must fail
+    # loudly, ingest (docs_src given) bootstraps fresh
+    spark.sql(f"DROP TABLE {table}")
+    shutil.rmtree(path)
+    with pytest.raises(ValueError, match="no index files"):
+        ensure_index(spark, table, path)
+    assert ensure_index(spark, table, path, docs_src=docs.limit(0)) == "bootstrapped"
+    assert spark.table(table).count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_compact_index_restores_no_crash_rowcount(spark, tmp_path):
     """compact_index (streaming/ingest.py): a crash between the survivor
     write and the ledger append replays the batch's index append, so the
