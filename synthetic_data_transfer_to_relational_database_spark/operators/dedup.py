@@ -415,6 +415,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .distinct()
     )
     e = checkpoint_pinned(e, eager=True)
+    if e.isEmpty():
+        # no edges ⇒ no non-trivial components (isolated nodes never
+        # appear; callers coalesce them to themselves). Skip the
+        # star-contraction round entirely — a round is ~6 shuffle jobs,
+        # and the CLEAN batch (zero near-dup pairs) is the common case
+        # in streaming ingest; isEmpty on the just-checkpointed set
+        # reads one partition.
+        return e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
 
     def large_star(e: DataFrame) -> DataFrame:
         # per node u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u

@@ -220,6 +220,20 @@ def test_connected_components_deep_chain(spark):
     assert 0 not in labels and 500 not in labels
 
 
+def test_connected_components_empty_and_selfloop_fast_path(spark):
+    """Zero real edges — empty input, or self-loops only (a batch whose
+    every candidate pair collapsed to the same doc) — must return an
+    empty (node, label) frame with the right schema and skip the
+    star-contraction rounds; the clean micro-batch is streaming
+    ingest's common case."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    res = dedup.connected_components(empty)
+    assert res.columns == ["node", "label"]
+    assert res.count() == 0
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
+    assert dedup.connected_components(loops).count() == 0
+
+
 def test_connected_components_refuses_partial_labels(spark):
     """ADVICE r2: hitting the round cap without a fixpoint must raise —
     partial labels are wrong labels, never returned silently."""
