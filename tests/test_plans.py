@@ -337,6 +337,13 @@ def test_late_priority_is_left_semi(spark):
     plan = _plan(registry.all_queries()["orders_late_priority"](spark, SF_DIR))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+    # the semi join must stay KEYED on orderkey with the 60-day lateness
+    # predicate as a residual — if the equi key ever degrades into the
+    # condition, the join becomes a broadcast nested loop (quadratic
+    # probe at scale, not a hash lookup)
+    assert "Left keys [1]: [o_orderkey" in plan
+    assert "Right keys [1]: [l_orderkey" in plan
+    assert "NestedLoop" not in plan
 
 
 def test_promo_share_broadcasts_part_dim(spark):
