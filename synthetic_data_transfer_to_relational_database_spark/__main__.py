@@ -243,6 +243,7 @@ def _parse_ids(raw: str) -> list[int]:
 
 def cmd_maintain(args) -> int:
     from .streaming.ingest import (
+        compact_corpus,
         compact_index,
         ensure_index,
         forget_documents,
@@ -251,6 +252,12 @@ def cmd_maintain(args) -> int:
 
     spark, owned = _spark("sdt-maintain")
     try:
+        if args.action == "compact-corpus":
+            # pure data-layout maintenance: no LSH index involved
+            if not args.out:
+                raise SystemExit("compact-corpus requires --out (the corpus path)")
+            print(json.dumps(compact_corpus(spark, args.out)))
+            return 0
         try:
             # maintenance in a fresh process: re-register the index files
             # into this session's in-memory catalog; a missing index is a
@@ -377,7 +384,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser(
         "maintain", help="corpus/index maintenance: compact | forget | verify"
     )
-    p.add_argument("action", choices=["compact", "forget", "verify"])
+    p.add_argument(
+        "action", choices=["compact", "compact-corpus", "forget", "verify"]
+    )
     p.add_argument("--index-table", default="corpus_lsh_index")
     p.add_argument("--index-path", default="spark-warehouse/_corpus_index")
     p.add_argument(

@@ -191,6 +191,98 @@ def compact_index(spark: SparkSession, index_table: str) -> int:
     return removed
 
 
+def compact_corpus(
+    spark: SparkSession,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    n_files: int | None = None,
+) -> dict:
+    """Small-files maintenance for the ingest corpus: every micro-batch
+    writes its own ``batch_id=N`` directory (the unit of idempotent
+    replay and takedown pruning), so a long-running daily crawl
+    accumulates one tiny parquet file per batch — the many-small-files
+    failure mode ``sinks/parquet_layout.py`` exists to prevent. This
+    merges every ledger-COMMITTED batch directory (plus any previous
+    base) into one ``batch_id=-1`` base partition with ~one file per
+    ``target_file_bytes`` of input, then removes the merged
+    directories. Streaming batch ids are nonnegative and increasing, so
+    the base id can never collide with a future batch.
+
+    Safety contract (run in a maintenance window, stream stopped, like
+    the other maintenance helpers):
+
+    - only committed batches merge — a crash-orphan directory (written,
+      never committed) will be OVERWRITTEN by its replay and must keep
+      its identity;
+    - the batch ledger is untouched, so replays of merged batches still
+      drain through ``drain_if_committed`` without touching data;
+    - rows dedupe by doc_id during the merge, making the operation
+      self-healing: a crash between the base write and the directory
+      removals leaves duplicate rows visible until ``compact_corpus``
+      runs again, at which point they collapse (doc_id uniqueness is
+      the invariant the dedup pipeline maintains);
+    - ``forget_documents`` keeps working afterwards: the base is just
+      another batch partition to it.
+
+    Returns {"batches_merged", "rows", "files_before", "files_after"}.
+    """
+    from ..operators.skew import checkpoint_pinned
+    from .batch_sink import committed_batch_ids
+
+    data = os.path.join(out_path, "data")
+    jvm = spark._sc._jvm  # noqa: SLF001 — Hadoop FS API lives JVM-side
+    hpath = jvm.org.apache.hadoop.fs.Path(data)
+    fs = hpath.getFileSystem(spark._sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    committed = committed_batch_ids(spark, out_path)
+    to_merge, total_bytes, files_before = [], 0, 0
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if b >= 0 and b not in committed:
+            continue  # crash orphan: its replay owns this directory
+        parts = [
+            f for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        to_merge.append(b)
+        total_bytes += sum(f.getLen() for f in parts)
+        files_before += len(parts)
+    if len(to_merge) < 2:
+        return {
+            "batches_merged": 0, "rows": 0,
+            "files_before": files_before, "files_after": files_before,
+        }
+    if n_files is None:
+        n_files = max(1, round(total_bytes / target_file_bytes))
+    merged = checkpoint_pinned(
+        spark.read.option("basePath", data)
+        .parquet(*[os.path.join(data, f"batch_id={b}") for b in to_merge])
+        .drop("batch_id")
+        .dropDuplicates(["doc_id"]),
+        eager=True,
+    )
+    rows = merged.count()
+    merged.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(data, "batch_id=-1")
+    )
+    for b in to_merge:
+        if b != -1:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                os.path.join(data, f"batch_id={b}")
+            ), True)
+    files_after = sum(
+        1 for f in fs.listStatus(jvm.org.apache.hadoop.fs.Path(
+            os.path.join(data, "batch_id=-1")
+        )) if f.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "batches_merged": len(to_merge), "rows": rows,
+        "files_before": files_before, "files_after": files_after,
+    }
+
+
 def forget_documents(
     spark: SparkSession,
     index_table: str,

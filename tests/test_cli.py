@@ -258,4 +258,10 @@ def test_cli_ingest_and_maintain_workflow(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="comma-separated integers"):
         main(["maintain", "forget", "--index-table", idx, "--out", out,
               "--ids", "17;93"])
+
+    # small-files maintenance: both crawls' batch dirs merge into the
+    # base partition, the corpus contents unchanged
+    assert main(["maintain", "compact-corpus", "--out", out]) == 0
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs == {3, 11}, docs
     spark.sql(f"DROP TABLE IF EXISTS {idx}")

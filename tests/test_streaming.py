@@ -421,6 +421,62 @@ def test_ensure_index_survives_process_restart(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_compact_corpus_merges_committed_batches(spark, tmp_path):
+    """compact_corpus (streaming/ingest.py): committed batch_id dirs
+    merge into one batch_id=-1 base (rows intact), a crash-orphan dir
+    (written, never committed — its replay owns it) is untouched, the
+    ledger keeps draining replays, and a crash between the base write
+    and the dir removals self-heals on re-run via doc_id dedup."""
+    import os
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.batch_sink import (
+        mark_batch_committed,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        compact_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    schema = "doc_id bigint, text string"
+
+    def write_batch(b, committed=True):
+        spark.createDataFrame(
+            [(b * 10 + i, f"doc {b} {i}") for i in range(3)], schema
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "data", f"batch_id={b}")
+        )
+        if committed:
+            mark_batch_committed(spark, out, b)
+
+    for b in range(3):
+        write_batch(b)
+    write_batch(3, committed=False)  # crash orphan
+
+    stats = compact_corpus(spark, out)
+    assert stats["batches_merged"] == 3 and stats["rows"] == 9
+    assert stats["files_after"] < stats["files_before"]
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert {r.batch_id for r in data.select("batch_id").distinct().collect()} == {-1, 3}
+    assert data.count() == 12  # 9 merged + 3 orphan, nothing lost
+
+    # only the base + the (still uncommitted) orphan remain -> no-op
+    assert compact_corpus(spark, out)["batches_merged"] == 0
+
+    # crash drill: deletion died after the base write — batch 2's rows
+    # exist in BOTH the base and a leftover dir; re-running collapses them
+    write_batch(2, committed=False)  # id 2 is already in the ledger
+    again = compact_corpus(spark, out)
+    assert again["batches_merged"] == 2  # base + resurrected dir
+    assert again["rows"] == 9
+    merged = spark.read.parquet(os.path.join(out, "data", "batch_id=-1"))
+    assert merged.count() == 9
+
+    # once the orphan's id commits (its replay finished), it merges too
+    mark_batch_committed(spark, out, 3)
+    final = compact_corpus(spark, out)
+    assert final["batches_merged"] == 2 and final["rows"] == 12
+
+
 def test_compact_index_restores_no_crash_rowcount(spark, tmp_path):
     """compact_index (streaming/ingest.py): a crash between the survivor
     write and the ledger append replays the batch's index append, so the
