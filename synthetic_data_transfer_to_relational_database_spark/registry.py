@@ -60,6 +60,13 @@ _MODULES = [
 #      text_fingerprint/tfidf, topk/window_lag). After this sweep no
 #      key's newest evidence is older than r5 and the r1..r7 union
 #      stays complete.
+# Not rotated in despite an r7 code touch: dedup_cluster/_semantic/
+# _embedding sit on connected_components, which gained an empty-edge
+# fast path late in r7. The change is output-identical (unit-locked,
+# incl. the new empty/self-loop test) and all three were re-verified
+# strict-green locally post-change (tools/driver_sim full-catalog run,
+# 126/126); evicting three r4-evidence keys for them would leave those
+# keys permanently stale instead.
 _SWEEP_FIRST = [
     # -- 1) new in r7 -------------------------------------------------
     "nation_volume_shipping",
