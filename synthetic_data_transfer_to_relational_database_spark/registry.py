@@ -40,87 +40,84 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-7 window:
-#   1) the four queries NEW this round — the remaining classic TPC-H
-#      shapes feasible on this schema: nation_volume_shipping (Q7),
-#      market_share (Q8), customer_distribution (Q13, the left-join
-#      zero-order histogram), small_qty_revenue (Q17, decorrelated
-#      per-part threshold) — operators/relational3.py.
-#   2) the three queries whose implementation (or code under it)
-#      CHANGED this round: window_ntile (now rides the scalable-rank
-#      dispatch — the r6 verdict's low-cardinality-window item),
-#      fk_sample_join and gen_synthetic_orders (the executor's
-#      _array_literal string rendering changed: quote doubling +
-#      backslash fallback). sim_search_lsh also changed (multi-table
-#      amplification, recall 0.04 -> 0.90) but is already in tier 3.
-#   3) the 43 keys whose newest driver evidence is r4 (the r6 verdict's
-#      rotation ask — core joins/aggs/sets, events windows/funnel,
-#      scan/filter/sort, the ANN serve family, multimodal bytes/
-#      features, corpus packing, stream_tumbling, revenue_by_nation,
-#      text_fingerprint/tfidf, topk/window_lag). After this sweep no
-#      key's newest evidence is older than r5 and the r1..r7 union
-#      stays complete.
-# Not rotated in despite an r7 code touch: dedup_cluster/_semantic/
-# _embedding sit on connected_components, which gained an empty-edge
-# fast path late in r7. The change is output-identical (unit-locked,
-# incl. the new empty/self-loop test) and all three were re-verified
-# strict-green locally post-change (tools/driver_sim full-catalog run,
-# 126/126); evicting three r4-evidence keys for them would leave those
-# keys permanently stale instead.
+# new/changed queries first, then oldest-evidence first. Round-9 window
+# (the r8 round shipped no rotation, so the r5-evidence basket is the
+# oldest live tier):
+#   1) the four queries NEW this round — the last classic TPC-H shapes
+#      feasible on this schema (no partsupp table, so Q2/Q9/Q11/Q16/Q20
+#      are permanently out of reach): returned_item_report (Q10),
+#      top_supplier_revenue (Q15, tie-safe max-over-aggregate),
+#      bracket_revenue (Q19, OR-of-ANDs pushdown), waiting_suppliers
+#      (Q21, LeftSemi + LeftAnti) — operators/relational3.py.
+#   2) the three queries whose shared substrate (connected_components'
+#      empty-edge fast path) changed in r7 but could not be rotated in
+#      that round because the window was full of r4-evidence keys:
+#      dedup_cluster, dedup_semantic, dedup_embedding.
+#   3) 43 of the 47 keys whose newest driver evidence is r5 — the agg
+#      scalars/sketches, basket_pairs, the corpus curation pack, the
+#      events analytics pack, join_asof, lineitem revenue/growth,
+#      multimodal dyn_batch/phash, orders cohort/rfm, pivot/unpivot,
+#      sampling, sim_knn_graph/pq/ivfpq, skew_profile, snapshot merge,
+#      stream interval-join, the text safety pack, window frames/ranks.
+# Spilled to the r10 window for lack of slots (3 of the 47 r5-evidence
+# keys — all rows-only-by-design entries whose driver check is the
+# weaker row-count form and whose semantics are pinned by local
+# Python-reference/invariant tests): graph_pagerank,
+# stream_jdbc_exactly_once, text_bpe_train. They are the
+# oldest-evidence priority for the next rotation.
 _SWEEP_FIRST = [
-    # -- 1) new in r7 -------------------------------------------------
-    "nation_volume_shipping",
-    "market_share",
-    "customer_distribution",
-    "small_qty_revenue",
-    # -- 2) changed in r7 ---------------------------------------------
-    "window_ntile",
-    "fk_sample_join",
-    "gen_synthetic_orders",
-    # -- 3) oldest evidence (r4), refresh -----------------------------
-    "agg_approx_distinct",
-    "agg_distinct",
-    "agg_hash",
-    "agg_rollup",
-    "corpus_pack_sequences",
-    "corpus_token_budget_scalable",
-    "dedup_exact",
-    "dedup_key_norm",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_funnel",
-    "events_session",
-    "events_sliding",
-    "events_tumbling",
-    "filter_pred",
-    "join_anti",
-    "join_broadcast",
-    "join_inner",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "multimodal_bytes",
-    "multimodal_features",
-    "rag_retrieve",
-    "revenue_by_nation",
-    "scalar_array",
-    "scalar_json",
-    "scan_project",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_centroid_pandas",
-    "sim_search",
-    "sim_search_ivf_lloyd",
-    "sim_search_lsh",
-    "sort_limit",
-    "stream_tumbling",
-    "text_fingerprint",
-    "text_tfidf_top",
-    "topk_per_group",
-    "vector_norms",
-    "window_lag",
+    # -- 1) new in r9 (TPC-H Q10/Q15/Q19/Q21 shapes) — these four slots
+    #    are filled by the registration commit later this round; the
+    #    rotation commit itself lists only already-registered keys so
+    #    all_queries() stays valid at every commit.
+    # -- 2) substrate changed in r7 (connected_components fast path) ---
+    "dedup_cluster",
+    "dedup_semantic",
+    "dedup_embedding",
+    # -- 3) oldest evidence (r5), refresh ------------------------------
+    "agg_approx_percentile",
+    "agg_mode",
+    "agg_sketch_union",
+    "basket_pairs",
+    "corpus_diff",
+    "corpus_dup_ngrams",
+    "corpus_length_histogram",
+    "corpus_quantile_filter",
+    "corpus_split",
+    "data_quality_profile",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_forecast_baseline",
+    "events_gap_islands",
+    "events_gapfill",
+    "events_retention_cohorts",
+    "events_rolling_active",
+    "events_rollup_hierarchy",
+    "events_user_paths",
+    "join_asof",
+    "lineitem_discount_revenue",
+    "lineitem_yoy_growth",
+    "multimodal_dyn_batch",
+    "multimodal_phash_dedup",
+    "orders_cohort_ltv",
+    "orders_rfm",
+    "pivot_wide",
+    "sample_hash",
+    "scalar_null",
+    "sim_knn_graph",
+    "sim_search_ivfpq",
+    "sim_search_pq",
+    "skew_profile",
+    "snapshot_merge_upsert",
+    "stream_interval_join",
+    "text_containment",
+    "text_contamination",
+    "text_doc_pairs_jaccard",
+    "text_pii_scan",
+    "unpivot_long",
+    "window_first_last",
+    "window_rank",
+    "window_ranks_pct",
 ]
 
 
