@@ -621,3 +621,294 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@q(
+    "returned_item_report",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the top-20 customers by revenue lost to returned
+    items in one quarter. Revenue is the exact decimal disc-price sum
+    per customer, cast to DOUBLE before the sort so both engines order
+    the same IEEE values; c_custkey is the total-order tiebreaker
+    (unique per group, so the LIMIT 20 cut is deterministic).
+
+    Scale notes: the returnflag and order-date predicates reach their
+    parquet scans as PushedFilters, so only the quarter's returned
+    lines shuffle; nation (25 rows) is the only plan-time broadcast
+    hint — customer grows with SF and is left to AQE; the top-20 is a
+    TakeOrderedAndProject over the aggregate output (per-partition
+    top-k then a 20-row driver merge), never a global sort."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 8, 2)))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@q(
+    "top_supplier_revenue",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum quarterly
+    revenue — the classic view + scalar-max-subquery form, spelled as a
+    per-supplier aggregate equi-filtered against its own max. TIE-SAFE
+    by construction: the max comparison happens on the EXACT decimal
+    sums (never on doubles, where two distinct exact values can round
+    to the same double and a third engine-dependent ordering decides),
+    so every tied supplier comes back, in both engines, identically.
+
+    Scale notes: one shuffle on l_suppkey for the revenue aggregate
+    (map-side partial sums); the scalar max is a 1-row aggregate
+    broadcast back onto the per-supplier rows (the whitelisted 1-row
+    crossJoin attach, not a second shuffle); supplier attaches to the
+    few surviving rows — AQE broadcasts it."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 8, 2))).alias(
+            "r"
+        )
+    )
+    mx = rev.agg(F.max("r").alias("max_r"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("max_r"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue")
+        )
+    )
+
+
+# Q19's brackets: (brand, size lo-hi, quantity lo-hi). Brands on this
+# dataset run Brand#1..Brand#25.
+_BRACKETS = [
+    ("Brand#12", 1, 15, 1.0, 11.0),
+    ("Brand#23", 1, 25, 10.0, 20.0),
+    ("Brand#5", 1, 35, 20.0, 30.0),
+]
+
+
+@q(
+    "bracket_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three brand/size/quantity brackets
+    — the OR-of-ANDs predicate-pushdown showcase. The oracle keeps the
+    classic single-WHERE spelling; here each side's projection of the
+    disjunction is applied BEFORE the join (for part: the brand∧size
+    disjuncts; for lineitem: the quantity-range disjuncts), so both
+    parquet scans carry an Or(...) in PushedFilters and only bracket-
+    candidate rows ever reach the join — the full cross-column bracket
+    predicate then re-checks on the joined rows. Semantically identical
+    (each per-side disjunction is implied by the full predicate), and
+    guaranteed-pruned rather than left to constraint inference
+    (tests/test_plans.py::test_bracket_revenue_or_pushdown).
+
+    Scale notes: part is filtered to the bracket brands before its
+    scan ends, so AQE broadcasts the surviving slice; lineitem sheds
+    every row outside the union of quantity ranges at the scan; the
+    final sum is a scalar partial-agg reduce — no wide shuffle at
+    all."""
+    part_side = None
+    li_side = None
+    full = None
+    for brand, slo, shi, qlo, qhi in _BRACKETS:
+        pp = (F.col("p_brand") == brand) & F.col("p_size").between(slo, shi)
+        lp = F.col("l_quantity").between(qlo, qhi)
+        part_side = pp if part_side is None else (part_side | pp)
+        li_side = lp if li_side is None else (li_side | lp)
+        full = (pp & lp) if full is None else (full | (pp & lp))
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(part_side)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(li_side)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 8, 2)))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "waiting_suppliers",
+    sql="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND r_name = 'EUROPE'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order — EXISTS plus NOT EXISTS, compiled to
+    one LeftSemi and one LeftAnti join, both EQUI-KEYED on l_orderkey
+    with the supplier-inequality as a residual (never a nested-loop
+    probe: tests/test_plans.py::test_waiting_suppliers_semi_anti).
+    Adaptation: this dataset has no l_receiptdate/l_commitdate, so
+    "late" is shipped more than 90 days after the order date — the
+    correlated-on-two-columns lateness predicate survives (the NOT
+    EXISTS needs the *order's* date, which rides the orderkey join).
+
+    Scale notes: the late-lines relation (F-status orders joined to
+    their >90-day lines) is built once and reused as both the probe
+    side and the anti side; region→nation→supplier is a broadcast dim
+    chain onto the 15-supplier slice; the semi/anti joins shuffle on
+    l_orderkey only; the final top-k is a TakeOrderedAndProject over at
+    most |supplier| grouped rows."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    l2 = li.select(
+        F.col("l_orderkey").alias("lo2"), F.col("l_suppkey").alias("ls2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("lo3"), F.col("l_suppkey").alias("ls3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("lo2"))
+            & (F.col("ls2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("lo3"))
+            & (F.col("ls3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -66,10 +66,11 @@ _MODULES = [
 # stream_jdbc_exactly_once, text_bpe_train. They are the
 # oldest-evidence priority for the next rotation.
 _SWEEP_FIRST = [
-    # -- 1) new in r9 (TPC-H Q10/Q15/Q19/Q21 shapes) — these four slots
-    #    are filled by the registration commit later this round; the
-    #    rotation commit itself lists only already-registered keys so
-    #    all_queries() stays valid at every commit.
+    # -- 1) new in r9 (TPC-H Q10/Q15/Q19/Q21 shapes) -------------------
+    "returned_item_report",
+    "top_supplier_revenue",
+    "bracket_revenue",
+    "waiting_suppliers",
     # -- 2) substrate changed in r7 (connected_components fast path) ---
     "dedup_cluster",
     "dedup_semantic",

@@ -438,3 +438,71 @@ def test_small_qty_revenue_single_scan_no_join(spark):
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition(l_partkey" in plan
     assert "Exchange SinglePartition" not in plan.split("HashAggregate")[0]
+
+
+def test_returned_item_top20_is_takeordered_with_pushdown(spark):
+    """returned_item_report (Q10 shape): the top-20 must compile to
+    TakeOrderedAndProject (per-partition top-k, 20-row driver merge) —
+    never a global Sort — and the returnflag/order-date predicates must
+    reach their parquet scans."""
+    plan = _plan(registry.all_queries()["returned_item_report"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_max_attach_is_hash_not_nested_loop(spark):
+    """top_supplier_revenue (Q15 shape): the scalar-max attach is a
+    crossJoin in the API, but the r = max_r equality must let Spark
+    compile it to a HASH join on the decimal key — a
+    BroadcastNestedLoopJoin here would re-filter every supplier row by
+    predicate instead of lookup (and the catalog-wide BNLJ sweep would
+    need a whitelist entry; it deliberately has none)."""
+    plan = _plan(registry.all_queries()["top_supplier_revenue"](spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # both branches push the quarter to the lineitem scan
+    assert plan.count("GreaterThanOrEqual(l_shipdate") >= 2
+    # exact-decimal tie comparison: the equality joins decimal sums,
+    # never doubles (cast to double happens in the output projection)
+    assert "Left keys [1]: [r#" in plan
+    assert "Right keys [1]: [max_r#" in plan
+
+
+def test_bracket_revenue_or_pushdown(spark):
+    """bracket_revenue (Q19 shape): each side's projection of the
+    OR-of-ANDs must reach its parquet scan as a PushedFilters Or — the
+    lineitem scan sheds rows outside the union of quantity ranges, the
+    part scan sheds non-bracket brands, BEFORE the join."""
+    plan = _plan(registry.all_queries()["bracket_revenue"](spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "Or(" in ln]
+    li_scan = [ln for ln in scans if "l_quantity" in ln]
+    p_scan = [ln for ln in scans if "p_brand" in ln]
+    assert li_scan, f"no Or(quantity...) pushed to lineitem scan:\n{plan}"
+    assert p_scan, f"no Or(brand...) pushed to part scan:\n{plan}"
+    assert "Or(And(GreaterThanOrEqual(l_quantity" in li_scan[0]
+    assert "EqualTo(p_brand,Brand#12)" in p_scan[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_semi_anti(spark):
+    """waiting_suppliers (Q21 shape): EXISTS compiles to ONE LeftSemi
+    and NOT EXISTS to ONE LeftAnti, both EQUI-KEYED on the orderkey with
+    the supplier-inequality as a residual condition — if the equi key
+    ever degrades into the condition, each probe becomes a nested-loop
+    scan of the order's lines (quadratic at scale)."""
+    plan = _plan(registry.all_queries()["waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # keyed semi/anti: orderkey on the left, the aliased probe keys right
+    assert "Right keys [1]: [lo2#" in plan
+    assert "Right keys [1]: [lo3#" in plan
+    # the F-status and region predicates prune at their scans
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+    # top-k over the grouped counts, not a global sort
+    assert "TakeOrderedAndProject" in plan
