@@ -196,10 +196,13 @@ def _gen_full_schema(spark, fk_skew: float = 0.0) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _ingest_corpus(spark, sf_dir: str) -> float:
-    """4 crawl files through the incremental near-dup ingest; returns the
-    drain wall time — the split/bootstrap setup runs before the clock
-    starts."""
+def _ingest_corpus(spark, sf_dir: str, n_batches: int = 4) -> float:
+    """``n_batches`` crawl files through the incremental near-dup ingest;
+    returns the drain wall time — the split/bootstrap setup runs before
+    the clock starts. The headline entry times the 4-batch split; the
+    per-batch cost-split experiment (tools/ingest_cost_split.py,
+    SCALE.md) re-times the SAME corpus at 8 batches to separate fixed
+    micro-batch overhead from per-row work."""
     import glob as _glob
     import shutil
     import tempfile
@@ -217,9 +220,9 @@ def _ingest_corpus(spark, sf_dir: str) -> float:
         os.makedirs(src)
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         split = os.path.join(tmp, "split")
-        docs.withColumn("__f", docs.doc_id % 4).repartition(4, "__f").write.partitionBy(
-            "__f"
-        ).mode("overwrite").parquet(split)
+        docs.withColumn("__f", docs.doc_id % n_batches).repartition(
+            n_batches, "__f"
+        ).write.partitionBy("__f").mode("overwrite").parquet(split)
         for i, d in enumerate(sorted(_glob.glob(os.path.join(split, "__f=*")))):
             stage = os.path.join(tmp, f"stage{i}")
             spark.read.parquet(d).coalesce(1).write.mode("overwrite").parquet(stage)
@@ -374,11 +377,19 @@ def main() -> None:
     # (BENCH_r04.json "parsed": null). The driver only needs the compact
     # merged line, emitted LAST and ALONE.
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_samples.json"),
-            "w",
-        ) as f:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo, "BENCH_samples.json"), "w") as f:
             json.dump({"sf": sf, "samples": samples}, f, indent=1)
+        # The in-place file holds only the LATEST run; past rounds' raw
+        # samples were only recoverable from git history, which made the
+        # A/A noise-band analysis (SCALE.md "Bench noise band") awkward
+        # to cite. Keep every run appended here too — one line per
+        # bench invocation, timestamped.
+        with open(os.path.join(repo, "BENCH_samples_history.jsonl"), "a") as f:
+            f.write(
+                json.dumps({"ts": int(time.time()), "sf": sf, "samples": samples})
+                + "\n"
+            )
     except OSError as e:  # bench must still report even on a read-only tree
         print(f"could not write BENCH_samples.json: {e}", file=sys.stderr)
 
