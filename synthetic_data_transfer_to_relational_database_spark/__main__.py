@@ -265,6 +265,27 @@ def cmd_maintain(args) -> int:
             ensure_index(spark, args.index_table, args.index_path)
         except ValueError as exc:
             raise SystemExit(str(exc)) from None
+        if args.action == "full":
+            # the composed day-2 pass: fold committed micro-batch
+            # directories into the base (small-files), drop duplicate
+            # index rows (crash replays), then verify — the verify runs
+            # LAST so its verdict covers the post-maintenance state.
+            if not args.out:
+                raise SystemExit("full requires --out (the corpus path)")
+            corpus_stats = compact_corpus(spark, args.out)
+            index_removed = compact_index(spark, args.index_table)
+            report = verify_index(spark, args.index_table, args.out)
+            print(
+                json.dumps(
+                    {
+                        "compact_corpus": corpus_stats,
+                        "compact_index_removed_rows": index_removed,
+                        "verify": report,
+                        "ok": report["ok"],
+                    }
+                )
+            )
+            return 0 if report["ok"] else 1
         if args.action == "compact":
             removed = compact_index(spark, args.index_table)
             print(f"removed {removed} duplicate index rows")
@@ -382,16 +403,17 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser(
-        "maintain", help="corpus/index maintenance: compact | forget | verify"
+        "maintain",
+        help="corpus/index maintenance: compact | forget | verify | full",
     )
     p.add_argument(
-        "action", choices=["compact", "compact-corpus", "forget", "verify"]
+        "action", choices=["compact", "compact-corpus", "forget", "verify", "full"]
     )
     p.add_argument("--index-table", default="corpus_lsh_index")
     p.add_argument("--index-path", default="spark-warehouse/_corpus_index")
     p.add_argument(
         "--out",
-        help="corpus path (ingest --out); required for forget/verify, "
+        help="corpus path (ingest --out); required for forget/verify/full, "
         "unused by compact",
     )
     p.add_argument("--ids", help="comma-separated doc_ids for forget")

@@ -265,3 +265,90 @@ def test_cli_ingest_and_maintain_workflow(spark, tmp_path, capsys):
     docs = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
     assert docs == {3, 11}, docs
     spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_cli_maintain_full_over_crashed_and_replayed_corpus(
+    spark, tmp_path, capsys
+):
+    """`maintain full` composes the whole day-2 pass — compact_corpus
+    (fold committed micro-batch dirs into the base), compact_index (drop
+    crash-replay twin signature rows), verify_index LAST — and emits one
+    JSON report. Drill: two CLI ingests build a multi-batch corpus, a
+    simulated crash-replay re-appends one batch's index rows, then one
+    `maintain full` restores the clean state with ok=true."""
+    import pandas as pd
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.dedup import (
+        build_lsh_index,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sinks.parquet_layout import (
+        write_bucketed,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        _N_BUCKETS,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    pd.DataFrame(
+        [
+            mk(1, "the quick brown fox jumps over the lazy dog once"),
+            mk(2, "completely different words about spark engines here"),
+        ]
+    ).to_parquet(src / "crawl1.parquet", index=False)
+    pd.DataFrame(
+        [mk(3, "a third unrelated document about parquet file layouts")]
+    ).to_parquet(src / "crawl2.parquet", index=False)
+
+    idx = "t_cli_maintain_full_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    out = str(tmp_path / "corpus")
+    assert main(
+        ["ingest", "--src", str(src), "--out", out,
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--index-table", idx, "--index-path", str(tmp_path / "idx")]
+    ) == 0
+    docs_before = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs_before == {1, 2, 3}
+    clean = spark.table(idx).count()
+
+    # crash between a batch's index append and its ledger commit, then
+    # replay: the batch's signatures land twice (exact twins)
+    replayed = build_lsh_index(spark.read.parquet(f"{out}/data"))
+    write_bucketed(
+        replayed, idx, ["band", "band_sig"], _N_BUCKETS, mode="append"
+    )
+    assert spark.table(idx).count() == 2 * clean
+
+    capsys.readouterr()
+    assert main(
+        ["maintain", "full", "--index-table", idx,
+         "--index-path", str(tmp_path / "idx"), "--out", out]
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] is True
+    assert report["verify"]["ok"] is True
+    assert report["compact_index_removed_rows"] == clean
+    assert report["compact_corpus"]["batches_merged"] >= 1
+
+    # the pass is maintenance only: corpus contents and clean-index
+    # invariant restored, nothing semantically changed
+    docs_after = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert docs_after == docs_before
+    assert spark.table(idx).count() == clean
+
+    # idempotent: a second full pass is a no-op that still verifies ok
+    capsys.readouterr()
+    assert main(
+        ["maintain", "full", "--index-table", idx,
+         "--index-path", str(tmp_path / "idx"), "--out", out]
+    ) == 0
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report2["ok"] is True
+    assert report2["compact_index_removed_rows"] == 0
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
