@@ -380,6 +380,9 @@ def main() -> None:
         repo = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(repo, "BENCH_samples.json"), "w") as f:
             json.dump({"sf": sf, "samples": samples}, f, indent=1)
+    except OSError as e:  # bench must still report even on a read-only tree
+        print(f"could not write BENCH_samples.json: {e}", file=sys.stderr)
+    try:
         # The in-place file holds only the LATEST run; past rounds' raw
         # samples were only recoverable from git history, which made the
         # A/A noise-band analysis (SCALE.md "Bench noise band") awkward
@@ -390,8 +393,8 @@ def main() -> None:
                 json.dumps({"ts": int(time.time()), "sf": sf, "samples": samples})
                 + "\n"
             )
-    except OSError as e:  # bench must still report even on a read-only tree
-        print(f"could not write BENCH_samples.json: {e}", file=sys.stderr)
+    except OSError as e:
+        print(f"could not write BENCH_samples_history.jsonl: {e}", file=sys.stderr)
 
     print(
         json.dumps(

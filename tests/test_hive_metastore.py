@@ -75,15 +75,13 @@ def test_ensure_index_exists_path_survives_process_restart(tmp_path):
     def run(phase: str) -> dict:
         import json
 
-        env = dict(os.environ)
-        # keep the phase JVMs off the repo's derby.log / metastore dirs
+        # cwd=tmp_path keeps the phase JVMs' derby.log out of the repo
         proc = subprocess.run(
             [sys.executable, "-c", script, str(tmp_path), phase],
             capture_output=True,
             text=True,
             timeout=300,
             cwd=str(tmp_path),
-            env=env,
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         line = next(

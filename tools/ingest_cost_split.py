@@ -42,9 +42,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     samples = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     spark = get_spark("sdt-ingest-cost-split")
-    # Warm-up: one throwaway tiny drain so JIT/codegen/stream machinery
-    # costs don't land in the first timed sample.
-    bench._ingest_corpus(spark, "/root/testdata/sf0.001", n_batches=2)
+    # Warm-up: one throwaway drain so JIT/codegen/stream machinery costs
+    # don't land in the first timed sample. Prefer the tiny sibling SF if
+    # the standard testdata layout is present; otherwise warm on the
+    # target corpus itself (slower warm-up, same measurement).
+    warm = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.exists(os.path.join(warm, "documents.parquet")):
+        warm = sf_dir
+    bench._ingest_corpus(spark, warm, n_batches=2)
     result: dict = {"sf_dir": sf_dir, "samples": samples, "runs": {}}
     best: dict[int, float] = {}
     for n in (4, 8):
