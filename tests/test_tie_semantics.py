@@ -78,7 +78,7 @@ def tie_dir_factory(tmp_path_factory):
 
 @given(
     base_lines=st.lists(_line, min_size=1, max_size=6),
-    extra=st.lists(st.tuples(st.lists(_line, min_size=0, max_size=4)), max_size=3),
+    extra_fracs=st.lists(st.floats(min_value=0.0, max_value=1.0), max_size=3),
 )
 @settings(
     max_examples=5,
@@ -86,13 +86,16 @@ def tie_dir_factory(tmp_path_factory):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_forced_tie_returns_all_tied_suppliers(
-    spark, tie_dir_factory, base_lines, extra
+    spark, tie_dir_factory, base_lines, extra_fracs
 ):
-    # suppliers 1 and 2 mirror each other's lines -> exact revenue tie;
-    # the rest draw arbitrary (possibly also-tying) line sets.
+    # suppliers 1 and 2 mirror each other's lines -> exact revenue tie
+    # AT the maximum: every other supplier draws a PREFIX of the base
+    # lines, so (line revenues being strictly positive) it earns
+    # strictly less — unless the prefix is the whole set, in which case
+    # it JOINS the tie and must come back too.
     lines_by_supp = {1: base_lines, 2: list(base_lines)}
-    for i, (lns,) in enumerate(extra):
-        lines_by_supp[3 + i] = lns
+    for i, frac in enumerate(extra_fracs):
+        lines_by_supp[3 + i] = base_lines[: round(frac * len(base_lines))]
     sf_dir = tie_dir_factory(lines_by_supp)
 
     expected_rev = {s: _revenue(l) for s, l in lines_by_supp.items() if l}
