@@ -74,6 +74,18 @@ EXTRA_R5 = ["sim_search_pq"]
 # complete-mode sink), so checkpoint + state-store costs are in the
 # timing, not just the logical agg.
 EXTRA_R6 = ["lineitem_pricing_summary", "orders_big_volume", "stream_tumbling"]
+# New in r9 (no prior numbers; comparable from r10): the four shapes
+# that completed the feasible classic suite — Q10 top-20 returned-item
+# revenue (3-way join + TakeOrderedAndProject), Q15 tie-safe
+# max-over-aggregate (double lineitem scan + decimal-key hash attach),
+# Q19 OR-of-ANDs bracket revenue (pushdown showcase), Q21 semi+anti
+# waiting suppliers (the catalog's only LeftSemi AND LeftAnti plan).
+EXTRA_R9 = [
+    "returned_item_report",
+    "top_supplier_revenue",
+    "bracket_revenue",
+    "waiting_suppliers",
+]
 # New in r6: the engine the repo is named for, at benchmark scale — the
 # reference's FULL 85-table script.sql schema generated at 10k rows per
 # table (850k rows, 131 FK constraints) through the parquet
@@ -102,10 +114,12 @@ GEN_FULL_SCHEMA_SKEW = "gen_full_schema_skew"
 INGEST_CORPUS = "ingest_corpus_4batches"
 _PIPELINE_KEYS = {GEN_FULL_SCHEMA, GEN_FULL_SCHEMA_SKEW, INGEST_CORPUS}
 _GEN_KEYS = _PIPELINE_KEYS  # historical alias used by the totals below
-NONCOMPARABLE = {FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *_PIPELINE_KEYS}
+NONCOMPARABLE = {
+    FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *_PIPELINE_KEYS
+}
 # entries absent from the r4 record — ONE definition so a future
 # EXTRA_R7 extends a single set instead of three boolean chains
-R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *_PIPELINE_KEYS})
+R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *_PIPELINE_KEYS})
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both
 # totals means a regression in the three most expensive plans is visible
@@ -276,7 +290,7 @@ def run_sample(sf_dir: str) -> dict:
         # clear outside the timed region so entries stay independent
         spark.catalog.clearCache()
 
-    for name in [*HEADLINE, *EXTRA, *EXTRA_R5, *EXTRA_R6]:
+    for name in [*HEADLINE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9]:
         fn = queries[name]
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
