@@ -117,8 +117,8 @@ _GEN_KEYS = _PIPELINE_KEYS  # historical alias used by the totals below
 NONCOMPARABLE = {
     FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *_PIPELINE_KEYS
 }
-# entries absent from the r4 record — ONE definition so a future
-# EXTRA_R7 extends a single set instead of three boolean chains
+# entries absent from the r4 record — ONE definition so each new
+# EXTRA_Rn (as EXTRA_R9 did) extends a single set, not three chains
 R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *_PIPELINE_KEYS})
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both

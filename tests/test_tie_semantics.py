@@ -115,3 +115,48 @@ def test_forced_tie_returns_all_tied_suppliers(
         )
     got_duck = {row[0] for row in con.execute(registry.all_oracles()[QUERY]).fetchall()}
     assert got_duck == expected
+
+
+def _run_both(spark, sf_dir):
+    sdf = registry.all_queries()[QUERY](spark, sf_dir)
+    got_spark = {r["s_suppkey"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    got_duck = {row[0] for row in con.execute(registry.all_oracles()[QUERY]).fetchall()}
+    return got_spark, got_duck
+
+
+def test_tie_from_distinct_row_multisets(spark, tie_dir_factory):
+    # The property test above forces ties only by mirroring a line set;
+    # here the tie is reached through DIFFERENT rows: supplier 3 matches
+    # the pair's 2.00 revenue with three lines mixing quantity splits
+    # and a 50% discount. An implementation that compared row data
+    # instead of the aggregated sum would miss this tie.
+    lines_by_supp = {
+        1: [(200, 0)],                      # 2.00
+        2: [(200, 0)],                      # 2.00 (mirror)
+        3: [(100, 0), (50, 0), (100, 10)],  # 1.00 + 0.50 + 0.50 = 2.00
+        4: [(100, 0)],                      # 1.00 — strictly below
+    }
+    sf_dir = tie_dir_factory(lines_by_supp)
+    got_spark, got_duck = _run_both(spark, sf_dir)
+    assert got_spark == {1, 2, 3}
+    assert got_duck == {1, 2, 3}
+
+
+def test_non_mirrored_supplier_outearning_the_pair(spark, tie_dir_factory):
+    # The max holder need not be part of a tie at all: supplier 3 alone
+    # out-earns the mirrored pair, so exactly one row comes back.
+    lines_by_supp = {
+        1: [(200, 0)],  # 2.00
+        2: [(200, 0)],  # 2.00
+        3: [(500, 0)],  # 5.00 — sole maximum
+    }
+    sf_dir = tie_dir_factory(lines_by_supp)
+    got_spark, got_duck = _run_both(spark, sf_dir)
+    assert got_spark == {3}
+    assert got_duck == {3}
