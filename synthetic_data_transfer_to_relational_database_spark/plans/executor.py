@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import generators as G
+from ..functions.generators import _qd, _qi, _qs
 from .compiler import compile_rule
 from .model import ColumnSpec, TableSpec
 from .rules import infer_table_rules
@@ -180,7 +181,9 @@ class GenerationPlan:
 
     # ------------------------------------------------------------------
     # PK expressions as pure functions of the row index, so self-refs and
-    # subtype FKs can be computed by composition.
+    # subtype FKs can be computed by composition. Index in, value out as
+    # SQL TEXT (compile_rule's contract): composition is string
+    # interpolation, and the whole composed column parses JVM-side once.
     def _pk_expr_fn(self, table: TableSpec):
         fns = {}
         for pk_col in table.pk:
@@ -194,7 +197,10 @@ class GenerationPlan:
                 # (run_engine.py:265-266 fetch_ids); generating into files
                 # we know them up front — children sample idx+1 directly.
                 def make_ident(spec=spec):
-                    return lambda idx: (idx + 1).cast(spec.spark_type())
+                    return lambda idx: (
+                        f"CAST((({idx}) + 1)"
+                        f" AS {spec.spark_type().simpleString()})"
+                    )
 
                 fns[pk_col] = make_ident()
                 continue
@@ -220,8 +226,8 @@ class GenerationPlan:
     _MAX_PERMUTATION_N = 3_037_000_499
 
     def _sample_idx(
-        self, id_col: Column, salt: str, n: int, unique: bool, child_rows: int | None = None
-    ) -> Column:
+        self, id_sql: str, salt: str, n: int, unique: bool, child_rows: int | None = None
+    ) -> str:
         """Deterministic parent-row index in [0, n). Default: uniform with
         replacement (hash). ``unique`` (a unique index covers the FK
         column): WITHOUT replacement via an affine permutation — injective
@@ -255,24 +261,36 @@ class GenerationPlan:
             # reduce i into [0, n) BEFORE the multiply: (a*i) mod n ==
             # (a*(i mod n)) mod n, and the reduced product stays < n^2 <=
             # 2^63 no matter how many child rows there are.
-            return F.pmod(F.pmod(id_col, F.lit(n)) * F.lit(a) + F.lit(s % max(n, 1)), F.lit(n))
+            return (
+                f"pmod(((pmod({id_sql}, {_qi(n)}) * {_qi(a)})"
+                f" + {_qi(s % max(n, 1))}), {_qi(n)})"
+            )
         # `not unique`: a unique-indexed FK that overflows the permutation
         # cap falls through to the hash fallback — skewing THAT draw would
         # concentrate duplicates on hot parents and guarantee index
         # violations, the opposite of the uniform fallback's best effort
         if self.fk_skew > 0 and not unique:
-            u = F.pmod(
-                F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(1 << 30)
-            ) / F.lit(float(1 << 30))
-            return F.floor(F.lit(float(n)) * F.pow(u, F.lit(1.0 + self.fk_skew))).cast(
-                "long"
+            u = (
+                f"(pmod(xxhash64({id_sql}, {_qi(self.seed)}, {_qs(salt)}),"
+                f" {_qi(1 << 30)}) / {_qd(float(1 << 30))})"
             )
-        return F.pmod(F.xxhash64(id_col, F.lit(self.seed), F.lit(salt)), F.lit(n))
+            return (
+                f"CAST(floor(({_qd(float(n))} * power({u},"
+                f" {_qd(1.0 + self.fk_skew)}))) AS BIGINT)"
+            )
+        return (
+            f"pmod(xxhash64({id_sql}, {_qi(self.seed)}, {_qs(salt)}), {_qi(n)})"
+        )
 
-    def _fk_value(self, table: TableSpec, col: ColumnSpec, id_col: Column) -> Column:
+    def _fk_value(self, table: TableSpec, col: ColumnSpec, id_sql: str) -> Column:
         """J1/J2: deterministic sample of an existing parent key. The salt
         is per-FK-constraint (not per-column) so composite-FK columns
-        sample the same parent row — tuple-consistent references."""
+        sample the same parent row — tuple-consistent references.
+
+        ``id_sql`` is SQL text; the pure-expression paths (PK
+        composition, fallback synthesis) compose strings and parse ONCE
+        here, while the array paths keep Column composition on top of the
+        single parsed ``_array_literal`` node (already O(1) round trips)."""
         parent_name, _, parent_col = col.fk_parent.partition(".")
         salt = col.fk_salt or f"{table.name}.{col.name}"
         child_rows = self._row_count_of.get(table.name, self.rows_for(table.name))
@@ -284,31 +302,31 @@ class GenerationPlan:
             pk_fns = self._pk_expr_fns.get(table.name, {})
             fn = pk_fns.get(parent_col)
             if fn is not None:
-                return fn(self._sample_idx(id_col, salt, n, col.unique, child_rows))
+                return F.expr(fn(self._sample_idx(id_sql, salt, n, col.unique, child_rows)))
             return F.lit(None)
 
         # live-DB identity read-back wins over every assumed-key path
         override = self.parent_keys_override.get(parent_name, {}).get(parent_col)
         if override is not None:
             if not override:
-                return self._fk_fallback(col, id_col, salt)
+                return self._fk_fallback(col, id_sql, salt)
             arr = _array_literal(list(override))
-            idx = (self._sample_idx(id_col, salt, len(override), col.unique, child_rows) + 1).cast("int")
+            idx = (F.expr(self._sample_idx(id_sql, salt, len(override), col.unique, child_rows)) + 1).cast("int")
             return F.element_at(arr, idx)
 
         parent_df = self._built.get(parent_name)
         if parent_df is None:
-            return self._fk_fallback(col, id_col, salt)
+            return self._fk_fallback(col, id_sql, salt)
         n_parent = self._row_count_of.get(parent_name)
         if n_parent is None:
             n_parent = parent_df.count()
         if n_parent == 0:
-            return self._fk_fallback(col, id_col, salt)
+            return self._fk_fallback(col, id_sql, salt)
 
         # expression-computable parent PK ⇒ function composition, no join
         fn = self._pk_expr_fns.get(parent_name, {}).get(parent_col)
         if fn is not None:
-            return fn(self._sample_idx(id_col, salt, n_parent, col.unique, child_rows))
+            return F.expr(fn(self._sample_idx(id_sql, salt, n_parent, col.unique, child_rows)))
 
         if n_parent <= self.broadcast_threshold:
             keys = [r[0] for r in parent_df.select(parent_col).collect()]
@@ -316,19 +334,19 @@ class GenerationPlan:
             # F.lit() Column constructions — the per-element form blows up
             # py4j call count and plan size long before the threshold.
             arr = _array_literal(keys)
-            idx = (self._sample_idx(id_col, salt, len(keys), col.unique, child_rows) + 1).cast("int")
+            idx = (F.expr(self._sample_idx(id_sql, salt, len(keys), col.unique, child_rows)) + 1).cast("int")
             return F.element_at(arr, idx)
 
         # large-parent path is planned in _build_table via an equi-join
         raise _NeedsJoin(parent_name, parent_col)
 
-    def _fk_fallback(self, col: ColumnSpec, id_col: Column, salt: str) -> Column:
+    def _fk_fallback(self, col: ColumnSpec, id_sql: str, salt: str) -> Column:
         """J2 semantics (run_engine.py:160-162): fabricate by type."""
         if col.dtype == "uuid":
-            return G.gen_uuid(id_col, self.seed, salt + ".fallback")
+            return F.expr(G.gen_uuid(id_sql, self.seed, salt + ".fallback"))
         if col.dtype in ("int", "short", "long"):
-            return G.gen_int(id_col, self.seed, salt + ".fallback", 1, 10).cast(col.dtype)
-        return G.gen_lexify(id_col, self.seed, salt + ".fallback", min(col.length or 3, 4))
+            return F.expr(G.gen_int(id_sql, self.seed, salt + ".fallback", 1, 10)).cast(col.dtype)
+        return F.expr(G.gen_lexify(id_sql, self.seed, salt + ".fallback", min(col.length or 3, 4)))
 
     # ------------------------------------------------------------------
     def _build_table(self, table: TableSpec) -> DataFrame:
@@ -339,11 +357,12 @@ class GenerationPlan:
 
         df = self._id_frame(n)
         id_col = F.col("__id")
+        id_sql = "__id"
         table_seed = self.seed + _stable_hash(table.name)
 
         # shared-PK subtype: PK sampled from parent WITHOUT replacement
         subtype_fk = table.shared_pk_fk()
-        subtype_pk_exprs: dict[str, Column] = {}
+        subtype_pk_exprs: dict[str, str] = {}
         if subtype_fk is not None:
             parent = self.tables.get(subtype_fk.parent_table)
             n_parent = self._row_count_of.get(subtype_fk.parent_table, 0)
@@ -353,8 +372,9 @@ class GenerationPlan:
                 # inner pmod is a no-op here (id < n ≤ n_parent) but keeps
                 # the product provably < n_parent² — same shape as
                 # _sample_idx's overflow guard.
-                perm_idx = F.pmod(
-                    F.pmod(id_col, F.lit(n_parent)) * F.lit(a) + F.lit(b), F.lit(n_parent)
+                perm_idx = (
+                    f"pmod(((pmod({id_sql}, {_qi(n_parent)}) * {_qi(a)})"
+                    f" + {_qi(b)}), {_qi(n_parent)})"
                 )
                 for pk_col, ppk_col in zip(subtype_fk.columns, subtype_fk.parent_columns):
                     fn = self._pk_expr_fns.get(subtype_fk.parent_table, {}).get(ppk_col)
@@ -367,11 +387,13 @@ class GenerationPlan:
             if col.name in self.skip_columns:
                 continue
             if col.name in subtype_pk_exprs:
-                exprs.append(subtype_pk_exprs[col.name].cast(col.spark_type()).alias(col.name))
+                exprs.append(
+                    F.expr(subtype_pk_exprs[col.name]).cast(col.spark_type()).alias(col.name)
+                )
                 continue
             if col.fk_parent:
                 try:
-                    expr = self._fk_value(table, col, id_col)
+                    expr = self._fk_value(table, col, id_sql)
                 except _NeedsJoin as nj:
                     join_requests.append((col, nj.parent, nj.parent_col))
                     continue
@@ -385,7 +407,9 @@ class GenerationPlan:
                     expr = F.when(is_null, F.lit(None)).otherwise(expr)
                 exprs.append(expr.cast(col.spark_type()).alias(col.name))
                 continue
-            exprs.append(compile_rule(col.rule or "word", col, id_col, table_seed))
+            exprs.append(
+                F.expr(compile_rule(col.rule or "word", col, id_sql, table_seed)).alias(col.name)
+            )
 
         out = df.select(id_col, *exprs)
 
@@ -401,7 +425,7 @@ class GenerationPlan:
         for (parent_name, salt), pairs in grouped.items():
             parent_idx, n_parent = self._indexed_parent(parent_name, pairs)
             uniq = any(col.unique for col, _ in pairs)
-            pick = self._sample_idx(F.col("__id"), salt, n_parent, uniq, n).alias("__pick")
+            pick = F.expr(self._sample_idx("__id", salt, n_parent, uniq, n)).alias("__pick")
             out = (
                 out.withColumn("__pick", pick)
                 .join(parent_idx, F.col("__pick") == F.col("__pidx"), "left")
