@@ -63,7 +63,11 @@ def _array_literal(values: list) -> Column:
     Rendering the SQL text driver-side and parsing it once JVM-side is
     O(1) round trips at any length. Covers the key types parent PKs can
     carry (str/int/float/bool/Decimal/date/datetime); anything else
-    falls back to the per-element form — correct, just slow."""
+    falls back to the per-element form — correct, just slow.
+
+    Float and string rendering delegate to generators._qd /._qs so the
+    exact-double repr and the parser-mode-safe quoting (unbase64 for
+    strings with quotes/backslashes) live in one place."""
     import datetime
     import decimal
 
@@ -73,13 +77,7 @@ def _array_literal(values: list) -> Column:
         if isinstance(v, int):
             return f"{v}L"
         if isinstance(v, float):
-            if v != v:
-                return "CAST('NaN' AS DOUBLE)"
-            if v == float("inf"):
-                return "CAST('Infinity' AS DOUBLE)"
-            if v == float("-inf"):
-                return "CAST('-Infinity' AS DOUBLE)"
-            return f"CAST({v!r} AS DOUBLE)"
+            return _qd(v)
         if isinstance(v, decimal.Decimal):
             _, digits, exp = v.as_tuple()
             scale = max(0, -exp)
@@ -91,17 +89,7 @@ def _array_literal(values: list) -> Column:
         if isinstance(v, datetime.date):
             return f"DATE '{v.isoformat()}'"
         if isinstance(v, str):
-            if "\\" in v or "'" in v:
-                # NO quoting scheme parses identically in both the
-                # default parser and the legacy
-                # spark.sql.parser.escapedStringLiterals=true mode:
-                # backslash escapes are literal in legacy mode, and a
-                # doubled quote is NOT collapsed there either
-                # (engine-verified: "it''s" survives doubled). Strings
-                # containing either character take the F.lit path —
-                # slower, parser-independent.
-                return None
-            return "'" + v + "'"
+            return _qs(v)
         return None
 
     parts = []

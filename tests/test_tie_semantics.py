@@ -76,6 +76,21 @@ def tie_dir_factory(tmp_path_factory):
     return build
 
 
+def _run_both(spark, sf_dir):
+    """Run the registered query and its oracle on one tie fixture;
+    return both engines' supplier-key sets."""
+    sdf = registry.all_queries()[QUERY](spark, sf_dir)
+    got_spark = {r["s_suppkey"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    got_duck = {row[0] for row in con.execute(registry.all_oracles()[QUERY]).fetchall()}
+    return got_spark, got_duck
+
+
 @given(
     base_lines=st.lists(_line, min_size=1, max_size=6),
     extra_fracs=st.lists(st.floats(min_value=0.0, max_value=1.0), max_size=3),
@@ -103,31 +118,9 @@ def test_forced_tie_returns_all_tied_suppliers(
     expected = {s for s, r in expected_rev.items() if r == mx}
     assert {1, 2} <= expected  # the forced tie is part of the answer
 
-    sdf = registry.all_queries()[QUERY](spark, sf_dir)
-    got_spark = {r["s_suppkey"] for r in sdf.collect()}
+    got_spark, got_duck = _run_both(spark, sf_dir)
     assert got_spark == expected
-
-    con = duckdb.connect()
-    for t in ("lineitem", "supplier"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
-        )
-    got_duck = {row[0] for row in con.execute(registry.all_oracles()[QUERY]).fetchall()}
     assert got_duck == expected
-
-
-def _run_both(spark, sf_dir):
-    sdf = registry.all_queries()[QUERY](spark, sf_dir)
-    got_spark = {r["s_suppkey"] for r in sdf.collect()}
-    con = duckdb.connect()
-    for t in ("lineitem", "supplier"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
-        )
-    got_duck = {row[0] for row in con.execute(registry.all_oracles()[QUERY]).fetchall()}
-    return got_spark, got_duck
 
 
 def test_tie_from_distinct_row_multisets(spark, tie_dir_factory):
