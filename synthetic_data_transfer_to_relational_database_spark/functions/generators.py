@@ -93,6 +93,45 @@ def _h(id_sql: str, seed: int, salt: str, k: int = 0) -> str:
     )
 
 
+# Combined range of one packed draw. 2^50 out of the hash's 2^62 keeps
+# the worst-case per-index bias below 2^-12 (see _packed).
+_PACK_BUDGET = 1 << 50
+
+
+def _packed(
+    id_sql: str, seed: int, salt: str, radices: list[int], k: int = 0
+) -> list[str]:
+    """Split ONE uniform draw in [0, 2^62) into len(radices) independent
+    small uniform draws: idx_j = (h DIV r_0·…·r_{j-1}) MOD r_j.
+
+    Why not one hash per draw: every unrolled draw adds a fixed slab of
+    generated Java to the enclosing projection's ``doConsume``, and
+    whole-stage codegen CANNOT split that method when fed by a fused
+    ``Range`` scan (the row id arrives as a long parameter, not an
+    InternalRow) — four of the reference schema's wide tables blew
+    janino's 64 KB method limit this way and silently fell back to
+    unfused row-level codegen, losing the fused loop AND paying a failed
+    ~1 s janino compile per action. Packing draws keeps per-column code
+    near-constant. The repeated ``h`` text is one subtree — whole-stage
+    subexpression elimination evaluates the xxhash64 once per row.
+
+    Exactness: h is uniform on [0, 2^62); index j deviates from uniform
+    by at most prod(radices)/2^62 ≤ 2^-12 (callers chunk above the
+    budget). Fine for synthetic data; NOT for cryptography."""
+    total = 1
+    for r in radices:
+        total *= r
+    assert total <= _PACK_BUDGET, "radix budget exceeded — chunk the draws"
+    h = _h(id_sql, seed, salt, k)
+    out: list[str] = []
+    div = 1
+    for r in radices:
+        src = h if div == 1 else f"({h} DIV {_qi(div)})"
+        out.append(f"pmod({src}, {_qi(r)})")
+        div *= r
+    return out
+
+
 # --- scalar generators (G1-G7, G12) ------------------------------------
 
 
@@ -177,10 +216,20 @@ def gen_date(
 
 def gen_numerify(id_sql: str, seed: int, salt: str, n_digits: int) -> str:
     """Fixed-width digit string (G7; run_engine.py:51-53): first digit
-    nonzero, e.g. TCKN=11, VKN=10 digits."""
-    first = f"CAST((1 + pmod({_h(id_sql, seed, salt, 1)}, 9)) AS STRING)"
+    nonzero, e.g. TCKN=11, VKN=10 digits. One packed draw covers both
+    parts up to 15 digits; wider falls back to a second draw."""
     if n_digits == 1:
-        return first
+        return f"CAST((1 + pmod({_h(id_sql, seed, salt, 1)}, 9)) AS STRING)"
+    if 9 * 10 ** (n_digits - 1) <= _PACK_BUDGET:
+        f_idx, rest_idx = _packed(
+            id_sql, seed, salt, [9, 10 ** (n_digits - 1)], k=1
+        )
+        first = f"CAST((1 + {f_idx}) AS STRING)"
+        rest = (
+            f"lpad(CAST({rest_idx} AS STRING), {n_digits - 1}, '0')"
+        )
+        return f"concat({first}, {rest})"
+    first = f"CAST((1 + pmod({_h(id_sql, seed, salt, 1)}, 9)) AS STRING)"
     rest = (
         f"lpad(CAST(pmod({_h(id_sql, seed, salt, 2)},"
         f" {_qi(10 ** (n_digits - 1))}) AS STRING), {n_digits - 1}, '0')"
@@ -196,13 +245,30 @@ def gen_code(id_sql: str, seed: int, salt: str, prefix: str = "AUTO") -> str:
     )
 
 
+_CONV_LOWER = ("0123456789ABCDEFGHIJKLMNOP", "abcdefghijklmnopqrstuvwxyz")
+
+
 def gen_lexify(id_sql: str, seed: int, salt: str, n_chars: int = 4) -> str:
-    """n random lowercase letters (lexify('????'), run_engine.py:201-203)."""
-    parts = [
-        f"char((97 + CAST(pmod({_h(id_sql, seed, salt, k)}, 26) AS INT)))"
-        for k in range(n_chars)
-    ]
-    return f"concat({', '.join(parts)})"
+    """n random lowercase letters (lexify('????'), run_engine.py:201-203).
+
+    One hash draw renders ALL characters of a chunk: the draw mod 26^n,
+    printed base-26 by ``conv`` and mapped to a-z by ``translate``. The
+    hash expression appears ONCE per chunk — generated-code size is what
+    caps wide projections (xxhash64 inlines ~1.7 KB of Java per textual
+    occurrence; janino's method limit is 64 KB), so generators minimize
+    hash REFERENCES, not just draws."""
+    chunks: list[str] = []
+    left, k = n_chars, 0
+    while left > 0:
+        take = min(left, 10)
+        draw = f"pmod({_h(id_sql, seed, salt, k)}, {_qi(26 ** take)})"
+        chunks.append(
+            f"translate(lpad(conv(CAST({draw} AS STRING), 10, 26),"
+            f" {take}, '0'), '{_CONV_LOWER[0]}', '{_CONV_LOWER[1]}')"
+        )
+        left -= take
+        k += 1
+    return chunks[0] if len(chunks) == 1 else f"concat({', '.join(chunks)})"
 
 
 # --- lookup-array providers (G8-G11) -----------------------------------
@@ -248,6 +314,51 @@ def _pick(id_sql: str, seed: int, salt: str, items: list[str], k: int = 0) -> st
     )
 
 
+def _at(items: list[str], idx_sql: str) -> str:
+    """element_at over a folded lexicon array at a 0-based index
+    expression (a _packed draw)."""
+    return f"element_at({_arr(items)}, CAST(({idx_sql} + 1) AS INT))"
+
+
+# Derived lexicon banks: precomposed COMBINATIONS of base-lexicon words,
+# so a multi-word value costs ONE array pick (one hash reference) instead
+# of one per word. Banks are deterministic pure functions of the module
+# constants (hashlib, no RNG state) — same text every process, like WORDS
+# itself. The arrays constant-fold into plan literals: zero generated
+# code, ~10-20 KB of plan text per distinct bank.
+
+_EMAIL_PAIRS = [f"{f.lower()}.{l.lower()}" for f in FIRST_NAMES for l in LAST_NAMES]
+
+_SENT_BANK_SIZE = 256
+_SENT_BANKS: dict[tuple[int, str], list[str]] = {}
+
+
+def _sentence_bank(length: int, tag: str) -> list[str]:
+    """256 deterministic `length`-word fragments over WORDS. ``head``
+    fragments lead with a capitalized word; ``tail`` fragments end the
+    sentence with '.'."""
+    key = (length, tag)
+    bank = _SENT_BANKS.get(key)
+    if bank is None:
+        import hashlib
+
+        bank = []
+        for i in range(_SENT_BANK_SIZE):
+            ws = []
+            for j in range(length):
+                digest = hashlib.md5(
+                    f"sdt-sentence-{tag}-{length}-{i}-{j}".encode()
+                ).digest()
+                ws.append(WORDS[int.from_bytes(digest[:4], "big") % len(WORDS)])
+            if tag == "head":
+                ws[0] = ws[0].capitalize()
+                bank.append(" ".join(ws))
+            else:
+                bank.append(" ".join(ws) + ".")
+        _SENT_BANKS[key] = bank
+    return bank
+
+
 def gen_first_name(id_sql: str, seed: int, salt: str) -> str:
     return _pick(id_sql, seed, salt, FIRST_NAMES)
 
@@ -257,87 +368,99 @@ def gen_last_name(id_sql: str, seed: int, salt: str) -> str:
 
 
 def gen_full_name(id_sql: str, seed: int, salt: str) -> str:
-    return (
-        f"concat_ws(' ', {gen_first_name(id_sql, seed, salt)},"
-        f" {gen_last_name(id_sql, seed, salt)})"
-    )
+    i1, i2 = _packed(id_sql, seed, salt, [len(FIRST_NAMES), len(LAST_NAMES)])
+    return f"concat_ws(' ', {_at(FIRST_NAMES, i1)}, {_at(LAST_NAMES, i2)})"
 
 
 def gen_company(id_sql: str, seed: int, salt: str) -> str:
     """'<Word> <Word> A.S.' — company-name shape (run_engine.py:62)."""
+    i1, i2, i3 = _packed(
+        id_sql, seed, salt, [len(WORDS), len(WORDS), len(COMPANY_SUFFIXES)], k=2
+    )
     return (
-        f"concat_ws(' ', initcap({_pick(id_sql, seed, salt, WORDS, k=2)}),"
-        f" initcap({_pick(id_sql, seed, salt, WORDS, k=3)}),"
-        f" {_pick(id_sql, seed, salt, COMPANY_SUFFIXES, k=4)})"
+        f"concat_ws(' ', initcap({_at(WORDS, i1)}),"
+        f" initcap({_at(WORDS, i2)}), {_at(COMPANY_SUFFIXES, i3)})"
     )
 
 
 def gen_email(id_sql: str, seed: int, salt: str) -> str:
-    """Deterministic composition (G8): first.last<n>@domain."""
+    """Deterministic composition (G8): first.last<n>@domain. The
+    first.last pair is ONE pick from the precomposed 20×20 pair bank —
+    the same joint distribution as two independent picks, at one hash
+    reference instead of two."""
+    pair, num, dom = _packed(
+        id_sql, seed, salt, [len(_EMAIL_PAIRS), 100, len(DOMAINS)], k=5
+    )
     return (
-        f"lower(concat({gen_first_name(id_sql, seed, salt)}, '.',"
-        f" {gen_last_name(id_sql, seed, salt)},"
-        f" CAST(pmod({_h(id_sql, seed, salt, 5)}, 100) AS STRING), '@',"
-        f" {_pick(id_sql, seed, salt, DOMAINS, k=6)}))"
+        f"concat({_at(_EMAIL_PAIRS, pair)},"
+        f" CAST({num} AS STRING), '@', {_at(DOMAINS, dom)})"
     )
 
 
 def gen_phone(id_sql: str, seed: int, salt: str) -> str:
-    """'+90 5## ### ## ##' Turkish-mobile shape."""
+    """'+90 5## ### ## ##' Turkish-mobile shape: one 9-digit draw,
+    grouped 2-3-2-2 by a dot-pattern regexp — a single hash reference."""
+    nine = f"lpad(CAST(pmod({_h(id_sql, seed, salt, 1)}, {_qi(10 ** 9)}) AS STRING), 9, '0')"
     return (
-        "format_string('+90 5%02d %03d %02d %02d', "
-        f"CAST(pmod({_h(id_sql, seed, salt, 1)}, 100) AS INT), "
-        f"CAST(pmod({_h(id_sql, seed, salt, 2)}, 1000) AS INT), "
-        f"CAST(pmod({_h(id_sql, seed, salt, 3)}, 100) AS INT), "
-        f"CAST(pmod({_h(id_sql, seed, salt, 4)}, 100) AS INT))"
+        f"concat('+90 5', regexp_replace({nine},"
+        f" '(..)(...)(..)(..)', '$1 $2 $3 $4'))"
     )
-
-
-def _digit(id_sql: str, seed: int, salt: str, k: int) -> str:
-    """One uniform decimal digit as an int expression."""
-    return f"CAST(pmod({_h(id_sql, seed, salt, 100 + k)}, 10) AS INT)"
 
 
 def gen_iban(id_sql: str, seed: int, salt: str) -> str:
     """Valid Turkish IBAN: TR + mod-97 check digits + 22-digit BBAN.
 
-    The check is computed expression-side by folding (acc·10 + digit) mod
-    97 over the 28-digit rearranged number (BBAN ++ 'TR00' → ...292700) —
-    ISO 7064. Stronger than the reference, whose Faker output is valid
-    but nondeterministic; ours is valid AND reproducible."""
-    bban = [_digit(id_sql, seed, salt, k) for k in range(22)]
-    acc = "0"
-    for d in bban + ["2", "9", "2", "7", "0", "0"]:
-        acc = f"pmod((({acc} * 10) + {d}), 97)"
-    check = f"(98 - {acc})"
+    The BBAN is two 11-digit packed halves A and B; the ISO 7064 check
+    over the rearranged 28-digit number N = (A·10^11 + B)·10^6 + 292700
+    folds to constant-size modular arithmetic,
+        N mod 97 = (A%97·(10^17%97) + B%97·(10^6%97) + 292700%97) % 97,
+    instead of a 28-step per-digit textual fold — the fold form generated
+    >160 KB of Java for ONE column and pushed wide projections past
+    janino's 64 KB method limit. Valid AND reproducible, unlike the
+    reference's nondeterministic Faker output."""
+    e11 = 10**11
+    a = f"pmod({_h(id_sql, seed, salt, 0)}, {_qi(e11)})"
+    b = f"pmod({_h(id_sql, seed, salt, 1)}, {_qi(e11)})"
+    c_a, c_b, c_0 = (10**17) % 97, (10**6) % 97, 292700 % 97
+    m = f"pmod(((pmod({a}, 97) * {c_a}) + (pmod({b}, 97) * {c_b}) + {c_0}), 97)"
     return (
-        f"concat('TR', lpad(CAST({check} AS STRING), 2, '0'), "
-        + "concat(" + ", ".join(f"CAST({d} AS STRING)" for d in bban) + "))"
+        f"concat('TR', lpad(CAST((98 - {m}) AS STRING), 2, '0'),"
+        f" lpad(CAST({a} AS STRING), 11, '0'),"
+        f" lpad(CAST({b} AS STRING), 11, '0'))"
     )
 
 
 def gen_ean13(id_sql: str, seed: int, salt: str) -> str:
     """Valid EAN-13 barcode: 12 data digits + standard check digit
-    (odd positions weight 1, even weight 3, mod 10)."""
-    digits = [_digit(id_sql, seed, salt, k) for k in range(12)]
-    wsum = "0"
-    for i, d in enumerate(digits):
-        wsum = f"({wsum} + ({d} * {1 if i % 2 == 0 else 3}))"
-    check = f"pmod((10 - pmod({wsum}, 10)), 10)"
+    (odd positions weight 1, even weight 3, mod 10). Digits come from
+    two packed 6-digit halves; the checksum reads each digit with a
+    constant-size DIV/MOD instead of a per-digit hash draw."""
+    e6 = 10**6
+    a = f"pmod({_h(id_sql, seed, salt, 0)}, {_qi(e6)})"
+    b = f"pmod({_h(id_sql, seed, salt, 1)}, {_qi(e6)})"
+    terms = []
+    for i in range(12):
+        half, p = (a, 5 - i) if i < 6 else (b, 11 - i)
+        w = 1 if i % 2 == 0 else 3
+        d = f"pmod(({half} DIV {10 ** p}), 10)" if p else f"pmod({half}, 10)"
+        terms.append(f"({d} * {w})" if w > 1 else d)
+    check = f"pmod((10 - pmod(({' + '.join(terms)}), 10)), 10)"
     return (
-        "concat("
-        + ", ".join(f"CAST({d} AS STRING)" for d in digits + [check])
-        + ")"
+        f"concat(lpad(CAST({a} AS STRING), 6, '0'),"
+        f" lpad(CAST({b} AS STRING), 6, '0'), CAST({check} AS STRING))"
     )
 
 
 def gen_address(id_sql: str, seed: int, salt: str) -> str:
+    i1, i2, num, i3 = _packed(
+        id_sql, seed, salt,
+        [len(WORDS), len(STREET_WORDS), 200, len(CITIES)], k=7,
+    )
     return (
-        f"concat_ws(' ', initcap({_pick(id_sql, seed, salt, WORDS, k=7)}),"
-        f" {_pick(id_sql, seed, salt, STREET_WORDS, k=8)},"
-        f" concat('No:', CAST((pmod({_h(id_sql, seed, salt, 9)}, 200) + 1)"
-        f" AS STRING)),"
-        f" {_pick(id_sql, seed, salt, CITIES, k=10)})"
+        f"concat_ws(' ', initcap({_at(WORDS, i1)}),"
+        f" {_at(STREET_WORDS, i2)},"
+        f" concat('No:', CAST(({num} + 1) AS STRING)),"
+        f" {_at(CITIES, i3)})"
     )
 
 
@@ -359,17 +482,25 @@ def gen_word(id_sql: str, seed: int, salt: str) -> str:
 
 
 def gen_sentence(id_sql: str, seed: int, salt: str, n_words: int = 10) -> str:
-    """n-word sentence (G10; fake.sentence(nb_words), run_engine.py:68)."""
-    words = [_pick(id_sql, seed, salt, WORDS, k=20 + k) for k in range(n_words)]
-    return (
-        f"concat(initcap({words[0]}), ' ',"
-        f" concat_ws(' '{''.join(', ' + w for w in words[1:])}), '.')"
-    )
+    """n-word sentence (G10; fake.sentence(nb_words), run_engine.py:68).
+
+    Two picks — a capitalized head fragment and a '.'-terminated tail
+    fragment from the precomposed banks — assemble the whole sentence
+    with two hash references; the per-word unrolled form cost ~5 KB of
+    generated Java PER WORD and pushed wide tables past janino's method
+    limit. 256×256 bank combinations per column is ample diversity for
+    description-text columns."""
+    if n_words <= 1:
+        i0, = _packed(id_sql, seed, salt, [len(WORDS)], k=20)
+        return f"concat(initcap({_at(WORDS, i0)}), '.')"
+    tail_len = n_words // 2
+    head = _sentence_bank(n_words - tail_len, "head")
+    tail = _sentence_bank(tail_len, "tail")
+    hi, ti = _packed(id_sql, seed, salt, [len(head), len(tail)], k=20)
+    return f"concat({_at(head, hi)}, ' ', {_at(tail, ti)})"
 
 
 def gen_product_name(id_sql: str, seed: int, salt: str) -> str:
     """adjective + noun composition (G11; run_engine.py:71-72)."""
-    return (
-        f"concat_ws(' ', {_pick(id_sql, seed, salt, ADJECTIVES, k=1)},"
-        f" {_pick(id_sql, seed, salt, NOUNS, k=2)})"
-    )
+    i1, i2 = _packed(id_sql, seed, salt, [len(ADJECTIVES), len(NOUNS)], k=1)
+    return f"concat_ws(' ', {_at(ADJECTIVES, i1)}, {_at(NOUNS, i2)})"

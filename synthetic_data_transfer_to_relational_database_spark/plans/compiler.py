@@ -22,7 +22,7 @@ context and are planned by plans/executor.py (J1 sampling join).
 from __future__ import annotations
 
 from ..functions import generators as G
-from ..functions.generators import _qi, _qs
+from ..functions.generators import _qi
 from .model import ColumnSpec
 
 
@@ -101,9 +101,8 @@ def compile_rule(rule: str, col: ColumnSpec, id_sql: str, seed: int) -> str:
         expr = G.gen_timestamp(id_sql, seed, salt)
     elif name == "time_hms":
         parts = ", ".join(
-            f"CAST(pmod(xxhash64({id_sql}, {_qi(seed)}, {_qs(salt)}, {k}),"
-            f" {m}) AS INT)"
-            for k, m in ((1, 24), (2, 60), (3, 60))
+            f"CAST({ix} AS INT)"
+            for ix in G._packed(id_sql, seed, salt, [24, 60, 60], k=1)
         )
         expr = f"format_string('%02d:%02d:%02d', {parts})"
     elif name == "numerify":

@@ -117,3 +117,37 @@ def test_erasure_plan_covers_full_reference_schema():
             p = fk.parent_table
             if p != name and p in pos:
                 assert pos[name] < pos[p], (name, p)
+
+
+def test_generated_code_stays_under_janino_budget(spark):
+    """Whole-stage codegen cannot split a projection's doConsume method
+    when it is fed by a fused Range scan (the row id arrives as a long
+    parameter, not an InternalRow), so a wide generated table whose
+    expressions emit too much Java silently loses whole-stage codegen:
+    janino rejects the >64 KB method, Spark pays the failed compile on
+    EVERY action, and the table runs on the unfused row-level path.
+
+    Measured on this schema (Spark 4.1 codegen, total generated source
+    per plan): tables at >=650 KB failed to compile, 584 KB compiled.
+    The generators keep per-column code near-constant by minimizing hash
+    REFERENCES (functions/generators._packed and the bank-based
+    composites), which put the fattest table at ~533 KB. This probes
+    every table's pre-materialization plan and pins the headroom: a new
+    rule that regresses past 560 KB fails here before it silently
+    degrades the build."""
+    tables = parse_schema_script(REFERENCE_SCRIPT)
+    plan = GenerationPlan(spark, tables, seed=11, default_rows=15)
+    built = plan.run(materialize=False)
+
+    def code_len(df):
+        seq = df._jdf.queryExecution().debug().codegenToSeq()
+        return sum(len(seq.apply(i)._2()) for i in range(seq.size()))
+
+    sizes = {name: code_len(df) for name, df in built.items()}
+    worst = max(sizes, key=sizes.get)
+    assert sizes[worst] <= 560 * 1024, (
+        f"{worst} generates {sizes[worst] // 1024} KB of Java — within "
+        "~15% of the measured janino whole-stage-codegen failure cliff "
+        "(>=650 KB on this schema). Pack more draws per hash reference "
+        "(generators._packed) or precompose a lexicon bank."
+    )
