@@ -121,7 +121,11 @@ def _packed(
     total = 1
     for r in radices:
         total *= r
-    assert total <= _PACK_BUDGET, "radix budget exceeded — chunk the draws"
+    if total > _PACK_BUDGET:
+        # not assert: biased draws under `python -O` must stay impossible
+        raise ValueError(
+            f"packed radices {radices} span {total} > 2^50 — chunk the draws"
+        )
     h = _h(id_sql, seed, salt, k)
     out: list[str] = []
     div = 1
@@ -218,18 +222,16 @@ def gen_numerify(id_sql: str, seed: int, salt: str, n_digits: int) -> str:
     """Fixed-width digit string (G7; run_engine.py:51-53): first digit
     nonzero, e.g. TCKN=11, VKN=10 digits. One packed draw covers both
     parts up to 15 digits; wider falls back to a second draw."""
+    first = f"CAST((1 + pmod({_h(id_sql, seed, salt, 1)}, 9)) AS STRING)"
     if n_digits == 1:
-        return f"CAST((1 + pmod({_h(id_sql, seed, salt, 1)}, 9)) AS STRING)"
+        return first
     if 9 * 10 ** (n_digits - 1) <= _PACK_BUDGET:
         f_idx, rest_idx = _packed(
             id_sql, seed, salt, [9, 10 ** (n_digits - 1)], k=1
         )
         first = f"CAST((1 + {f_idx}) AS STRING)"
-        rest = (
-            f"lpad(CAST({rest_idx} AS STRING), {n_digits - 1}, '0')"
-        )
+        rest = f"lpad(CAST({rest_idx} AS STRING), {n_digits - 1}, '0')"
         return f"concat({first}, {rest})"
-    first = f"CAST((1 + pmod({_h(id_sql, seed, salt, 1)}, 9)) AS STRING)"
     rest = (
         f"lpad(CAST(pmod({_h(id_sql, seed, salt, 2)},"
         f" {_qi(10 ** (n_digits - 1))}) AS STRING), {n_digits - 1}, '0')"
