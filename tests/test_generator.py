@@ -620,3 +620,30 @@ def test_array_literal_fuzz_roundtrip_both_parser_modes(spark):
         assert roundtrip() == vals
     finally:
         spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+def test_packed_draws_are_uniform_even_at_high_divisors(spark):
+    """_packed's correctness claim is statistical: every index split out
+    of one 62-bit draw is uniform to within prod(radices)/2^62 ≤ 2^-12.
+    The fragile position is the LAST index (largest divisor), where an
+    ordering mistake in the DIV/MOD chain would show up as gross
+    non-uniformity. Chi-square over 26 bins at 50k deterministic draws:
+    df=25, so statistic < 100 leaves ~1e-10 false-failure headroom while
+    any real bias (e.g. dividing by one radix too many) lands in the
+    thousands. Deterministic data — the statistic is a fixed number."""
+    from synthetic_data_transfer_to_relational_database_spark.functions.generators import _packed
+
+    idxs = _packed("id", 42, "uniformity", [26] * 10)
+    n = 50_000
+    for position in (0, 9):  # first (div=1) and last (div=26^9)
+        counts = (
+            spark.range(n)
+            .selectExpr(f"{idxs[position]} AS b")
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        assert len(counts) == 26
+        exp = n / 26
+        chi2 = sum((r["count"] - exp) ** 2 / exp for r in counts)
+        assert chi2 < 100, f"position {position}: chi2={chi2:.1f}"
