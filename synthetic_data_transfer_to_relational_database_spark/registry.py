@@ -40,85 +40,84 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-9 window
-# (the r8 round shipped no rotation, so the r5-evidence basket is the
-# oldest live tier):
-#   1) the four queries NEW this round — the last classic TPC-H shapes
-#      feasible on this schema (no partsupp table, so Q2/Q9/Q11/Q16/Q20
-#      are permanently out of reach): returned_item_report (Q10),
-#      top_supplier_revenue (Q15, tie-safe max-over-aggregate),
-#      bracket_revenue (Q19, OR-of-ANDs pushdown), waiting_suppliers
-#      (Q21, LeftSemi + LeftAnti) — operators/relational3.py.
-#   2) the three queries whose shared substrate (connected_components'
-#      empty-edge fast path) changed in r7 but could not be rotated in
-#      that round because the window was full of r4-evidence keys:
-#      dedup_cluster, dedup_semantic, dedup_embedding.
-#   3) 43 of the 47 keys whose newest driver evidence is r5 — the agg
-#      scalars/sketches, basket_pairs, the corpus curation pack, the
-#      events analytics pack, join_asof, lineitem revenue/growth,
-#      multimodal dyn_batch/phash, orders cohort/rfm, pivot/unpivot,
-#      sampling, sim_knn_graph/pq/ivfpq, skew_profile, snapshot merge,
-#      stream interval-join, the text safety pack, window frames/ranks.
-# Spilled to the r10 window for lack of slots (3 of the 47 r5-evidence
-# keys — all rows-only-by-design entries whose driver check is the
-# weaker row-count form and whose semantics are pinned by local
-# Python-reference/invariant tests): graph_pagerank,
-# stream_jdbc_exactly_once, text_bpe_train. They are the
-# oldest-evidence priority for the next rotation.
+# new/changed queries first, then oldest-evidence first. Round-10 window
+# is the FINAL stale basket — after this sweep every key's newest driver
+# evidence is ≥ r8, and the r11 window is entirely free. NO new oracle
+# queries are registered in r10 (they would evict basket keys; see the
+# r7 corollary in README "Catalog freshness"). The basket, oldest first:
+#   1) the two RENAMED r2 lineages, swept for the first time under their
+#      current names so the legacy-key note in the README can retire:
+#      dedup_exact (née dedup_exact_digest) and sim_search_ivf_lloyd
+#      (née sim_search_ivf).
+#   2) the three r5 rows-only spills flagged by the r9 rotation comment:
+#      graph_pagerank, stream_jdbc_exactly_once, text_bpe_train (all
+#      rows-only-by-design; the driver records the weaker row-count
+#      check, semantics pinned by local Python-reference tests).
+#   3) all 45 keys whose newest driver evidence is r6 — the agg cube/
+#      grouping-sets/median/string pack, basket_rules, the corpus
+#      mixture/resample/pipeline trio, relational classics (above_order
+#      _avg, customer_idle_rich, lineitem pricing/priority, orders
+#      volume/late/shipping, part promo share), dedup edit-distance/
+#      keep-best/minhash, events_ab_test, graph_triangles, joins
+#      (full-outer, salted), multimodal frame-sample, stratified
+#      sampling, the scalar-function surfaces, sim centroids/classifier,
+#      the streaming dedup/session/sliding/profile pack, the text
+#      curation pack (lang_id … token_bpe), udf_surface,
+#      user_erasure_audit, window_frame.
 _SWEEP_FIRST = [
-    # -- 1) new in r9 (TPC-H Q10/Q15/Q19/Q21 shapes) -------------------
-    "returned_item_report",
-    "top_supplier_revenue",
-    "bracket_revenue",
-    "waiting_suppliers",
-    # -- 2) substrate changed in r7 (connected_components fast path) ---
-    "dedup_cluster",
-    "dedup_semantic",
-    "dedup_embedding",
-    # -- 3) oldest evidence (r5), refresh ------------------------------
-    "agg_approx_percentile",
-    "agg_mode",
-    "agg_sketch_union",
-    "basket_pairs",
-    "corpus_diff",
-    "corpus_dup_ngrams",
-    "corpus_length_histogram",
-    "corpus_quantile_filter",
-    "corpus_split",
-    "data_quality_profile",
-    "events_anomaly_mad",
-    "events_attribution",
-    "events_forecast_baseline",
-    "events_gap_islands",
-    "events_gapfill",
-    "events_retention_cohorts",
-    "events_rolling_active",
-    "events_rollup_hierarchy",
-    "events_user_paths",
-    "join_asof",
-    "lineitem_discount_revenue",
-    "lineitem_yoy_growth",
-    "multimodal_dyn_batch",
-    "multimodal_phash_dedup",
-    "orders_cohort_ltv",
-    "orders_rfm",
-    "pivot_wide",
-    "sample_hash",
-    "scalar_null",
-    "sim_knn_graph",
-    "sim_search_ivfpq",
-    "sim_search_pq",
-    "skew_profile",
-    "snapshot_merge_upsert",
-    "stream_interval_join",
-    "text_containment",
-    "text_contamination",
-    "text_doc_pairs_jaccard",
-    "text_pii_scan",
-    "unpivot_long",
-    "window_first_last",
-    "window_rank",
-    "window_ranks_pct",
+    # -- 1) renamed r2 lineages, first sweep under current names -------
+    "dedup_exact",
+    "sim_search_ivf_lloyd",
+    # -- 2) r5 rows-only spills (oldest live evidence) -----------------
+    "graph_pagerank",
+    "stream_jdbc_exactly_once",
+    "text_bpe_train",
+    # -- 3) the full r6-evidence tier (45 keys) ------------------------
+    "above_order_avg",
+    "agg_cube",
+    "agg_gsets",
+    "agg_median",
+    "agg_string",
+    "basket_rules",
+    "corpus_curation_pipeline",
+    "corpus_mixture",
+    "corpus_quality_resample",
+    "customer_idle_rich",
+    "dedup_edit_distance",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "events_ab_test",
+    "graph_triangles",
+    "join_full_outer",
+    "join_salted",
+    "lineitem_pricing_summary",
+    "lineitem_priority_mix",
+    "multimodal_frame_sample",
+    "orders_big_volume",
+    "orders_late_priority",
+    "orders_shipping_priority",
+    "part_promo_revenue_share",
+    "sample_stratified",
+    "scalar_date",
+    "scalar_math",
+    "scalar_string",
+    "sim_centroid_by_label",
+    "sim_centroid_scalable",
+    "sim_classifier_udf",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_user_profile",
+    "text_lang_id",
+    "text_oov_rate",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "text_term_freq",
+    "text_token_bpe",
+    "udf_surface",
+    "user_erasure_audit",
+    "window_frame",
 ]
 
 
