@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scoped repeat-run of named bench entries under the OFFICIAL method,
+for adjudicating above-band single-run deltas (SCALE.md "Bench noise
+band" rule: a per-query delta beyond the A/A band must be re-run alone
+before being called a regression).
+
+Method mirrors bench.py exactly — noop-sink materialization, one
+flagship warm-up per JVM, best-of-2 within the JVM, clearCache between
+entries, TWO subprocess JVM samples, per-query min across samples — but
+runs ONLY the queries named on the command line, so the repeat is not
+co-tenant with 27 other entries.
+
+Usage:
+    python tools/bench_adjudicate.py text_doc_pairs_jaccard sim_search_pq
+
+Special name: ``window_rank_scalable_forced`` runs window_rank with
+``spark.sdt.rank.smallInputBytes=0`` (same forcing as bench.py).
+
+Appends one ``{"kind": "adjudication", ...}`` line to
+BENCH_samples_history.jsonl so the datapoint is citable next to the
+official series, and prints the merged JSON to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_sample(sf_dir: str, names: list[str]) -> dict:
+    from synthetic_data_transfer_to_relational_database_spark import registry
+    from synthetic_data_transfer_to_relational_database_spark.session import get_spark
+
+    spark = get_spark("sdt-bench-adjudicate")
+    queries = registry.all_queries()
+    _materialize(queries["revenue_by_nation"](spark, sf_dir))  # warm-up
+
+    timings: dict[str, float] = {}
+    for name in names:
+        forced = name == "window_rank_scalable_forced"
+        fn = queries["window_rank" if forced else name]
+        if forced:
+            spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        finally:
+            if forced:
+                spark.conf.unset("spark.sdt.rank.smallInputBytes")
+        timings[name] = round(best, 3)
+        spark.catalog.clearCache()
+    spark.stop()
+    return {"queries": timings}
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        sys.exit("usage: bench_adjudicate.py <query> [query ...]")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if os.environ.get("SDT_BENCH_CHILD"):
+        print(json.dumps(run_sample(sf_dir, names)))
+        return
+
+    samples: list[dict] = []
+    for i in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *names],
+            env=dict(os.environ, SDT_BENCH_CHILD="1"),
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            samples.append(json.loads(line))
+        else:
+            print(
+                f"sample {i} failed (rc={proc.returncode}):\n" + proc.stderr[-2000:],
+                file=sys.stderr,
+            )
+    if not samples:
+        sys.exit("no successful samples")
+
+    queries = {
+        n: min(s["queries"][n] for s in samples if n in s["queries"])
+        for n in samples[0]["queries"]
+    }
+    record = {
+        "ts": int(time.time()),
+        "sf": sf,
+        "kind": "adjudication",
+        "samples": samples,
+    }
+    with open(os.path.join(_REPO, "BENCH_samples_history.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(
+        json.dumps(
+            {"kind": "adjudication", "queries": queries, "method": f"best_of_2_x{len(samples)}jvm", "sf": sf}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
