@@ -138,11 +138,13 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _gen_1m(spark):
+def _gen_1m(spark, fact_rows: int = 1_000_000):
     """Generator throughput: 10k-customer dim + 1M-row fact with FK
     sampling and a full provider mix, materialized through noop. The
     reference generates 15 rows/table in a Python loop; this is the same
-    semantic pipeline as a codegen'd projection."""
+    semantic pipeline as a codegen'd projection. ``fact_rows`` scales
+    the fact table only (tools/gen_scale_probe.py times 10×); the
+    bench entry always runs the default 1M."""
     from synthetic_data_transfer_to_relational_database_spark.plans.executor import GenerationPlan
     from synthetic_data_transfer_to_relational_database_spark.plans.model import (
         ColumnSpec,
@@ -178,7 +180,7 @@ def _gen_1m(spark):
     }
     wire_fk_rules(tables)
     plan = GenerationPlan(
-        spark, tables, seed=42, row_counts={"Musteri": 10_000, "Hareket": 1_000_000}
+        spark, tables, seed=42, row_counts={"Musteri": 10_000, "Hareket": fact_rows}
     )
     built = plan.run(materialize=False)
     _materialize(built["Hareket"])
@@ -187,13 +189,15 @@ def _gen_1m(spark):
 _REFERENCE_SCRIPT = "/root/reference/script.sql"
 
 
-def _gen_full_schema(spark, fk_skew: float = 0.0) -> None:
+def _gen_full_schema(spark, fk_skew: float = 0.0, rows: int = 10_000) -> None:
     """The reference's complete 85-table ERP schema (script.sql), parsed
     and generated at 10k rows/table through the parquet write path —
     toposorted FK closure, subtype PK permutations, identity sequences,
     the lot. This is the end-to-end pipeline run_engine.py performs at 15
     rows/table, at 667× its row count. ``fk_skew=1.0`` warps every
-    with-replacement FK draw heavy-tailed (the skew series)."""
+    with-replacement FK draw heavy-tailed (the skew series). ``rows``
+    scales rows-per-table (tools/gen_scale_probe.py times 10×); the
+    bench entries always run the default 10k."""
     import shutil
     import tempfile
 
@@ -204,7 +208,7 @@ def _gen_full_schema(spark, fk_skew: float = 0.0) -> None:
     out = tempfile.mkdtemp(prefix="sdt_bench_fullgen_")
     try:
         plan = GenerationPlan(
-            spark, tables, seed=11, default_rows=10_000, fk_skew=fk_skew
+            spark, tables, seed=11, default_rows=rows, fk_skew=fk_skew
         )
         plan.materialize_dir = out
         # level-parallel build (16 threads): same-level tables share no

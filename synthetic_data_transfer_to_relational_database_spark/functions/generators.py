@@ -240,9 +240,13 @@ def gen_numerify(id_sql: str, seed: int, salt: str, n_digits: int) -> str:
 
 
 def gen_code(id_sql: str, seed: int, salt: str, prefix: str = "AUTO") -> str:
-    """'AUTO-####' pattern (G12; run_engine.py:73)."""
+    """'AUTO-####' pattern (G12; run_engine.py:73). The prefix is
+    interpolated into a format_string template, so any '%' it carries
+    must be doubled — _qs only protects quoting, not printf directives
+    (a literal '%s' prefix would otherwise consume the numeric arg or
+    throw at run time)."""
     return (
-        f"format_string({_qs(prefix + '-%04d')},"
+        f"format_string({_qs(prefix.replace('%', '%%') + '-%04d')},"
         f" CAST((1000 + pmod({_h(id_sql, seed, salt)}, 9000)) AS INT))"
     )
 

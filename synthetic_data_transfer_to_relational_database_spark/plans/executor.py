@@ -10,9 +10,16 @@ The Spark-native re-expression of the reference's engines
   exprs)`` — whole-stage codegen, no Python row loop (SURVEY.md §4).
 - **FK sampling join (J1, run_engine.py:156-162)**: each child row gets a
   uniformly-random EXISTING parent key. Two physical strategies:
-    * parents ≤ `broadcast_threshold`: collected key array broadcast into
-      an ``element_at(keys, pmod(hash, n)+1)`` expression — zero shuffle,
-      mirroring the reference's 1000-key ID cache but complete;
+    * parents ≤ `broadcast_threshold` rows AND an estimated
+      ≤ `broadcast_key_bytes` of rendered key text: collected key array
+      broadcast into an ``element_at(keys, pmod(hash, n)+1)`` expression
+      — zero shuffle, mirroring the reference's 1000-key ID cache but
+      complete. The byte cap exists because the literal array rides in
+      the TASK BINARY and every task thread deserializes its own boxed
+      copy: at 100k uuid keys (~4 MB text) × 32 local task threads the
+      per-task copies alone OOM a default 1g heap (measured r10, the
+      10× full-schema probe), and on a real cluster the closure
+      re-ships per stage;
     * larger parents: deterministic random index on the child + equi-join
       against ``parent.zipWithIndex`` — shuffle-based, scales to any
       parent cardinality, AQE handles skew.
@@ -120,6 +127,11 @@ class GenerationPlan:
     row_counts: dict[str, int] = field(default_factory=dict)
     default_rows: int = DEFAULT_ROW_COUNT
     broadcast_threshold: int = 100_000
+    # second gate on the collected-array FK path: estimated rendered key
+    # bytes (n_parent × per-key width by dtype). 2 MiB ≈ 55k uuids —
+    # big parents switch to the equi-join strategy, whose cost scales
+    # with the shuffle, not with per-task literal deserialization.
+    broadcast_key_bytes: int = 2 << 20
     num_partitions: int | None = None
     # opt-in heavy-tailed FK sampling (see _sample_idx): 0.0 = uniform
     # (the reference's semantics and every oracle-checked default);
@@ -316,7 +328,11 @@ class GenerationPlan:
         if fn is not None:
             return F.expr(fn(self._sample_idx(id_sql, salt, n_parent, col.unique, child_rows)))
 
-        if n_parent <= self.broadcast_threshold:
+        if (
+            n_parent <= self.broadcast_threshold
+            and n_parent * self._key_width_estimate(parent_name, parent_col)
+            <= self.broadcast_key_bytes
+        ):
             keys = [r[0] for r in parent_df.select(parent_col).collect()]
             # ONE array literal (a single Catalyst Literal node), not 10^5
             # F.lit() Column constructions — the per-element form blows up
@@ -327,6 +343,22 @@ class GenerationPlan:
 
         # large-parent path is planned in _build_table via an equi-join
         raise _NeedsJoin(parent_name, parent_col)
+
+    def _key_width_estimate(self, parent_name: str, parent_col: str) -> int:
+        """Rendered-SQL bytes per key for the collected-array gate —
+        rough and dtype-based, decided BEFORE collecting anything so an
+        over-cap parent never pays the driver fetch it would discard."""
+        t = self.tables.get(parent_name)
+        spec = None
+        if t is not None:
+            spec = next((c for c in t.columns if c.name == parent_col), None)
+        if spec is None:
+            return 40
+        if spec.dtype == "uuid":
+            return 39  # 36 chars + quotes + comma
+        if spec.dtype in ("int", "short", "long"):
+            return 22
+        return max(spec.length or 24, 8) + 3
 
     def _fk_fallback(self, col: ColumnSpec, id_sql: str, salt: str) -> Column:
         """J2 semantics (run_engine.py:160-162): fabricate by type."""

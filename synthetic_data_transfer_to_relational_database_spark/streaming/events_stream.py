@@ -21,7 +21,14 @@ Execution model notes (the part that matters at scale):
   run-to-completion parity queries we use complete/update mode (nothing
   may be dropped — the oracle sees all windows); the append-mode +
   watermark late-data path is exercised in tests where partial emission
-  is the EXPECTED semantics.
+  is the EXPECTED semantics. The exact late-data policy is pinned by an
+  out-of-order multi-batch replay drill (tests/test_streaming.py
+  ``*_late_event_*``): a late row still MERGES while its window's state
+  is live — including in the very batch whose watermark finalizes the
+  window, since finalization+eviction happen at batch END — and is
+  DROPPED (no recount, no duplicate emission, no watermark movement)
+  once the window has been evicted; append emits each window exactly
+  once and withholds the open tail.
 - Session windows shuffle once on (user_id); Spark merges overlapping
   session state per key — the streaming analogue of the batch
   gap-and-islands plan.

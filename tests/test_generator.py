@@ -140,6 +140,41 @@ def test_iban_mod97_valid(spark):
         assert int(rearranged) % 97 == 1, iban
 
 
+def test_broadcast_key_byte_cap_switches_to_join_path_identically(spark):
+    """The collected-array FK path is gated by estimated key BYTES as
+    well as parent rows (at 100k uuid keys the per-task literal copies
+    OOM a 1g heap — measured r10). Forcing the cap to 1 byte must route
+    every non-expression-PK FK through the equi-join strategy and stay
+    row-identical to the array-path build."""
+    plan_a = GenerationPlan(spark, mini_erp(), seed=7, row_counts=ROWS)
+    a = plan_a.run()
+    plan_j = GenerationPlan(
+        spark, mini_erp(), seed=7, row_counts=ROWS, broadcast_key_bytes=1
+    )
+    j = plan_j.run()
+    for name in a:
+        cols = a[name].columns
+        assert (
+            a[name].select(cols).exceptAll(j[name].select(cols)).count() == 0
+            and j[name].select(cols).exceptAll(a[name].select(cols)).count() == 0
+        ), f"dispatch paths diverge on {name}"
+
+
+def test_code_prefix_with_percent_is_literal(spark):
+    # gen_code interpolates the prefix into a format_string template;
+    # '%' must be escaped to '%%' or a '%s' prefix consumes the numeric
+    # arg (or errors). The fix doubles it before template assembly.
+    from pyspark.sql import functions as F
+    from synthetic_data_transfer_to_relational_database_spark.functions import generators as G
+
+    df = spark.range(0, 50).select(
+        F.expr(G.gen_code("id", 42, "kod", prefix="A%sB%")).alias("code")
+    )
+    for (code,) in df.collect():
+        head, _, num = code.rpartition("-")
+        assert head == "A%sB%" and len(num) == 4 and num.isdigit(), code
+
+
 def test_ean13_check_digit_valid(spark):
     from pyspark.sql import functions as F
     from synthetic_data_transfer_to_relational_database_spark.functions import generators as G

@@ -858,3 +858,126 @@ def test_forget_all_documents_keeps_corpus_readable(spark, tmp_path):
     assert again == {"docs_removed": 0, "index_rows_removed": 0,
                      "batches_rewritten": 0}
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+# ---------------------------------------------------------------------------
+# Late-data drill: out-of-order replay across micro-batch boundaries.
+# A multi-file source drained with maxFilesPerTrigger=1 makes the watermark
+# advance BETWEEN files, so later files' rows are genuinely late rather than
+# same-batch out-of-order. The pinned semantics (measured on this engine,
+# and what these tests exist to catch regressions of):
+#   - a late row MERGES into its window as long as the window's state is
+#     still live — including arriving in the very batch whose watermark
+#     finalizes that window (finalization+eviction happen at batch END);
+#   - once a window has been finalized and evicted, an even-later row for
+#     it is DROPPED: it is not recounted, produces NO duplicate emission
+#     of the window, and does not advance the watermark;
+#   - append mode emits a window exactly once, in the first batch whose
+#     watermark ≥ window end; the trailing open window is withheld.
+# ---------------------------------------------------------------------------
+
+
+def _late_replay_source(spark, tmp_path, batches):
+    """Write each batch as one parquet file with strictly increasing
+    mtimes (FileStreamSource orders by modification time), return a
+    1-file-per-trigger streaming reader over the directory."""
+    import os
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts timestamp, user_id bigint, event_type string, value double"
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema=schema)
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dest = src / f"b{i}.parquet"
+        part.rename(dest)
+        t = _time.time() + i * 10  # widely spaced, order-proof mtimes
+        os.utime(dest, (t, t))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+
+def _dt(hhmm):
+    import datetime
+
+    h, m = divmod(hhmm, 100)
+    return datetime.datetime(2026, 1, 1, h, m)
+
+
+def test_tumbling_late_event_dropped_vs_merged(spark, tmp_path):
+    """Batch 0 (10:05, 10:20, 11:55) leaves the watermark at 11:45.
+    Batch 1 (13:10) runs WITH wm 11:45: window 10:00 is finalized and
+    emitted at its end, wm moves to 13:00, finalizing window 11:00 next.
+    Batch 2 (10:30) is then late for an evicted window → dropped: not
+    recounted, no duplicate 10:00 emission, wm stays 13:00. Batch 3
+    (15:00) closes 13:00; window 15:00 is withheld (open tail)."""
+    events = _late_replay_source(
+        spark,
+        tmp_path,
+        [
+            [(_dt(1005), 1, "a", 1.0), (_dt(1020), 1, "a", 1.0), (_dt(1155), 1, "a", 1.0)],
+            [(_dt(1310), 1, "a", 1.0)],
+            [(_dt(1030), 1, "a", 1.0)],
+            [(_dt(1500), 1, "a", 1.0)],
+        ],
+    )
+    got = run_to_completion(tumbling_agg(events, watermark="10 minutes"), "append")
+    rows = [(r["win_start"], r["n_events"]) for r in got.collect()]
+    assert len(rows) == len(set(r[0] for r in rows)), "duplicate window emission"
+    assert dict(rows) == {_dt(1000): 2, _dt(1100): 1, _dt(1300): 1}
+
+
+def test_tumbling_late_event_merges_while_window_state_live(spark, tmp_path):
+    """The merge side of the policy: batch 1's 10:30 is below the
+    watermark (11:45) but window 10:00 has not been finalized yet —
+    finalization happens at the END of the batch — so the row merges
+    and the single emission of window 10:00 counts it. This is the
+    semantics boundary a 'drop strictly below watermark' rewrite would
+    silently change."""
+    events = _late_replay_source(
+        spark,
+        tmp_path,
+        [
+            [(_dt(1005), 1, "a", 1.0), (_dt(1020), 1, "a", 1.0), (_dt(1155), 1, "a", 1.0)],
+            [(_dt(1030), 1, "a", 1.0), (_dt(1310), 1, "a", 1.0)],
+            [(_dt(1500), 1, "a", 1.0)],
+        ],
+    )
+    got = run_to_completion(tumbling_agg(events, watermark="10 minutes"), "append")
+    by_window = {r["win_start"]: r["n_events"] for r in got.collect()}
+    assert by_window == {_dt(1000): 3, _dt(1100): 1, _dt(1300): 1}
+
+
+def test_session_late_event_dropped_vs_merged(spark, tmp_path):
+    """Same drill for session windows (30-min gap): batch 0 builds a
+    2-event session 10:00–10:40 and a singleton at 12:00 (wm → 11:50);
+    batch 1 (13:30) finalizes the first session and moves wm to 13:20;
+    batch 2's 10:20 — which would have EXTENDED the first session —
+    arrives after its eviction → dropped, no third count, no duplicate
+    or shifted session emission; batch 3 (15:00) closes the rest.
+    Expected: (10:00–10:40, 2), (12:00–12:30, 1), (13:30–14:00, 1)."""
+    events = _late_replay_source(
+        spark,
+        tmp_path,
+        [
+            [(_dt(1000), 1, "a", 1.0), (_dt(1010), 1, "a", 1.0), (_dt(1200), 1, "a", 1.0)],
+            [(_dt(1330), 1, "a", 1.0)],
+            [(_dt(1020), 1, "a", 1.0)],
+            [(_dt(1500), 1, "a", 1.0)],
+        ],
+    )
+    got = run_to_completion(session_agg(events, watermark="10 minutes"), "append")
+    rows = {
+        (r["session_start"], r["session_end"], r["n_events"]) for r in got.collect()
+    }
+    assert rows == {
+        (_dt(1000), _dt(1040), 2),
+        (_dt(1200), _dt(1230), 1),
+        (_dt(1330), _dt(1400), 1),
+    }
