@@ -116,7 +116,18 @@ GEN_FULL_SCHEMA_SKEW = "gen_full_schema_skew"
 # microbenchmark); file split + index bootstrap happen OUTSIDE the
 # timed region. Excluded from every comparable total; series starts r7.
 INGEST_CORPUS = "ingest_corpus_4batches"
-_PIPELINE_KEYS = {GEN_FULL_SCHEMA, GEN_FULL_SCHEMA_SKEW, INGEST_CORPUS}
+# New in r10: the day-2 maintenance cost on the corpus the ingest entry
+# just built — the composed `maintain --full` pass (compact_corpus
+# folds the 4 committed micro-batch directories into the base,
+# compact_index drops crash-replay duplicate rows, verify_index runs
+# last so its verdict covers the post-maintenance state). Timed in the
+# same JVM right after the ingest drain, against the same tmp corpus,
+# before teardown. Single pass, excluded from every comparable total
+# (pipeline scale); its own series starts r10 — this is the number the
+# SCALE.md batch-sizing guidance needs for "how often can you afford
+# the maintenance pass".
+MAINTAIN_FULL = "maintain_full_after_4batches"
+_PIPELINE_KEYS = {GEN_FULL_SCHEMA, GEN_FULL_SCHEMA_SKEW, INGEST_CORPUS, MAINTAIN_FULL}
 _GEN_KEYS = _PIPELINE_KEYS  # historical alias used by the totals below
 NONCOMPARABLE = {
     FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *_PIPELINE_KEYS
@@ -222,20 +233,28 @@ def _gen_full_schema(spark, fk_skew: float = 0.0, rows: int = 10_000) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _ingest_corpus(spark, sf_dir: str, n_batches: int = 4) -> float:
+def _ingest_corpus(spark, sf_dir: str, n_batches: int = 4, with_maintain: bool = False):
     """``n_batches`` crawl files through the incremental near-dup ingest;
     returns the drain wall time — the split/bootstrap setup runs before
-    the clock starts. The headline entry times the 4-batch split; the
-    per-batch cost-split experiment (tools/ingest_cost_split.py,
-    SCALE.md) re-times the SAME corpus at 8 batches to separate fixed
-    micro-batch overhead from per-row work."""
+    the clock starts. ``with_maintain`` additionally times the composed
+    day-2 maintenance pass (compact_corpus + compact_index +
+    verify_index, the `maintain --full` CLI body) against the corpus
+    the drain just built, returning ``(drain, maintain)`` instead
+    (tools/ingest_cost_split.py keeps the drain-only form so its
+    two-point model stays pure). The headline entry times the 4-batch
+    split; the cost-split experiment re-times the SAME corpus at 8
+    batches to separate fixed micro-batch overhead from per-row
+    work."""
     import glob as _glob
     import shutil
     import tempfile
 
     from synthetic_data_transfer_to_relational_database_spark.streaming.ingest import (
+        compact_corpus,
+        compact_index,
         ensure_index,
         stream_documents,
+        verify_index,
         write_stream_dedup_ingest,
     )
 
@@ -266,7 +285,19 @@ def _ingest_corpus(spark, sf_dir: str, n_batches: int = 4) -> float:
             os.path.join(tmp, "corpus"),
             os.path.join(tmp, "ckpt"),
         ).awaitTermination()
-        return time.perf_counter() - t0
+        drain = time.perf_counter() - t0
+        if not with_maintain:
+            return drain
+
+        out = os.path.join(tmp, "corpus")
+        t1 = time.perf_counter()
+        compact_corpus(spark, out)
+        compact_index(spark, table)
+        report = verify_index(spark, table, out)
+        maintain = time.perf_counter() - t1
+        if not report["ok"]:  # a broken corpus must not pose as a timing
+            raise RuntimeError(f"maintain-full verify failed: {report}")
+        return drain, maintain
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -307,9 +338,9 @@ def run_sample(sf_dir: str) -> dict:
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
 
-    dt = round(_ingest_corpus(spark, sf_dir), 3)
-    timings[INGEST_CORPUS] = dt
-    first_pass[INGEST_CORPUS] = dt
+    drain, maintain = _ingest_corpus(spark, sf_dir, with_maintain=True)
+    timings[INGEST_CORPUS] = first_pass[INGEST_CORPUS] = round(drain, 3)
+    timings[MAINTAIN_FULL] = first_pass[MAINTAIN_FULL] = round(maintain, 3)
     spark.catalog.clearCache()
 
     if os.path.exists(_REFERENCE_SCRIPT):
