@@ -268,13 +268,20 @@ def gen_lexify(id_sql: str, seed: int, salt: str, n_chars: int = 4) -> str:
     while left > 0:
         take = min(left, 10)
         draw = f"pmod({_h(id_sql, seed, salt, k)}, {_qi(26 ** take)})"
-        chunks.append(
-            f"translate(lpad(conv(CAST({draw} AS STRING), 10, 26),"
-            f" {take}, '0'), '{_CONV_LOWER[0]}', '{_CONV_LOWER[1]}')"
-        )
+        chunks.append(_lex_chars(draw, take))
         left -= take
         k += 1
     return chunks[0] if len(chunks) == 1 else f"concat({', '.join(chunks)})"
+
+
+def _lex_chars(idx_sql: str, take: int) -> str:
+    """``take`` lowercase letters rendered from an existing uniform draw
+    in [0, 26^take) — the conv+translate trick, reusable over a _packed
+    index so callers pay zero extra hash references."""
+    return (
+        f"translate(lpad(conv(CAST({idx_sql} AS STRING), 10, 26),"
+        f" {take}, '0'), '{_CONV_LOWER[0]}', '{_CONV_LOWER[1]}')"
+    )
 
 
 # --- lookup-array providers (G8-G11) -----------------------------------
@@ -490,20 +497,35 @@ def gen_word(id_sql: str, seed: int, salt: str) -> str:
 def gen_sentence(id_sql: str, seed: int, salt: str, n_words: int = 10) -> str:
     """n-word sentence (G10; fake.sentence(nb_words), run_engine.py:68).
 
-    Two picks — a capitalized head fragment and a '.'-terminated tail
-    fragment from the precomposed banks — assemble the whole sentence
-    with two hash references; the per-word unrolled form cost ~5 KB of
-    generated Java PER WORD and pushed wide tables past janino's method
-    limit. 256×256 bank combinations per column is ample diversity for
-    description-text columns."""
+    Two bank picks — a capitalized head fragment and a '.'-terminated
+    tail fragment from the precomposed banks — plus ONE per-row lexified
+    word in the middle assemble the whole sentence from a single packed
+    draw; the per-word unrolled form cost ~5 KB of generated Java PER
+    WORD and pushed wide tables past janino's method limit. The mid
+    word spans 26⁵ ≈ 11.9M values, so sentence cardinality per column
+    is 256·26⁵·256 ≈ 7.8·10¹¹ and keeps growing with the table instead
+    of saturating at the 65,536 bank pairs (the r9 advisor note:
+    bank-only composition made multi-million-row description columns
+    duplicate-heavy, skewing any dedup/similarity run over generated
+    text). Codegen cost is one conv+translate on the already-shared
+    hash subtree — constant, fallback-safe."""
     if n_words <= 1:
         i0, = _packed(id_sql, seed, salt, [len(WORDS)], k=20)
         return f"concat(initcap({_at(WORDS, i0)}), '.')"
+    mid_span = 26**5
+    if n_words == 2:
+        hi, mi = _packed(id_sql, seed, salt, [len(WORDS), mid_span], k=20)
+        return f"concat(initcap({_at(WORDS, hi)}), ' ', {_lex_chars(mi, 5)}, '.')"
     tail_len = n_words // 2
-    head = _sentence_bank(n_words - tail_len, "head")
+    head = _sentence_bank(n_words - tail_len - 1, "head")
     tail = _sentence_bank(tail_len, "tail")
-    hi, ti = _packed(id_sql, seed, salt, [len(head), len(tail)], k=20)
-    return f"concat({_at(head, hi)}, ' ', {_at(tail, ti)})"
+    hi, mi, ti = _packed(
+        id_sql, seed, salt, [len(head), mid_span, len(tail)], k=20
+    )
+    return (
+        f"concat({_at(head, hi)}, ' ', {_lex_chars(mi, 5)},"
+        f" ' ', {_at(tail, ti)})"
+    )
 
 
 def gen_product_name(id_sql: str, seed: int, salt: str) -> str:

@@ -160,6 +160,28 @@ def test_broadcast_key_byte_cap_switches_to_join_path_identically(spark):
         ), f"dispatch paths diverge on {name}"
 
 
+def test_sentence_cardinality_grows_with_rows(spark):
+    """The r9 advisor note: bank-only sentence composition capped
+    distinct sentences per column at 65,536 (256x256 fragment pairs),
+    making multi-million-row description columns duplicate-heavy. The
+    per-row lexified mid word lifts the ceiling to ~7.8e11 — at 200k
+    rows the distinct count must clear the old cap, and the shape
+    contract (n words, capitalized head, '.' terminator) must hold."""
+    from pyspark.sql import functions as F
+    from synthetic_data_transfer_to_relational_database_spark.functions import generators as G
+
+    df = spark.range(0, 200_000).select(
+        F.expr(G.gen_sentence("id", 42, "aciklama", 10)).alias("s")
+    )
+    distinct = df.select("s").distinct().count()
+    assert distinct > 65_536, f"cardinality still bank-capped: {distinct}"
+    sample = [r[0] for r in df.limit(50).collect()]
+    for s in sample:
+        words = s.split(" ")
+        assert len(words) == 10, s
+        assert s[0].isupper() and s.endswith(".") and not s.endswith(" ."), s
+
+
 def test_code_prefix_with_percent_is_literal(spark):
     # gen_code interpolates the prefix into a format_string template;
     # '%' must be escaped to '%%' or a '%s' prefix consumes the numeric
