@@ -358,6 +358,11 @@ class GenerationPlan:
             return 39  # 36 chars + quotes + comma
         if spec.dtype in ("int", "short", "long"):
             return 22
+        if spec.length is not None and spec.length < 0:
+            # length=-1 is the varchar(MAX) sentinel (plans/model.py) —
+            # unbounded keys must never slip under the cap as "minimum
+            # width"; route straight to the join path.
+            return self.broadcast_key_bytes + 1
         return max(spec.length or 24, 8) + 3
 
     def _fk_fallback(self, col: ColumnSpec, id_sql: str, salt: str) -> Column:

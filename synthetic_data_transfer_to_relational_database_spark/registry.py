@@ -45,10 +45,13 @@ _MODULES = [
 # evidence is ≥ r8, and the r11 window is entirely free. NO new oracle
 # queries are registered in r10 (they would evict basket keys; see the
 # r7 corollary in README "Catalog freshness"). The basket, oldest first:
-#   1) the two RENAMED r2 lineages, swept for the first time under their
-#      current names so the legacy-key note in the README can retire:
-#      dedup_exact (née dedup_exact_digest) and sim_search_ivf_lloyd
-#      (née sim_search_ivf).
+#   1) the two RENAMED r2 lineages, per the r9 verdict's basket
+#      definition: dedup_exact (née dedup_exact_digest) and
+#      sim_search_ivf_lloyd (née sim_search_ivf). Both already carry r8
+#      evidence under their current names (CORRECTNESS_r08), so these
+#      two slots are a deliberate re-sweep that lets the README
+#      legacy-key note retire the r2 rows as pure history — not a
+#      staleness claim about the current names.
 #   2) the three r5 rows-only spills flagged by the r9 rotation comment:
 #      graph_pagerank, stream_jdbc_exactly_once, text_bpe_train (all
 #      rows-only-by-design; the driver records the weaker row-count

@@ -160,6 +160,28 @@ def test_broadcast_key_byte_cap_switches_to_join_path_identically(spark):
         ), f"dispatch paths diverge on {name}"
 
 
+def test_key_width_estimate_treats_varchar_max_as_over_cap():
+    # length=-1 is the varchar(MAX) sentinel: unbounded keys must never
+    # slip under the byte cap as "minimum width" — the estimate routes
+    # them straight to the join path.
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import ColumnSpec, TableSpec
+
+    plan = GenerationPlan(
+        None,
+        {
+            "P": TableSpec(
+                name="P",
+                columns=[ColumnSpec("K", "string", nullable=False, length=-1)],
+                pk=["K"],
+            )
+        },
+    )
+    assert plan._key_width_estimate("P", "K") > plan.broadcast_key_bytes
+    # and a bounded string still estimates by its declared length
+    plan.tables["P"].columns[0].length = 10
+    assert plan._key_width_estimate("P", "K") == 13
+
+
 def test_sentence_cardinality_grows_with_rows(spark):
     """The r9 advisor note: bank-only sentence composition capped
     distinct sentences per column at 65,536 (256x256 fragment pairs),

@@ -33,16 +33,15 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def _materialize(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
-
-
 def run_sample(sf_dir: str, names: list[str]) -> dict:
+    import bench  # _materialize reused so the sink/method can't drift
+
     from synthetic_data_transfer_to_relational_database_spark import registry
     from synthetic_data_transfer_to_relational_database_spark.session import get_spark
 
     spark = get_spark("sdt-bench-adjudicate")
     queries = registry.all_queries()
+    _materialize = bench._materialize
     _materialize(queries["revenue_by_nation"](spark, sf_dir))  # warm-up
 
     timings: dict[str, float] = {}
@@ -70,6 +69,21 @@ def main() -> None:
     names = sys.argv[1:]
     if not names:
         sys.exit("usage: bench_adjudicate.py <query> [query ...]")
+    # Validate BEFORE spawning JVMs: only registry queries (plus the
+    # forced-scalable alias) can be adjudicated under best-of-2 —
+    # pipeline bench entries (gen_1m_rows, gen_full_schema*,
+    # ingest_corpus_4batches, maintain_full_after_4batches) are
+    # SINGLE-PASS series by method, so best-of-2 would misstate them;
+    # re-run `python bench.py` for those instead.
+    from synthetic_data_transfer_to_relational_database_spark import registry
+
+    known = set(registry.all_queries()) | {"window_rank_scalable_forced"}
+    bad = [n for n in names if n not in known]
+    if bad:
+        sys.exit(
+            f"not adjudicable (not registry queries): {bad} — pipeline "
+            "bench entries are single-pass series; use `python bench.py`."
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 

@@ -50,12 +50,12 @@ def run_child(kind: str, n: int) -> float:
 
     spark = get_spark("sdt-gen-scale-probe")
     # Same warm-up posture as bench.py: one flagship query so JVM/codegen
-    # warm-up isn't charged to the probe.
+    # warm-up isn't charged to the probe (honoring SPARK_GRAFT_SF_DIR
+    # like every other harness entry point).
     from synthetic_data_transfer_to_relational_database_spark import registry
 
-    bench._materialize(
-        registry.all_queries()["revenue_by_nation"](spark, "/root/testdata/sf0.1")
-    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench._materialize(registry.all_queries()["revenue_by_nation"](spark, sf_dir))
     t0 = time.perf_counter()
     if kind == "full_schema":
         bench._gen_full_schema(spark, rows=n)
