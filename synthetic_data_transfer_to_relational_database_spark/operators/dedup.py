@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import table
-from ._registry import make_registry
+from ._registry import hash_bucket, make_registry
 from .skew import checkpoint_pinned
 
 QUERIES, ORACLE, q = make_registry()
@@ -240,6 +240,195 @@ def dedup_incremental(
             _est_jaccard("n.sig", "c.sig").alias("est_jaccard"),
         )
         .dropDuplicates(["new_doc_id", "corpus_doc_id"])
+    )
+
+
+_INCR_NEAR_T = 0.5  # verified word-shingle Jaccard threshold for "near"
+
+
+@q(
+    "dedup_incremental",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id, text, md5(text) AS digest,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             CAST(('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, digest, bk,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [text] END AS grams
+      FROM t
+    ), pp AS (
+      SELECT doc_id, digest, grams, bk,
+             list_min(list_transform(grams, g -> md5(g))) AS b1,
+             list_min(list_transform(grams, g -> md5('b2:' || g))) AS b2
+      FROM sh
+    ), base AS (SELECT * FROM pp WHERE bk < 8),
+       nw   AS (SELECT * FROM pp WHERE bk >= 8),
+       ex AS (
+         SELECT n.doc_id, MIN(b.doc_id) AS exact_id
+         FROM nw n JOIN base b ON b.digest = n.digest
+         GROUP BY n.doc_id
+       ),
+       cand AS (
+         SELECT n.doc_id AS new_id, b.doc_id AS base_id
+         FROM nw n JOIN base b ON b.b1 = n.b1
+         UNION
+         SELECT n.doc_id, b.doc_id
+         FROM nw n JOIN base b ON b.b2 = n.b2
+       ),
+       ver AS (
+         SELECT c.new_id, c.base_id,
+                CAST(len(list_intersect(ng.grams, bg.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ng.grams, bg.grams))) AS j
+         FROM cand c
+         JOIN nw ng ON ng.doc_id = c.new_id
+         JOIN base bg ON bg.doc_id = c.base_id
+       ),
+       near AS (
+         SELECT new_id, base_id AS near_id, j AS near_j
+         FROM (SELECT new_id, base_id, j,
+                      ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY base_id) AS rn
+               FROM ver WHERE j >= 0.5) z
+         WHERE rn = 1
+       )
+    SELECT n.doc_id,
+           CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+                WHEN near.near_id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS status,
+           CASE WHEN ex.exact_id IS NOT NULL THEN ex.exact_id
+                ELSE near.near_id END AS match_doc_id,
+           CASE WHEN ex.exact_id IS NOT NULL THEN 1.0
+                ELSE near.near_j END AS match_jaccard
+    FROM nw n
+    LEFT JOIN ex ON ex.doc_id = n.doc_id
+    LEFT JOIN near ON near.new_id = n.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-PAIRED batch face of incremental corpus dedup — the
+    cross-run shape ``dedup_incremental`` (above) and the streaming ingest
+    path (streaming/ingest.py) implement with persisted xxhash64 LSH
+    signatures, re-expressed here entirely in md5 so DuckDB reproduces
+    every hash bit-for-bit and the driver value-hash checks it.
+
+    A deterministic 80/20 hash split of ``documents`` stands in for
+    "yesterday's corpus" vs "today's batch" (``hash_bucket`` — content-
+    stable, engine-identical). Each NEW doc gets a verdict:
+
+    - ``exact``  — its md5(text) digest already exists in the base corpus
+      (match = MIN base doc_id; the 100 TB shuffle carries 32-byte
+      digests, never documents);
+    - ``near``   — it shares an LSH band with a base doc AND the exact
+      word-3-shingle Jaccard of the pair is ≥ 0.5 (match = MIN verified
+      base doc_id, with that pair's Jaccard);
+    - ``unique`` — neither.
+
+    The banding is a real OR-of-2-bands MinHash, one hash per band: band
+    key = min over the doc's distinct 3-word shingles of md5(shingle)
+    (band 2 salts the shingle first). Near-dups share most shingles, so
+    they share the min with probability ≈ Jaccard per band, OR'd across
+    bands — the verbatim small-scale analogue of ``build_lsh_index``'s
+    16-hash/4-band scheme. Candidate verification happens only within
+    band buckets, never all-pairs.
+
+    Scale shape: band/digest equi-joins shuffle (key, doc_id) pairs only
+    (Catalyst prunes the gram arrays out of both join sides); the exact
+    Jaccard verify re-joins gram arrays for CANDIDATE ids only. At 100 TB
+    you'd verify from stored signatures instead (``_est_jaccard``, as
+    ``dedup_incremental`` does) and keep the corpus side as a persisted
+    (band, band_sig)-bucketed index so only the new batch is ever signed
+    — this query is the semantics contract that path is tested against."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    pp = (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            grams.alias("grams"),
+            hash_bucket(F.concat(F.lit("incr:"), F.col("doc_id").cast("string")), 10).alias("bk"),
+        )
+        .select(
+            "*",
+            F.array_min(F.transform("grams", lambda g: F.md5(g))).alias("b1"),
+            F.array_min(F.transform("grams", lambda g: F.md5(F.concat(F.lit("b2:"), g)))).alias("b2"),
+        )
+        # both splits derive from pp; cache the prepped form so the
+        # shingle+hash pipeline runs once, not once per downstream join
+        .cache()
+    )
+    base = pp.filter(F.col("bk") < 8).drop("bk")
+    new = pp.filter(F.col("bk") >= 8).drop("bk")
+    ex = (
+        new.alias("n")
+        .join(base.alias("b"), F.col("b.digest") == F.col("n.digest"))
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min("b.doc_id").alias("exact_id"))
+    )
+    cand = (
+        new.alias("n")
+        .join(base.alias("b"), F.col("b.b1") == F.col("n.b1"))
+        .select(F.col("n.doc_id").alias("new_id"), F.col("b.doc_id").alias("base_id"))
+        .union(
+            new.alias("n")
+            .join(base.alias("b"), F.col("b.b2") == F.col("n.b2"))
+            .select(F.col("n.doc_id").alias("new_id"), F.col("b.doc_id").alias("base_id"))
+        )
+        .distinct()
+    )
+    ver = (
+        cand.join(new.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("ngrams")), "new_id")
+        .join(base.select(F.col("doc_id").alias("base_id"), F.col("grams").alias("bgrams")), "base_id")
+        .select(
+            "new_id",
+            "base_id",
+            (
+                F.size(F.array_intersect("ngrams", "bgrams")).cast("double")
+                / F.size(F.array_distinct(F.concat("ngrams", "bgrams")))
+            ).alias("j"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy("base_id")
+    near = (
+        ver.filter(F.col("j") >= _INCR_NEAR_T)
+        .select("new_id", "base_id", "j", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(F.col("new_id").alias("doc_id"), F.col("base_id").alias("near_id"), F.col("j").alias("near_j"))
+    )
+    return (
+        new.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.when(F.col("exact_id").isNotNull(), F.col("exact_id"))
+            .otherwise(F.col("near_id"))
+            .alias("match_doc_id"),
+            F.when(F.col("exact_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_j"))
+            .alias("match_jaccard"),
+        )
     )
 
 

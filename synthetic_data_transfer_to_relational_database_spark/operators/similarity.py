@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import table
-from ._registry import make_registry
+from ._registry import hash_bucket, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -220,6 +220,130 @@ def sim_centroid_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", F.element_at("embedding", 1).cast("double").alias("d1")
     )
     return prepped.groupBy("label").applyInPandas(centroid, schema=schema)
+
+
+@q(
+    "embedding_index_refresh",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             CAST(('0x' || substr(md5('vref:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bk
+      FROM embeddings
+    ), base AS (SELECT * FROM e WHERE bk < 8),
+       nw   AS (SELECT * FROM e WHERE bk >= 8),
+       cs AS (
+         SELECT label, i, SUM(CAST(ROUND(v[i] * 1000) AS BIGINT)) AS s, COUNT(*) AS n
+         FROM base, generate_series(1, 64) AS g(i)
+         GROUP BY label, i
+       ),
+       cent AS (
+         SELECT label AS cell_label, list(CAST(s AS DOUBLE) / 1000.0 / n ORDER BY i) AS cv
+         FROM cs GROUP BY label
+       ),
+       bn AS (SELECT label AS cell_label, COUNT(*) AS n_base FROM base GROUP BY label),
+       scored AS (
+         SELECT vec_id, nw.label AS true_label, cell_label,
+                list_sum(list_transform(generate_series(1, 64),
+                                        i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+         FROM nw CROSS JOIN cent
+       ),
+       assigned AS (
+         SELECT vec_id, true_label, cell_label, d2
+         FROM (SELECT vec_id, true_label, cell_label, d2,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_label) AS rn
+               FROM scored) z
+         WHERE rn = 1
+       ),
+       added AS (
+         SELECT cell_label,
+                COUNT(*) AS n_added,
+                CAST(SUM(CASE WHEN true_label = cell_label THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_label_match,
+                CAST(SUM(CAST(ROUND(d2 * 1000) AS BIGINT)) AS BIGINT) AS sum_d2_milli
+         FROM assigned GROUP BY cell_label
+       )
+    SELECT bn.cell_label,
+           n_base,
+           COALESCE(n_added, 0) AS n_added,
+           n_base + COALESCE(n_added, 0) AS n_total,
+           COALESCE(n_label_match, 0) AS n_label_match,
+           COALESCE(sum_d2_milli, 0) AS sum_d2_milli
+    FROM bn LEFT JOIN added USING (cell_label)
+    """,
+)
+def embedding_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 vector-index refresh, ORACLE-PAIRED: absorb a NEW batch of
+    embeddings into an EXISTING coarse index without rebuilding it — the
+    vector mirror of ``streaming/ingest.compact_index``'s day-2 story and
+    the upsert face of the IVF family (``sim_search_ivf*``).
+
+    A deterministic 80/20 hash split of ``embeddings`` stands in for the
+    indexed corpus vs today's batch. The "persisted index" is the base
+    split's per-label centroid table, built with the sim_centroid_scalable
+    recipe (per-dim milli-quantized BIGINT sums — one hash aggregation,
+    map-side partials, order-independent under any partitioning/AQE plan,
+    and bit-reproducible in DuckDB). Each new vector is assigned to its
+    nearest centroid (squared L2, sequential-fold over the 64 dims,
+    tiebreak label asc), and the output is the refreshed per-cell
+    occupancy: ``n_base``/``n_added``/``n_total``, plus ``n_label_match``
+    (how many arrivals landed in the cell of their true label — the
+    index-quality pulse a production refresh job alerts on) and
+    ``sum_d2_milli`` (integer-quantized assignment-distance mass — the
+    drift signal that triggers a re-cluster when cells go stale).
+
+    Scale shape: centroid build is one posexplode + hash agg whose
+    shuffle carries (label, dim, int64 partial) — 64 rows per label, not
+    vectors. The centroid table is tiny (labels × 64 doubles) and
+    explicitly ``broadcast()``: assignment is a map-side cross join over
+    the NEW batch only, one window top-1 per vector, then a count-style
+    agg. Nothing re-touches the indexed corpus except its (label) counts
+    — exactly the property that makes daily refresh O(batch), not
+    O(index)."""
+    e = table(spark, sf_dir, "embeddings")
+    bk = hash_bucket(F.concat(F.lit("vref:"), F.col("vec_id").cast("string")), 10)
+    e2 = e.select("vec_id", "label", "embedding", bk.alias("bk"))
+    base = e2.filter(F.col("bk") < 8)
+    new = e2.filter(F.col("bk") >= 8)
+    pd_ = base.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cs = pd_.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("v").cast("double") * 1000).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cd = cs.select(
+        "label", "pos", (F.col("s").cast("double") / F.lit(1000.0) / F.col("n")).alias("cd")
+    )
+    cent = (
+        cd.groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)").alias("cv"))
+        .select(F.col("label").alias("cell_label"), "cv")
+    )
+    base_n = base.groupBy(F.col("label").alias("cell_label")).agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    scored = new.crossJoin(F.broadcast(cent)).select(
+        "vec_id", F.col("label").alias("true_label"), "cell_label", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_label")
+    assigned = scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") == 1)
+    added = assigned.groupBy("cell_label").agg(
+        F.count(F.lit(1)).alias("n_added"),
+        F.sum(F.when(F.col("true_label") == F.col("cell_label"), 1).otherwise(0)).alias(
+            "n_label_match"
+        ),
+        F.sum(F.round(F.col("d2") * 1000).cast("bigint")).alias("sum_d2_milli"),
+    )
+    return base_n.join(added, "cell_label", "left").select(
+        "cell_label",
+        "n_base",
+        F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        (F.col("n_base") + F.coalesce("n_added", F.lit(0))).alias("n_total"),
+        F.coalesce("n_label_match", F.lit(0)).alias("n_label_match"),
+        F.coalesce("sum_d2_milli", F.lit(0)).alias("sum_d2_milli"),
+    )
 
 
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -582,3 +582,123 @@ def test_ann_recall_floors(spark, sf_dir_mid, family, floor):
     got = {(r["query_id"], r["vec_id"]) for r in fn(spark, sf_dir_mid).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= floor, f"{family} recall@5 = {recall:.3f} < {floor}"
+
+
+def _py_bucket(salt: str, key: int, mod: int = 10) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16) % mod
+
+
+def test_dedup_incremental_batch_python_reference(spark, sf_dir):
+    """Full Python recompute of the oracle-paired incremental-dedup batch
+    face (statuses, matched ids, Jaccards) — pins the semantics
+    independently of BOTH engines, so a Spark/DuckDB agreeing-but-wrong
+    drift (e.g. a shared banding typo) cannot slip through the driver's
+    hash gate."""
+    import hashlib
+
+    rows = dedup.QUERIES["dedup_incremental"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def grams(text: str) -> list[str]:
+        toks = text.strip().split()
+        if len(toks) >= 3:
+            out, seen = [], set()
+            for i in range(len(toks) - 2):
+                g = " ".join(toks[i : i + 3])
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+        return [text]
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    prep = {
+        d: (
+            md5(t),
+            set(grams(t)),
+            min(md5(g) for g in grams(t)),
+            min(md5("b2:" + g) for g in grams(t)),
+        )
+        for d, t in docs.items()
+    }
+    base = {d for d in docs if _py_bucket("incr:", d) < 8}
+    new = {d for d in docs if _py_bucket("incr:", d) >= 8}
+    assert {r.doc_id for r in rows} == new and len(rows) == len(new)
+
+    for r in rows:
+        dig, g, b1, b2 = prep[r.doc_id]
+        exact = sorted(b for b in base if prep[b][0] == dig)
+        cands = sorted(
+            b for b in base if prep[b][2] == b1 or prep[b][3] == b2
+        )
+        verified = [
+            (b, len(g & prep[b][1]) / len(g | prep[b][1]))
+            for b in cands
+            if len(g & prep[b][1]) / len(g | prep[b][1]) >= 0.5
+        ]
+        if exact:
+            assert (r.status, r.match_doc_id, r.match_jaccard) == ("exact", exact[0], 1.0)
+        elif verified:
+            assert (r.status, r.match_doc_id) == ("near", verified[0][0])
+            assert abs(r.match_jaccard - verified[0][1]) < 1e-12
+        else:
+            assert (r.status, r.match_doc_id, r.match_jaccard) == ("unique", None, None)
+    # the sf0.001 corpus genuinely contains near-dups — the interesting
+    # branch must be exercised, not vacuously green
+    assert any(r.status == "near" for r in rows)
+
+
+def test_embedding_index_refresh_python_reference(spark, sf_dir):
+    """Sequential-fold Python recompute of the index refresh: identical
+    centroid quantization, identical IEEE assignment arithmetic, so cell
+    occupancies must match exactly (not approximately)."""
+
+    def half_away(x: float) -> int:
+        # ROUND(x*1000) with HALF-AWAY-FROM-ZERO ties — Spark's F.round /
+        # DuckDB's round(), not Python's banker's round()
+        return int((abs(x) * 1000 + 0.5) // 1) * (-1 if x < 0 else 1)
+
+    out = {r.cell_label: r for r in similarity.QUERIES["embedding_index_refresh"](spark, sf_dir).collect()}
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    base = [r for r in vecs if _py_bucket("vref:", r.vec_id) < 8]
+    new = [r for r in vecs if _py_bucket("vref:", r.vec_id) >= 8]
+
+    cents: dict[int, list[float]] = {}
+    n_base: dict[int, int] = {}
+    for lbl in {r.label for r in base}:
+        members = [r.embedding for r in base if r.label == lbl]
+        n_base[lbl] = len(members)
+        cents[lbl] = [
+            sum(half_away(float(v[i])) for v in members) / 1000.0 / len(members)
+            for i in range(64)
+        ]
+    assigned: dict[int, list[float]] = {lbl: [] for lbl in cents}
+    match: dict[int, int] = {lbl: 0 for lbl in cents}
+    for r in new:
+        best = None
+        for lbl in sorted(cents):
+            acc = 0.0
+            for a, b in zip(r.embedding, cents[lbl]):
+                d = float(a) - b
+                acc += d * d
+            if best is None or acc < best[0]:
+                best = (acc, lbl)
+        assigned[best[1]].append(best[0])
+        if best[1] == r.label:
+            match[best[1]] += 1
+
+    assert set(out) == set(cents)
+    for lbl, r in out.items():
+        assert (r.n_base, r.n_added, r.n_total, r.n_label_match) == (
+            n_base[lbl],
+            len(assigned[lbl]),
+            n_base[lbl] + len(assigned[lbl]),
+            match[lbl],
+        )
+        assert r.sum_d2_milli == sum(half_away(d2) for d2 in assigned[lbl])
+    assert sum(r.n_added for r in out.values()) == len(new)
