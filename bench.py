@@ -235,13 +235,15 @@ def _gen_full_schema(spark, fk_skew: float = 0.0, rows: int = 10_000) -> None:
 
 def _ingest_corpus(spark, sf_dir: str, n_batches: int = 4, with_maintain: bool = False):
     """``n_batches`` crawl files through the incremental near-dup ingest;
-    returns the drain wall time — the split/bootstrap setup runs before
-    the clock starts. ``with_maintain`` additionally times the composed
-    day-2 maintenance pass (compact_corpus + compact_index +
-    verify_index, the `maintain --full` CLI body) against the corpus
-    the drain just built, returning ``(drain, maintain)`` instead
-    (tools/ingest_cost_split.py keeps the drain-only form so its
-    two-point model stays pure). The headline entry times the 4-batch
+    returns ``(drain_seconds, maintain_seconds_or_None)`` — the
+    split/bootstrap setup runs before the clock starts. ``with_maintain``
+    additionally times the composed day-2 maintenance pass
+    (compact_corpus + compact_index + verify_index, the `maintain --full`
+    CLI body) against the corpus the drain just built; without it the
+    second element is None (tools/ingest_cost_split.py uses the drain
+    element only so its two-point model stays pure). The return shape is
+    flag-INdependent on purpose — r10 advice flagged the earlier
+    float-or-tuple shape as a misuse trap. The headline entry times the 4-batch
     split; the cost-split experiment re-times the SAME corpus at 8
     batches to separate fixed micro-batch overhead from per-row
     work."""
@@ -287,7 +289,7 @@ def _ingest_corpus(spark, sf_dir: str, n_batches: int = 4, with_maintain: bool =
         ).awaitTermination()
         drain = time.perf_counter() - t0
         if not with_maintain:
-            return drain
+            return drain, None
 
         out = os.path.join(tmp, "corpus")
         t1 = time.perf_counter()
@@ -336,6 +338,10 @@ def run_sample(sf_dir: str) -> dict:
     for name in [*HEADLINE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9]:
         fn = queries[name]
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
+    # Series note: gen_1m_rows re-baselined in r11 at ≈0.5–0.8 s — the
+    # r10 sentence-cardinality fix costs ≈0.1 µs/row on the description
+    # column (measured column-level A/B, SCALE.md "Bench noise band");
+    # pre-r11 values (0.344 s r9) are not comparable.
     run_best_of_2("gen_1m_rows", lambda: _gen_1m(spark))
 
     drain, maintain = _ingest_corpus(spark, sf_dir, with_maintain=True)

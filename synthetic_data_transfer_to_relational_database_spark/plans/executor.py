@@ -310,9 +310,35 @@ class GenerationPlan:
         if override is not None:
             if not override:
                 return self._fk_fallback(col, id_sql, salt)
-            arr = _array_literal(list(override))
-            idx = (F.expr(self._sample_idx(id_sql, salt, len(override), col.unique, child_rows)) + 1).cast("int")
-            return F.element_at(arr, idx)
+            # r10 advice: the collected-path byte gate applies HERE too —
+            # it is only the default fetch_limit=1000 that keeps readback
+            # lists small, and a caller raising it re-opens the exact
+            # per-task-literal OOM the gate exists for (the array literal
+            # rides the task binary, one boxed copy per task thread).
+            # Values are already in hand, so gate on actual rendered width.
+            # Canonical (sorted) key order first: the equi-join path maps
+            # sample index -> key by GLOBAL KEY RANK (_indexed_parent), so
+            # the array path must use the same order for the two dispatch
+            # outcomes to stay row-identical (same pin as the generated-
+            # parent gate, tests/test_generator.py).
+            override = sorted(override)
+            est = sum(len(str(v)) + 3 for v in override)
+            if len(override) <= self.broadcast_threshold and est <= self.broadcast_key_bytes:
+                arr = _array_literal(list(override))
+                idx = (F.expr(self._sample_idx(id_sql, salt, len(override), col.unique, child_rows)) + 1).cast("int")
+                return F.element_at(arr, idx)
+            # Over cap: route through the same equi-join machinery as big
+            # GENERATED parents, against a DataFrame built from the
+            # readback keys. Registered under a synthetic name because
+            # the real parent_name may still hold the generated parent
+            # whose assumed keys this override supersedes.
+            syn = f"__override__{parent_name}.{parent_col}"
+            if syn not in self._built:
+                self._built[syn] = self.spark.createDataFrame(
+                    [(v,) for v in override], [parent_col]
+                )
+                self._row_count_of[syn] = len(override)
+            raise _NeedsJoin(syn, parent_col)
 
         parent_df = self._built.get(parent_name)
         if parent_df is None:
@@ -347,7 +373,16 @@ class GenerationPlan:
     def _key_width_estimate(self, parent_name: str, parent_col: str) -> int:
         """Rendered-SQL bytes per key for the collected-array gate —
         rough and dtype-based, decided BEFORE collecting anything so an
-        over-cap parent never pays the driver fetch it would discard."""
+        over-cap parent never pays the driver fetch it would discard.
+
+        The estimate (and ``broadcast_key_bytes``) is a TEXT-BYTE PROXY
+        for a several-times-larger heap footprint: the measured r10 OOM
+        is driven by per-task boxed UTF8String/array copies at ~40+
+        bytes of JVM object overhead per key, one copy per task THREAD
+        (32 on local[32]). The 2 MiB default is sized with that
+        multiplier in mind — ~2 MiB of literal text ≈ tens of MiB of
+        transient heap across a fully-parallel stage; raise it only
+        with executor heap to spare."""
         t = self.tables.get(parent_name)
         spec = None
         if t is not None:
@@ -358,6 +393,11 @@ class GenerationPlan:
             return 39  # 36 chars + quotes + comma
         if spec.dtype in ("int", "short", "long"):
             return 22
+        if spec.dtype.startswith("decimal"):
+            # r10 advice: decimal PKs previously fell to the generic
+            # length branch; size from declared precision instead —
+            # digits + sign + point + comma margin.
+            return (spec.precision or 18) + 5
         if spec.length is not None and spec.length < 0:
             # length=-1 is the varchar(MAX) sentinel (plans/model.py) —
             # unbounded keys must never slip under the cap as "minimum

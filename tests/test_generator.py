@@ -726,3 +726,55 @@ def test_packed_draws_are_uniform_even_at_high_divisors(spark):
         exp = n / 26
         chi2 = sum((r["count"] - exp) ** 2 / exp for r in counts)
         assert chi2 < 100, f"position {position}: chi2={chi2:.1f}"
+
+
+def test_override_key_byte_cap_switches_to_join_path_identically(spark):
+    """r10 advice: the live-DB readback (parent_keys_override) path gets
+    the same byte gate as collected generated keys — a caller raising
+    fetch_limit must not re-open the per-task-literal OOM. Forcing the
+    cap to 1 byte routes the override through the synthetic-parent
+    equi-join and must stay row-identical to the array path (both use
+    canonical sorted key order)."""
+    import uuid
+
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    def build(cap: int):
+        tables = {
+            "P": TableSpec(
+                name="P",
+                columns=[ColumnSpec("Id", "uuid", nullable=False, length=36, identity=True)],
+                pk=["Id"],
+                fks=[],
+            ),
+            "C": TableSpec(
+                name="C",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("PId", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["PId"], "P", ["Id"])],
+            ),
+        }
+        wire_fk_rules(tables)
+        plan = GenerationPlan(
+            spark, tables, seed=7, row_counts={"P": 10, "C": 200}, broadcast_key_bytes=cap
+        )
+        # deliberately UNSORTED readback list — identity readback order is
+        # server-defined; canonicalization must not depend on it
+        keys = sorted(str(uuid.UUID(int=i * 7919)) for i in range(1, 51))[::-1]
+        plan.parent_keys_override["P"] = {"Id": list(keys)}
+        return plan.run(materialize=False)["C"]
+
+    a = sorted(map(tuple, build(2 * 1024 * 1024).collect()))
+    j = sorted(map(tuple, build(1).collect()))
+    assert a == j
+    # and the FK values really are the override keys, not generated ones
+    override_set = {str(uuid.UUID(int=i * 7919)) for i in range(1, 51)}
+    assert {r[1] for r in a} <= override_set

@@ -28,6 +28,7 @@ _BNLJ_OK = {
     "fk_sample_join",
     "events_rolling_active",
     "text_doc_pairs_jaccard",
+    "embedding_index_refresh",  # labels×64-double centroid table broadcast to the new batch
     "text_containment",  # same 1-row n_docs crossJoin via _doc_pair_commons
     "orders_rfm",
     "skew_profile",  # 1-row stats frame broadcast onto the top-10 keys

@@ -55,7 +55,17 @@ def run_child(kind: str, n: int) -> float:
     from synthetic_data_transfer_to_relational_database_spark import registry
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    bench._materialize(registry.all_queries()["revenue_by_nation"](spark, sf_dir))
+    if os.path.exists(os.path.join(sf_dir, "nation.parquet")):
+        bench._materialize(registry.all_queries()["revenue_by_nation"](spark, sf_dir))
+    else:
+        # r10 advice: no testdata on this machine — the probe measures
+        # generator scaling and does not NEED the warm-up corpus; skip it
+        # loudly rather than dying with the cause buried in child stderr.
+        print(
+            f"gen_scale_probe: warm-up skipped — {sf_dir} has no testdata "
+            "(set SPARK_GRAFT_SF_DIR); first sample includes JVM warm-up",
+            file=sys.stderr,
+        )
     t0 = time.perf_counter()
     if kind == "full_schema":
         bench._gen_full_schema(spark, rows=n)

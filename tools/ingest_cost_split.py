@@ -54,7 +54,7 @@ def main() -> None:
     best: dict[int, float] = {}
     for n in (4, 8):
         times = [
-            round(bench._ingest_corpus(spark, sf_dir, n_batches=n), 3)
+            round(bench._ingest_corpus(spark, sf_dir, n_batches=n)[0], 3)
             for _ in range(samples)
         ]
         result["runs"][str(n)] = times
