@@ -981,3 +981,90 @@ def test_session_late_event_dropped_vs_merged(spark, tmp_path):
         (_dt(1200), _dt(1230), 1),
         (_dt(1330), _dt(1400), 1),
     }
+
+
+def test_late_drill_batch_face_parity(spark, tmp_path):
+    """Closes the loop between the two faces (r10 verdict item 6): the
+    BATCH aggregation over the same out-of-order files equals the
+    streaming run-to-completion result exactly where the policy says it
+    must — and differs by exactly the policy where it says it may.
+
+    - Merge drill (no evicted-window arrivals): batch == streaming plus
+      the withheld open-tail window (append emits a window only once its
+      watermark passes; batch has no watermark so the tail is present).
+    - Drop drill (one arrival after eviction): batch counts the dropped
+      row, streaming doesn't — the delta is exactly that one row in
+      exactly that window, nothing else."""
+    # merge drill files (test_tumbling_late_event_merges_while_window_state_live)
+    merge_batches = [
+        [(_dt(1005), 1, "a", 1.0), (_dt(1020), 1, "a", 1.0), (_dt(1155), 1, "a", 1.0)],
+        [(_dt(1030), 1, "a", 1.0), (_dt(1310), 1, "a", 1.0)],
+        [(_dt(1500), 1, "a", 1.0)],
+    ]
+    events = _late_replay_source(spark, tmp_path, merge_batches)
+    stream_rows = {
+        r["win_start"]: r["n_events"]
+        for r in run_to_completion(tumbling_agg(events, watermark="10 minutes"), "append").collect()
+    }
+    batch_df = spark.read.parquet(str(tmp_path / "late_src"))
+    batch_rows = {r["win_start"]: r["n_events"] for r in tumbling_agg(batch_df).collect()}
+    open_tail = {_dt(1500): 1}
+    assert batch_rows == {**stream_rows, **open_tail}
+
+    # drop drill files (test_tumbling_late_event_dropped_vs_merged), fresh dir
+    drop_dir = tmp_path / "drop"
+    drop_dir.mkdir()
+    drop_batches = [
+        [(_dt(1005), 1, "a", 1.0), (_dt(1020), 1, "a", 1.0), (_dt(1155), 1, "a", 1.0)],
+        [(_dt(1310), 1, "a", 1.0)],
+        [(_dt(1030), 1, "a", 1.0)],
+        [(_dt(1500), 1, "a", 1.0)],
+    ]
+    events = _late_replay_source(spark, drop_dir, drop_batches)
+    stream_rows = {
+        r["win_start"]: r["n_events"]
+        for r in run_to_completion(tumbling_agg(events, watermark="10 minutes"), "append").collect()
+    }
+    batch_df = spark.read.parquet(str(drop_dir / "late_src"))
+    batch_rows = {r["win_start"]: r["n_events"] for r in tumbling_agg(batch_df).collect()}
+    # batch sees the 10:30 row the stream evicted-and-dropped: +1 in the
+    # 10:00 window, open tail present, everything else identical
+    assert batch_rows == {
+        **stream_rows,
+        _dt(1000): stream_rows[_dt(1000)] + 1,
+        **{_dt(1500): 1},
+    }
+
+
+def test_late_drill_batch_face_parity_session(spark, tmp_path):
+    """Same two-face assertion for session windows: batch over the drop
+    drill's files re-extends the session the stream evicted (10:20
+    bridges 10:00–10:40 into 10:00–10:50), so the delta is exactly one
+    reshaped session plus the open tail."""
+    drop_batches = [
+        [(_dt(1000), 1, "a", 1.0), (_dt(1010), 1, "a", 1.0), (_dt(1200), 1, "a", 1.0)],
+        [(_dt(1330), 1, "a", 1.0)],
+        [(_dt(1020), 1, "a", 1.0)],
+        [(_dt(1500), 1, "a", 1.0)],
+    ]
+    events = _late_replay_source(spark, tmp_path, drop_batches)
+    stream_rows = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in run_to_completion(session_agg(events, watermark="10 minutes"), "append").collect()
+    }
+    batch_df = spark.read.parquet(str(tmp_path / "late_src"))
+    batch_rows = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in session_agg(batch_df).collect()
+    }
+    assert stream_rows == {
+        (_dt(1000), _dt(1040), 2),
+        (_dt(1200), _dt(1230), 1),
+        (_dt(1330), _dt(1400), 1),
+    }
+    assert batch_rows == {
+        (_dt(1000), _dt(1050), 3),  # dropped 10:20 re-extends the session in batch
+        (_dt(1200), _dt(1230), 1),
+        (_dt(1330), _dt(1400), 1),
+        (_dt(1500), _dt(1530), 1),  # open tail, withheld by append mode
+    }
