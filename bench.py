@@ -435,14 +435,25 @@ def main() -> None:
         sum(v for n, v in queries.items() if n not in _GEN_KEYS), 3
     )
 
-    # The full per-JVM samples go to a repo file, NOT stdout: r4's merged
-    # line embedded them and outgrew the driver's 2 kB tail capture
-    # (BENCH_r04.json "parsed": null). The driver only needs the compact
-    # merged line, emitted LAST and ALONE.
+    # Raw samples live OFF stdout: r4's merged line embedded them and
+    # outgrew the driver's 2 kB tail capture (BENCH_r04.json "parsed":
+    # null). From r11 the in-place file holds only the MERGED best-of
+    # summary (a reviewable ~30-line diff per run); the full per-JVM
+    # samples are append-only in BENCH_samples_history.jsonl below —
+    # that split is the r10-verdict stretch item 8.
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(repo, "BENCH_samples.json"), "w") as f:
-            json.dump({"sf": sf, "samples": samples}, f, indent=1)
+            json.dump(
+                {
+                    "sf": sf,
+                    "queries_best_of_runs": queries,
+                    "n_jvm_samples": len(samples),
+                    "raw_samples": "BENCH_samples_history.jsonl (append-only)",
+                },
+                f,
+                indent=1,
+            )
     except OSError as e:  # bench must still report even on a read-only tree
         print(f"could not write BENCH_samples.json: {e}", file=sys.stderr)
     try:
