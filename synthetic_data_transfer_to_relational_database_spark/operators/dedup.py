@@ -248,7 +248,9 @@ _INCR_NEAR_T = 0.5  # verified word-shingle Jaccard threshold for "near"
 
 @q(
     "dedup_incremental",
-    sql=r"""
+    # rf-string: the near threshold below is _INCR_NEAR_T — one knob,
+    # both faces (a hand-edited twin would fail the driver hash opaquely)
+    sql=rf"""
     WITH t AS (
       SELECT doc_id, text, md5(text) AS digest,
              regexp_split_to_array(trim(text), '\s+') AS toks,
@@ -292,7 +294,7 @@ _INCR_NEAR_T = 0.5  # verified word-shingle Jaccard threshold for "near"
          SELECT new_id, base_id AS near_id, j AS near_j
          FROM (SELECT new_id, base_id, j,
                       ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY base_id) AS rn
-               FROM ver WHERE j >= 0.5) z
+               FROM ver WHERE j >= {_INCR_NEAR_T}) z
          WHERE rn = 1
        )
     SELECT n.doc_id,

@@ -156,6 +156,10 @@ class GenerationPlan:
     _built: dict[str, DataFrame] = field(default_factory=dict)
     _pk_expr_fns: dict[str, object] = field(default_factory=dict)
     _row_count_of: dict[str, int] = field(default_factory=dict)
+    # (parent, col) -> (sorted keys, rendered-byte estimate) memo for the
+    # parent_keys_override byte gate (concurrent same-key writes are
+    # GIL-atomic and value-identical — same-level builds may race benignly)
+    _override_prepped: dict[tuple[str, str], tuple[list, int]] = field(default_factory=dict)
     # per-table scratch caches (indexed-parent frames) released once the
     # child that referenced them is materialized. THREAD-LOCAL because
     # run(parallelism=N) builds same-level tables on concurrent threads
@@ -320,9 +324,17 @@ class GenerationPlan:
             # sample index -> key by GLOBAL KEY RANK (_indexed_parent), so
             # the array path must use the same order for the two dispatch
             # outcomes to stay row-identical (same pin as the generated-
-            # parent gate, tests/test_generator.py).
-            override = sorted(override)
-            est = sum(len(str(v)) + 3 for v in override)
+            # parent gate, tests/test_generator.py). Sort + byte estimate
+            # are memoized per (parent, col): a 1M-key readback referenced
+            # by many children would otherwise re-pay O(n log n) driver
+            # work per FK column.
+            memo_key = (parent_name, parent_col)
+            prepped = self._override_prepped.get(memo_key)
+            if prepped is None:
+                srt = sorted(override)
+                prepped = (srt, sum(len(str(v)) + 3 for v in srt))
+                self._override_prepped[memo_key] = prepped
+            override, est = prepped
             if len(override) <= self.broadcast_threshold and est <= self.broadcast_key_bytes:
                 arr = _array_literal(list(override))
                 idx = (F.expr(self._sample_idx(id_sql, salt, len(override), col.unique, child_rows)) + 1).cast("int")
@@ -704,7 +716,10 @@ class GenerationPlan:
         level cannot influence any sampled key (locked by
         tests/test_generator.py)."""
         self.for_each_level(lambda n: self.build_one(n, materialize), parallelism)
-        return dict(self._built)
+        # synthetic __override__ key frames (the over-cap readback path)
+        # are join scaffolding, not schema tables — callers enumerating
+        # the result (table writers, CLI counts) must not see them
+        return {k: v for k, v in self._built.items() if not k.startswith("__override__")}
 
 
 class _NeedsJoin(Exception):

@@ -658,10 +658,15 @@ def test_embedding_index_refresh_python_reference(spark, sf_dir):
     centroid quantization, identical IEEE assignment arithmetic, so cell
     occupancies must match exactly (not approximately)."""
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     def half_away(x: float) -> int:
-        # ROUND(x*1000) with HALF-AWAY-FROM-ZERO ties — Spark's F.round /
-        # DuckDB's round(), not Python's banker's round()
-        return int((abs(x) * 1000 + 0.5) // 1) * (-1 if x < 0 else 1)
+        # ROUND(x*1000) exactly as Spark evaluates it: the double multiply
+        # first, then HALF_UP on the double's shortest decimal repr
+        # (BigDecimal.valueOf ≙ Decimal(repr)). An add-0.5-then-floor
+        # trick diverges within 1 ulp of a .5 tie — not acceptable in the
+        # reference that arbitrates between the engines.
+        return int(Decimal(repr(x * 1000)).quantize(Decimal(1), ROUND_HALF_UP))
 
     out = {r.cell_label: r for r in similarity.QUERIES["embedding_index_refresh"](spark, sf_dir).collect()}
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
