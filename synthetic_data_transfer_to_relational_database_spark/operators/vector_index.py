@@ -1,0 +1,311 @@
+"""Persisted IVF vector index with a day-2 refresh story — the vector
+mirror of the LSH corpus index (streaming/ingest.py): build once, absorb
+daily embedding batches in O(batch), verify invariants, re-cluster only
+when measured drift says so.
+
+The oracle-paired ``embedding_index_refresh`` query (similarity.py) is
+the SEMANTICS CONTRACT for the refresh: built in ``centroids="by_label"``
+mode over the same hash split, ``refresh_vector_index`` must reproduce
+that query's per-cell (n_added, n_label_match, sum_d2_milli) EXACTLY
+(tests/test_vector_index.py pins it). Production mode is
+``centroids="kmeans"`` — the similarity.py Lloyd pipeline — where cells
+are geometry, not labels.
+
+Persistence is PATH-BASED, deliberately not catalog-based: the cells
+dataset is parquet partitioned by ``cell_id`` (directory layout IS the
+partition pruning — a probed-cell scan reads only those directories),
+and the centroid model is a small JSON artifact next to it (the
+``build_pq_index`` ``_codebook.json`` recipe). Nothing lives in Spark's
+in-memory catalog, so a fresh process needs NO re-registration step —
+the failure mode ``ensure_index`` exists to handle for the bucketed LSH
+table cannot occur here.
+
+Scale shape:
+- build: one pass over the corpus (assignment = broadcast of k×64
+  doubles, map-side), one partitioned write. Lloyd iterations are the
+  sim_search_ivf_lloyd plan (k hash-agg groups, never pairwise).
+- refresh: reads ONLY the JSON model (never the cells data), assigns
+  the new batch map-side, APPENDS the new partitions, rewrites the
+  model's counters. Cost is O(batch × k) — the index data is untouched,
+  which is the whole point at 100 TB (tests assert the refresh plan
+  scans no index file).
+- drift: every refresh accumulates integer-quantized assignment
+  distance mass (sum_d2_milli — order-independent, exact under any
+  partitioning). When the running mean per-vector distance of arrivals
+  exceeds ``rebuild_factor`` × the build-time mean, the report says
+  ``rebuild_recommended`` — the measured trigger for re-clustering,
+  instead of a cron guess.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import _fold_sum, _lloyd_refine, _seed_centroids
+
+_META = "_centroids.json"
+_CELLS = "cells"
+
+def _d2_col() -> F.Column:
+    # built lazily: F.expr needs an active SparkContext, and this module
+    # must stay importable (test collection, CLI help) without one
+    return F.expr(
+        "aggregate(zip_with(embedding, cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_path(path: str) -> str:
+    return path if "://" in path else os.path.abspath(path)
+
+
+def _label_centroids(vectors: DataFrame) -> list[tuple[int, list[float]]]:
+    """Per-label milli-quantized centroids — the embedding_index_refresh
+    recipe verbatim (integer sums per dim: order-independent under any
+    partitioning/AQE re-plan, and exactly reproducible cross-engine)."""
+    pd_ = vectors.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cs = pd_.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("v").cast("double") * 1000).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cd = cs.select(
+        "label", "pos", (F.col("s").cast("double") / F.lit(1000.0) / F.col("n")).alias("cd")
+    )
+    rows = (
+        cd.groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, cd))), x -> x.cd)").alias("cv"))
+        .collect()  # bounded: one row per label
+    )
+    return sorted((int(r.label), [float(x) for x in r.cv]) for r in rows)
+
+
+def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, label, embedding) → + (cell_id, d2): nearest centroid by
+    squared L2 (sequential fold, tiebreak cell_id asc). The centroid
+    table is k rows — broadcast, so assignment is map-side over the
+    input; the one shuffle is the row_number argmin on vec_id."""
+    cent = spark.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], "cell_id int, cv array<double>"
+    )
+    scored = vectors.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "embedding", "cell_id", _d2_col().alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+
+
+def read_meta(path: str) -> dict:
+    with open(os.path.join(_norm_path(path), _META)) as f:
+        return json.load(f)
+
+
+def build_vector_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    centroids: str = "kmeans",
+    lloyd_iters: int = 3,
+) -> dict:
+    """Build-once step. ``vectors`` must carry (vec_id, embedding, label
+    — label may be a constant for unlabeled corpora). Writes
+    ``<path>/cells/`` parquet partitioned by cell_id (embedding included:
+    the serve path reads probed cells only and never a separate corpus)
+    and ``<path>/_centroids.json`` (k×dim doubles + counters). Returns
+    the metadata dict."""
+    path = _norm_path(path)
+    if centroids == "by_label":
+        cents = _label_centroids(vectors)
+    elif centroids == "kmeans":
+        seeds = _seed_centroids(vectors)
+        if n_cells > len(seeds):
+            raise ValueError(f"n_cells={n_cells} exceeds the {len(seeds)} deterministic seeds")
+        cvs = _lloyd_refine(vectors, seeds[:n_cells], iters=lloyd_iters)
+        cents = list(enumerate([list(map(float, c)) for c in cvs]))
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    assigned = _assign(spark, vectors, cents)
+    assigned.select("cell_id", "vec_id", "label", "embedding", "d2").write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(os.path.join(path, _CELLS))
+    stats = {
+        int(r.cell_id): {"n": int(r.n), "d2_milli": int(r.m)}
+        for r in assigned.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("d2") * 1000).cast("bigint")).alias("m"),
+        )
+        .collect()  # bounded: one row per cell
+    }
+    n_total = sum(s["n"] for s in stats.values())
+    base_milli = sum(s["d2_milli"] for s in stats.values())
+    meta = {
+        "mode": centroids,
+        "centroids": [{"cell_id": cid, "cv": cv} for cid, cv in cents],
+        "cells": {str(c): s for c, s in stats.items()},
+        "n_vectors": n_total,
+        # build-time mean per-vector assignment distance (milli) — the
+        # drift yardstick every refresh compares against
+        "base_mean_d2_milli": (base_milli / n_total) if n_total else 0.0,
+        "refresh_d2_milli": 0,
+        "refresh_n": 0,
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def refresh_vector_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    rebuild_factor: float = 2.0,
+) -> dict:
+    """Day-2 upsert: assign ``new_vectors`` to the EXISTING centroids,
+    append them to the cells dataset, fold the per-cell counters and
+    drift mass into the model artifact. Reads only the JSON model —
+    never the index data — so cost is O(batch), not O(index). Returns a
+    report with per-cell adds and ``rebuild_recommended`` (running mean
+    arrival distance > ``rebuild_factor`` × build-time mean: the cells
+    no longer describe the data and a re-cluster pays for itself)."""
+    path = _norm_path(path)
+    meta = read_meta(path)
+    cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
+    assigned = _assign(spark, new_vectors, cents)
+    assigned.select("cell_id", "vec_id", "label", "embedding", "d2").write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(os.path.join(path, _CELLS))
+    added = {
+        int(r.cell_id): {
+            "n_added": int(r.n),
+            "n_label_match": int(r.lm),
+            "sum_d2_milli": int(r.m),
+        }
+        for r in assigned.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("label") == F.col("cell_id"), 1).otherwise(0)).alias("lm"),
+            F.sum(F.round(F.col("d2") * 1000).cast("bigint")).alias("m"),
+        )
+        .collect()  # bounded: one row per cell
+    }
+    n_added = sum(a["n_added"] for a in added.values())
+    d2_added = sum(a["sum_d2_milli"] for a in added.values())
+    for cid, a in added.items():
+        cell = meta["cells"].setdefault(str(cid), {"n": 0, "d2_milli": 0})
+        cell["n"] += a["n_added"]
+        cell["d2_milli"] += a["sum_d2_milli"]
+    meta["n_vectors"] += n_added
+    meta["refresh_n"] += n_added
+    meta["refresh_d2_milli"] += d2_added
+    _write_meta(path, meta)
+    arrival_mean = (meta["refresh_d2_milli"] / meta["refresh_n"]) if meta["refresh_n"] else 0.0
+    return {
+        "n_added": n_added,
+        "cells": added,
+        "arrival_mean_d2_milli": arrival_mean,
+        "base_mean_d2_milli": meta["base_mean_d2_milli"],
+        "rebuild_recommended": bool(
+            meta["base_mean_d2_milli"] > 0
+            and arrival_mean > rebuild_factor * meta["base_mean_d2_milli"]
+        ),
+    }
+
+
+def verify_vector_index(spark: SparkSession, path: str) -> dict:
+    """Invariant check (the verify_index recipe for vectors): the model's
+    per-cell counters must equal the parquet's actual per-cell counts,
+    every data cell must have a centroid, and the total must add up.
+    Returns {ok, n_meta, n_data, orphan_cells, mismatched_cells}."""
+    path = _norm_path(path)
+    meta = read_meta(path)
+    counts = {
+        int(r.cell_id): int(r.n)
+        for r in spark.read.parquet(os.path.join(path, _CELLS))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per cell
+    }
+    known = {int(c["cell_id"]) for c in meta["centroids"]}
+    orphans = sorted(c for c in counts if c not in known)
+    mismatched = sorted(
+        c
+        for c in set(counts) | {int(k) for k in meta["cells"]}
+        if counts.get(c, 0) != meta["cells"].get(str(c), {}).get("n", 0)
+    )
+    n_data = sum(counts.values())
+    return {
+        "ok": not orphans and not mismatched and n_data == meta["n_vectors"],
+        "n_meta": meta["n_vectors"],
+        "n_data": n_data,
+        "orphan_cells": orphans,
+        "mismatched_cells": mismatched,
+    }
+
+
+def search_vector_index(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    top_k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve against the persisted index: rank cells per query
+    driver-side (k centroids — tiny), scan ONLY the probed cell
+    partitions (directory pruning), exact cosine rescoring within them.
+    Returns (query_id, vec_id, cosine, rn) like sim_search."""
+    path = _norm_path(path)
+    meta = read_meta(path)
+    cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
+
+    def _d2(q: list[float], c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(q, c):
+            d = float(a) - b
+            acc += d * d
+        return acc
+
+    probe: dict[int, list[int]] = {
+        qid: [cid for cid, _ in sorted(cents, key=lambda t: (_d2(qv, t[1]), t[0]))[:n_probe]]
+        for qid, qv in queries
+    }
+    wanted = sorted({c for cs in probe.values() for c in cs})
+    cells = spark.read.parquet(os.path.join(path, _CELLS)).filter(
+        F.col("cell_id").isin(wanted)
+    )
+    qdf = spark.createDataFrame(
+        [(qid, qv, probe[qid]) for qid, qv in queries],
+        "query_id bigint, qv array<float>, probed array<int>",
+    )
+    dot = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
+    nq = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
+    nc = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
+    scored = (
+        F.broadcast(qdf)
+        .join(
+            cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")),
+            F.expr("array_contains(probed, cell_id)") & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (F.expr(dot) / (F.sqrt(F.expr(nq)) * F.sqrt(F.expr(nc)))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select(
+        "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= top_k)
