@@ -224,6 +224,52 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    from .operators.vector_index import (
+        build_vector_index,
+        refresh_vector_index,
+        verify_vector_index,
+    )
+
+    spark, owned = _spark("sdt-index")
+    try:
+        if args.action == "verify":
+            report = verify_vector_index(spark, args.path)
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
+        if not args.src:
+            raise SystemExit(f"index {args.action} requires --src (embeddings parquet)")
+        vectors = spark.read.parquet(args.src)
+        if "label" not in vectors.columns:
+            # unlabeled corpora: a constant label keeps the schema whole
+            from pyspark.sql import functions as F
+
+            vectors = vectors.withColumn("label", F.lit(0))
+        if args.action == "build":
+            meta = build_vector_index(
+                spark,
+                vectors,
+                args.path,
+                n_cells=args.cells,
+                centroids=args.centroids,
+            )
+            print(
+                json.dumps(
+                    {"n_vectors": meta["n_vectors"], "cells": len(meta["centroids"])}
+                )
+            )
+            return 0
+        # refresh: the day-2 upsert — O(batch), index data untouched
+        report = refresh_vector_index(
+            spark, vectors, args.path, rebuild_factor=args.rebuild_factor
+        )
+        print(json.dumps(report))
+        return 0
+    finally:
+        if owned:
+            spark.stop()
+
+
 def _parse_ids(raw: str) -> list[int]:
     ids = []
     for part in raw.split(","):
@@ -418,6 +464,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--ids", help="comma-separated doc_ids for forget")
     p.set_defaults(fn=cmd_maintain)
+
+    p = sub.add_parser(
+        "index",
+        help="persisted vector index: build | refresh (day-2 upsert) | verify",
+    )
+    p.add_argument("action", choices=["build", "refresh", "verify"])
+    p.add_argument("--path", default="spark-warehouse/_vector_index")
+    p.add_argument("--src", help="embeddings parquet (vec_id, embedding[, label])")
+    p.add_argument("--cells", type=int, default=8)
+    p.add_argument("--centroids", choices=["kmeans", "by_label"], default="kmeans")
+    p.add_argument(
+        "--rebuild-factor",
+        type=float,
+        default=2.0,
+        help="recommend re-cluster when arrival mean d2 exceeds this × build-time mean",
+    )
+    p.set_defaults(fn=cmd_index)
 
     args = parser.parse_args(argv)
     return args.fn(args)

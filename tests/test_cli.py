@@ -352,3 +352,36 @@ def test_cli_maintain_full_over_crashed_and_replayed_corpus(
     assert report2["ok"] is True
     assert report2["compact_index_removed_rows"] == 0
     spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
+    """`index build` → `refresh` → `verify` through the CLI: a second CLI
+    invocation is a NEW process whose session state is gone, so every
+    step must stand on the path alone (the vector index is path-based by
+    design — no catalog to re-register)."""
+    import json as _json
+
+    src = tmp_path / "vecs"
+    base = tmp_path / "base"
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e.filter("vec_id < 400").write.parquet(str(base))
+    e.filter("vec_id >= 400").write.parquet(str(src))
+    idx = str(tmp_path / "vidx")
+
+    assert main(["index", "build", "--path", idx, "--src", str(base)]) == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["cells"] == 8 and built["n_vectors"] == 400
+
+    assert main(["index", "refresh", "--path", idx, "--src", str(src)]) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_added"] == 100 and "rebuild_recommended" in report
+
+    assert main(["index", "verify", "--path", idx]) == 0
+    v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["ok"] and v["n_data"] == 500
+
+    # refresh without --src must fail loudly, not invent an input
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="requires --src"):
+        main(["index", "refresh", "--path", idx])
