@@ -237,6 +237,28 @@ def cmd_index(args) -> int:
             report = verify_vector_index(spark, args.path)
             print(json.dumps(report))
             return 0 if report["ok"] else 1
+        if args.action == "search":
+            from .operators.vector_index import search_vector_index
+
+            if not args.queries_src:
+                raise SystemExit("index search requires --queries-src (parquet of vec_id, embedding)")
+            queries = [
+                (int(r.vec_id), list(r.embedding))
+                for r in spark.read.parquet(args.queries_src)
+                .select("vec_id", "embedding")
+                .limit(args.max_queries)
+                .collect()  # bounded by --max-queries
+            ]
+            res = search_vector_index(
+                spark, args.path, queries, top_k=args.top_k, n_probe=args.n_probe
+            )
+            if args.out:
+                res.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"queries": len(queries), "out": args.out}))
+            else:
+                for r in res.collect():
+                    print(json.dumps({"query_id": r.query_id, "vec_id": r.vec_id, "cosine": r.cosine, "rn": r.rn}))
+            return 0
         if not args.src:
             raise SystemExit(f"index {args.action} requires --src (embeddings parquet)")
         vectors = spark.read.parquet(args.src)
@@ -469,11 +491,16 @@ def main(argv: list[str] | None = None) -> int:
         "index",
         help="persisted vector index: build | refresh (day-2 upsert) | verify",
     )
-    p.add_argument("action", choices=["build", "refresh", "verify"])
+    p.add_argument("action", choices=["build", "refresh", "verify", "search"])
     p.add_argument("--path", default="spark-warehouse/_vector_index")
     p.add_argument("--src", help="embeddings parquet (vec_id, embedding[, label])")
     p.add_argument("--cells", type=int, default=8)
     p.add_argument("--centroids", choices=["kmeans", "by_label"], default="kmeans")
+    p.add_argument("--queries-src", help="query vectors parquet for search")
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--n-probe", type=int, default=2)
+    p.add_argument("--max-queries", type=int, default=100)
+    p.add_argument("--out", help="write search results parquet instead of printing")
     p.add_argument(
         "--rebuild-factor",
         type=float,

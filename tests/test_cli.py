@@ -385,3 +385,16 @@ def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="requires --src"):
         main(["index", "refresh", "--path", idx])
+
+    # serve through the CLI: results land in parquet, all ranks <= top_k
+    qsrc = tmp_path / "queries"
+    e.filter("vec_id < 5").write.parquet(str(qsrc))
+    res_out = str(tmp_path / "res")
+    assert main([
+        "index", "search", "--path", idx, "--queries-src", str(qsrc),
+        "--top-k", "3", "--n-probe", "8", "--out", res_out,
+    ]) == 0
+    res = spark.read.parquet(res_out)
+    assert res.count() == 15 and res.filter("rn > 3").count() == 0
+    with _pytest.raises(SystemExit, match="requires --queries-src"):
+        main(["index", "search", "--path", idx])
