@@ -103,6 +103,20 @@ def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, 
     )
 
 
+def _check_dim(vectors: DataFrame, meta: dict) -> None:
+    """Refuse dimension drift LOUDLY: ``zip_with`` NULL-pads mismatched
+    arrays, so a wrong-dim batch would otherwise assign every vector by
+    a silently-truncated distance instead of failing."""
+    dim = int(meta.get("dim") or 0)
+    if not dim:
+        return
+    bad = vectors.filter(F.size("embedding") != dim).limit(1).collect()  # bounded probe
+    if bad:
+        raise ValueError(
+            f"embedding dim {len(bad[0].embedding)} does not match the index's {dim}"
+        )
+
+
 def _write_meta(path: str, meta: dict) -> None:
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f)
@@ -155,6 +169,7 @@ def build_vector_index(
     base_milli = sum(s["d2_milli"] for s in stats.values())
     meta = {
         "mode": centroids,
+        "dim": len(cents[0][1]) if cents else 0,
         "centroids": [{"cell_id": cid, "cv": cv} for cid, cv in cents],
         "cells": {str(c): s for c, s in stats.items()},
         "n_vectors": n_total,
@@ -184,6 +199,7 @@ def refresh_vector_index(
     path = _norm_path(path)
     meta = read_meta(path)
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
+    _check_dim(new_vectors, meta)
     assigned = _assign(spark, new_vectors, cents)
     assigned.select("cell_id", "vec_id", "label", "embedding", "d2").write.mode(
         "append"
@@ -270,6 +286,13 @@ def search_vector_index(
     path = _norm_path(path)
     meta = read_meta(path)
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
+    dim = int(meta.get("dim") or 0)
+    if dim:
+        for qid, qv in queries:
+            if len(qv) != dim:
+                raise ValueError(
+                    f"query {qid} has dim {len(qv)}, index expects {dim}"
+                )
 
     def _d2(q: list[float], c: list[float]) -> float:
         acc = 0.0

@@ -147,3 +147,21 @@ def test_search_restart_and_recall_floor(spark, sf_dir, tmp_path):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"n_probe=2 recall@5 = {recall:.3f}"
+
+
+def test_dimension_drift_fails_loudly(spark, sf_dir, tmp_path):
+    """zip_with NULL-pads mismatched arrays — without the dim guard a
+    wrong-dim batch would be assigned by silently-truncated distances.
+    Both the refresh and the serve face must refuse instead."""
+    import pytest
+
+    base, _ = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    bad = base.limit(5).select(
+        "vec_id", "label", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="does not match the index's 64"):
+        refresh_vector_index(spark, bad, idx)
+    with pytest.raises(ValueError, match="index expects 64"):
+        search_vector_index(spark, idx, [(0, [0.0] * 32)])
