@@ -244,8 +244,11 @@ def cmd_index(args) -> int:
                 raise SystemExit("index search requires --queries-src (parquet of vec_id, embedding)")
             queries = [
                 (int(r.vec_id), list(r.embedding))
+                # orderBy BEFORE limit (r11 advice): a bare limit on an
+                # unordered parquet read picks a run-dependent subset
                 for r in spark.read.parquet(args.queries_src)
                 .select("vec_id", "embedding")
+                .orderBy("vec_id")
                 .limit(args.max_queries)
                 .collect()  # bounded by --max-queries
             ]
@@ -496,10 +499,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", help="embeddings parquet (vec_id, embedding[, label])")
     p.add_argument("--cells", type=int, default=8)
     p.add_argument("--centroids", choices=["kmeans", "by_label"], default="kmeans")
-    p.add_argument("--queries-src", help="query vectors parquet for search")
+    p.add_argument(
+        "--queries-src",
+        help="query vectors parquet for search (vec_id, embedding); results "
+        "exclude any indexed vector whose vec_id equals the query's vec_id "
+        "— external query sets must use ids disjoint from the corpus",
+    )
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--n-probe", type=int, default=2)
-    p.add_argument("--max-queries", type=int, default=100)
+    p.add_argument(
+        "--max-queries",
+        type=int,
+        default=100,
+        help="serve the first N queries by vec_id rank (default 100)",
+    )
     p.add_argument("--out", help="write search results parquet instead of printing")
     p.add_argument(
         "--rebuild-factor",

@@ -222,6 +222,40 @@ def sim_centroid_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepped.groupBy("label").applyInPandas(centroid, schema=schema)
 
 
+def _argmin_assign(vectors: DataFrame, cents_row: DataFrame, id_col: str) -> DataFrame:
+    """Map-side nearest-centroid argmin — the ``_ivf_serve`` pattern for a
+    DATA-DERIVED centroid model (r11 verdict: the crossJoin+row_number
+    form materialized k copies of every vector and full-shuffled them,
+    k × batch × payload bytes, to pick rn=1).
+
+    ``cents_row`` is ONE row with ``__cents: array<struct<id, cv>>``
+    sorted by id; broadcast-cross-joining it attaches the whole model to
+    every vector at zero fan-out, all k squared-L2 distances evaluate in
+    one array expression, and ``array_position(d2s, array_min(d2s))``
+    takes the FIRST minimum of the id-ordered array — identical tiebreak
+    to the previous ``orderBy(d2, id)`` window pick (pinned row-identical
+    in tests). No Window, no shuffle of the vector side anywhere
+    (plan-asserted in tests/test_plans.py).
+
+    Returns the input columns + (``id_col``, d2). The per-dim lambda and
+    fold are textually the old per-centroid expression, so every d2 bit
+    matches the previous plan and the DuckDB oracle."""
+    d2s = F.expr(
+        "transform(__cents, c -> "
+        "aggregate(zip_with(embedding, c.cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
+        " cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    # named column first: array_position + array_min must not re-evaluate
+    # the k×dim distance products (the _ivf_serve precedent)
+    scored = vectors.crossJoin(F.broadcast(cents_row)).select("*", d2s.alias("__d2s"))
+    idx = F.array_position(F.col("__d2s"), F.array_min("__d2s"))
+    return scored.select(
+        *vectors.columns,
+        F.element_at("__cents", idx.cast("int"))[id_col].alias(id_col),
+        F.array_min("__d2s").alias("d2"),
+    )
+
+
 @q(
     "embedding_index_refresh",
     sql="""
@@ -293,10 +327,11 @@ def embedding_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: centroid build is one posexplode + hash agg whose
     shuffle carries (label, dim, int64 partial) — 64 rows per label, not
-    vectors. The centroid table is tiny (labels × 64 doubles) and
-    explicitly ``broadcast()``: assignment is a map-side cross join over
-    the NEW batch only, one window top-1 per vector, then a count-style
-    agg. Nothing re-touches the indexed corpus except its (label) counts
+    vectors. The centroid table folds into ONE broadcast array-of-structs
+    row and the argmin is a single map-side array expression over the NEW
+    batch (``_argmin_assign`` — no k-way fan-out, no window, no shuffle
+    of arrivals; the batch's first exchange is the final k-row count
+    agg). Nothing re-touches the indexed corpus except its (label) counts
     — exactly the property that makes daily refresh O(batch), not
     O(index)."""
     e = table(spark, sf_dir, "embeddings")
@@ -320,15 +355,19 @@ def embedding_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_n = base.groupBy(F.col("label").alias("cell_label")).agg(
         F.count(F.lit(1)).alias("n_base")
     )
-    d2 = F.expr(
-        "aggregate(zip_with(embedding, cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
+    # r11-verdict fix: the k-row centroid table folds into ONE
+    # array-of-structs row, and the argmin is a map-side array expression
+    # — no k-way row fan-out, no row_number window, no shuffle of the
+    # batch side (the old crossJoin+window shape shuffled k copies of
+    # every arrival to pick rn=1).
+    cents_row = cent.agg(
+        F.expr("array_sort(collect_list(struct(cell_label, cv)))").alias("__cents")
     )
-    scored = new.crossJoin(F.broadcast(cent)).select(
-        "vec_id", F.col("label").alias("true_label"), "cell_label", d2.alias("d2")
+    assigned = _argmin_assign(
+        new.select("vec_id", F.col("label").alias("true_label"), "embedding"),
+        cents_row,
+        "cell_label",
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell_label")
-    assigned = scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") == 1)
     added = assigned.groupBy("cell_label").agg(
         F.count(F.lit(1)).alias("n_added"),
         F.sum(F.when(F.col("true_label") == F.col("cell_label"), 1).otherwise(0)).alias(
@@ -420,13 +459,18 @@ _N_CELLS = 8
 _N_PROBE = 2
 
 
-def _seed_centroids(e: DataFrame) -> list[list[float]]:
-    """Deterministic seed model: the first ``_N_CELLS`` vectors,
-    L2-normalized. Collecting them is a model fetch (8×64 floats)."""
+def _seed_centroids(e: DataFrame, n: int = _N_CELLS) -> list[list[float]]:
+    """Deterministic seed model: the first ``n`` vectors BY RANK of
+    vec_id, L2-normalized. Rank (orderBy + limit = TakeOrdered, no full
+    sort) rather than the literal ``vec_id < n`` predicate, so corpora
+    whose ids don't start at 0 (offset ids, filtered splits) still yield
+    exactly ``n`` seeds (r11 advice). For contiguous 0-based ids — every
+    registered key's input — the selected rows are identical to the old
+    predicate form. Collecting them is a model fetch (n×64 floats)."""
     import math
 
     cents = sorted(
-        e.filter(F.col("vec_id") < _N_CELLS).select("vec_id", "embedding").collect(),
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(n).collect(),
         key=lambda r: r["vec_id"],
     )
     cvs = []

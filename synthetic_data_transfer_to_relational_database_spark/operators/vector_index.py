@@ -46,22 +46,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import _fold_sum, _lloyd_refine, _seed_centroids
+from .similarity import _argmin_assign, _fold_sum, _lloyd_refine, _seed_centroids
 
 _META = "_centroids.json"
 _CELLS = "cells"
 
-def _d2_col() -> F.Column:
-    # built lazily: F.expr needs an active SparkContext, and this module
-    # must stay importable (test collection, CLI help) without one
-    return F.expr(
-        "aggregate(zip_with(embedding, cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
-    )
+# The centroid model is a driver-held JSON artifact (read_meta/_write_meta
+# fold counters driver-side, one dict entry per cell) — correct while the
+# model is small, wrong silently if someone configures IVF-flat-at-scale
+# cell counts. Make the assumption an error message (r11 verdict #5).
+_MAX_CELLS = 10_000
 
 
 def _norm_path(path: str) -> str:
-    return path if "://" in path else os.path.abspath(path)
+    if "://" in path:
+        # the parquet side would accept an hdfs:// or s3a:// URI, but the
+        # JSON model IO is plain local open() — refuse up front instead of
+        # failing halfway through a build with half an index on disk
+        raise ValueError(
+            f"vector index paths must be local filesystem paths, got {path!r} "
+            "(the _centroids.json model is read/written with local IO)"
+        )
+    return os.path.abspath(path)
 
 
 def _label_centroids(vectors: DataFrame) -> list[tuple[int, list[float]]]:
@@ -86,20 +92,19 @@ def _label_centroids(vectors: DataFrame) -> list[tuple[int, list[float]]]:
 
 def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """(vec_id, label, embedding) → + (cell_id, d2): nearest centroid by
-    squared L2 (sequential fold, tiebreak cell_id asc). The centroid
-    table is k rows — broadcast, so assignment is map-side over the
-    input; the one shuffle is the row_number argmin on vec_id."""
-    cent = spark.createDataFrame(
-        [(cid, cv) for cid, cv in centroids], "cell_id int, cv array<double>"
+    squared L2 (sequential fold, tiebreak cell_id asc). The whole model
+    ships as ONE broadcast array-of-structs row and the argmin is a
+    map-side array expression (``similarity._argmin_assign``) — zero
+    shuffle of the vector side, no window (r11 verdict: the old
+    crossJoin+row_number form shuffled k copies of every 64-float
+    embedding to pick rn=1, k × batch × payload bytes for a user-knob k).
+    Plan-asserted shuffle-free in tests/test_plans.py."""
+    cents_row = spark.createDataFrame(
+        [([(cid, cv) for cid, cv in sorted(centroids)],)],
+        "__cents array<struct<cell_id:int,cv:array<double>>>",
     )
-    scored = vectors.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "embedding", "cell_id", _d2_col().alias("d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
-    return (
-        scored.select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return _argmin_assign(
+        vectors.select("vec_id", "label", "embedding"), cents_row, "cell_id"
     )
 
 
@@ -118,8 +123,15 @@ def _check_dim(vectors: DataFrame, meta: dict) -> None:
 
 
 def _write_meta(path: str, meta: dict) -> None:
-    with open(os.path.join(path, _META), "w") as f:
+    # atomic replace (r11 advice): refresh REWRITES the only copy of the
+    # centroid model every day-2 batch — a crash mid-dump must leave the
+    # previous model intact, never a truncated JSON that bricks
+    # refresh/search/verify with no recovery path
+    final = os.path.join(path, _META)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, final)
 
 
 def read_meta(path: str) -> dict:
@@ -142,13 +154,27 @@ def build_vector_index(
     and ``<path>/_centroids.json`` (k×dim doubles + counters). Returns
     the metadata dict."""
     path = _norm_path(path)
+    if n_cells > _MAX_CELLS:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds the {_MAX_CELLS} cap: the centroid model "
+            "is a driver-held JSON artifact (one entry per cell) — IVF at that "
+            "cell count needs a distributed model store, not this index"
+        )
     if centroids == "by_label":
         cents = _label_centroids(vectors)
+        if len(cents) > _MAX_CELLS:
+            raise ValueError(
+                f"{len(cents)} labels exceed the {_MAX_CELLS}-cell model cap"
+            )
     elif centroids == "kmeans":
-        seeds = _seed_centroids(vectors)
-        if n_cells > len(seeds):
-            raise ValueError(f"n_cells={n_cells} exceeds the {len(seeds)} deterministic seeds")
-        cvs = _lloyd_refine(vectors, seeds[:n_cells], iters=lloyd_iters)
+        # seeds by RANK of vec_id (r11 advice): offset or filtered id
+        # ranges yield exactly n_cells seeds, not a biased id-window subset
+        seeds = _seed_centroids(vectors, n_cells)
+        if len(seeds) < n_cells:
+            raise ValueError(
+                f"n_cells={n_cells} exceeds the corpus ({len(seeds)} vectors)"
+            )
+        cvs = _lloyd_refine(vectors, seeds, iters=lloyd_iters)
         cents = list(enumerate([list(map(float, c)) for c in cvs]))
     else:
         raise ValueError(f"unknown centroids mode {centroids!r}")

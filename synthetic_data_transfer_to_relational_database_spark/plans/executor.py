@@ -156,10 +156,15 @@ class GenerationPlan:
     _built: dict[str, DataFrame] = field(default_factory=dict)
     _pk_expr_fns: dict[str, object] = field(default_factory=dict)
     _row_count_of: dict[str, int] = field(default_factory=dict)
-    # (parent, col) -> (sorted keys, rendered-byte estimate) memo for the
-    # parent_keys_override byte gate (concurrent same-key writes are
+    # (parent, col) -> (source list, sorted keys, rendered-byte estimate)
+    # memo for the parent_keys_override byte gate; the SOURCE element is
+    # the identity check that invalidates the memo when a caller replaces
+    # the override list between builds (concurrent same-key writes are
     # GIL-atomic and value-identical — same-level builds may race benignly)
-    _override_prepped: dict[tuple[str, str], tuple[list, int]] = field(default_factory=dict)
+    _override_prepped: dict[tuple[str, str], tuple[list, list, int]] = field(default_factory=dict)
+    # synthetic __override__ join-frame -> the sorted key list it was
+    # built from (identity-checked for the same replacement staleness)
+    _override_syn_src: dict[str, list] = field(default_factory=dict)
     # per-table scratch caches (indexed-parent frames) released once the
     # child that referenced them is materialized. THREAD-LOCAL because
     # run(parallelism=N) builds same-level tables on concurrent threads
@@ -328,13 +333,19 @@ class GenerationPlan:
             # are memoized per (parent, col): a 1M-key readback referenced
             # by many children would otherwise re-pay O(n log n) driver
             # work per FK column.
+            # The memo entry records WHICH list object it was built from:
+            # build_one is public precisely to allow interleaved
+            # build/load/fetch, so a re-fetch may REPLACE the override list
+            # for the same column — an identity check invalidates the
+            # stale sort instead of silently sampling first-fetch keys
+            # (r11 advice).
             memo_key = (parent_name, parent_col)
             prepped = self._override_prepped.get(memo_key)
-            if prepped is None:
+            if prepped is None or prepped[0] is not override:
                 srt = sorted(override)
-                prepped = (srt, sum(len(str(v)) + 3 for v in srt))
+                prepped = (override, srt, sum(len(str(v)) + 3 for v in srt))
                 self._override_prepped[memo_key] = prepped
-            override, est = prepped
+            _, override, est = prepped
             if len(override) <= self.broadcast_threshold and est <= self.broadcast_key_bytes:
                 arr = _array_literal(list(override))
                 idx = (F.expr(self._sample_idx(id_sql, salt, len(override), col.unique, child_rows)) + 1).cast("int")
@@ -345,11 +356,16 @@ class GenerationPlan:
             # the real parent_name may still hold the generated parent
             # whose assumed keys this override supersedes.
             syn = f"__override__{parent_name}.{parent_col}"
-            if syn not in self._built:
+            # same staleness rule as the memo: `override` here is the
+            # memoized sorted list, whose identity changes exactly when
+            # the caller replaced the override — rebuild the join frame
+            # with it, never serve a first-fetch frame for replaced keys
+            if self._override_syn_src.get(syn) is not override:
                 self._built[syn] = self.spark.createDataFrame(
                     [(v,) for v in override], [parent_col]
                 )
                 self._row_count_of[syn] = len(override)
+                self._override_syn_src[syn] = override
             raise _NeedsJoin(syn, parent_col)
 
         parent_df = self._built.get(parent_name)

@@ -778,3 +778,52 @@ def test_override_key_byte_cap_switches_to_join_path_identically(spark):
     # and the FK values really are the override keys, not generated ones
     override_set = {str(uuid.UUID(int=i * 7919)) for i in range(1, 51)}
     assert {r[1] for r in a} <= override_set
+
+
+def test_override_replacement_invalidates_memo(spark):
+    """r11 advice: build_one is public precisely to allow interleaved
+    build/load/fetch — a caller that re-fetches identity keys and
+    REPLACES parent_keys_override for the same column must see children
+    sample the new list, not a memoized first-fetch sort. Covers both
+    dispatch outcomes (array literal and over-cap synthetic join)."""
+    import uuid
+
+    from synthetic_data_transfer_to_relational_database_spark.plans.model import (
+        ColumnSpec,
+        FKSpec,
+        TableSpec,
+        wire_fk_rules,
+    )
+
+    def keyset(tag: int) -> list[str]:
+        return [str(uuid.UUID(int=tag * 10_000 + i)) for i in range(1, 31)]
+
+    for cap in (2 * 1024 * 1024, 1):  # array path, then forced join path
+        tables = {
+            "P": TableSpec(
+                name="P",
+                columns=[ColumnSpec("Id", "uuid", nullable=False, length=36, identity=True)],
+                pk=["Id"],
+                fks=[],
+            ),
+            "C": TableSpec(
+                name="C",
+                columns=[
+                    ColumnSpec("Id", "uuid", nullable=False, length=36),
+                    ColumnSpec("PId", "uuid", nullable=False, length=36),
+                ],
+                pk=["Id"],
+                fks=[FKSpec(["PId"], "P", ["Id"])],
+            ),
+        }
+        wire_fk_rules(tables)
+        plan = GenerationPlan(
+            spark, tables, seed=7, row_counts={"P": 10, "C": 100}, broadcast_key_bytes=cap
+        )
+        plan.parent_keys_override["P"] = {"Id": keyset(1)}
+        first = {r["PId"] for r in plan.build_one("C", materialize=False).collect()}
+        assert first <= set(keyset(1))
+        # the interleaved re-fetch: same column, NEW list object
+        plan.parent_keys_override["P"] = {"Id": keyset(2)}
+        second = {r["PId"] for r in plan.build_one("C", materialize=False).collect()}
+        assert second <= set(keyset(2)), f"stale memo served first-fetch keys (cap={cap})"

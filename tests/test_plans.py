@@ -507,3 +507,42 @@ def test_waiting_suppliers_semi_anti(spark):
     assert "EqualTo(r_name,EUROPE)" in plan
     # top-k over the grouped counts, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nearest_centroid_assignment_is_map_side(spark):
+    """r11 verdict #1: the nearest-centroid argmin must be the map-side
+    array expression, never the crossJoin+row_number fan-out — no Window
+    anywhere, and the vector side must reach the assignment without a
+    shuffle (the old shape exchanged k copies of every 64-float embedding
+    to pick rn=1, k x batch x payload bytes for a user-knob k)."""
+    import re
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = [(i, [float(i)] * 64) for i in range(8)]
+    plan = vi._assign(spark, e, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"\bExchange (hashpartitioning|SinglePartition|rangepartitioning)", ln)
+    ]
+    assert not shuffles, f"assignment stage shuffles:\n{shuffles}"
+    # the model rides a broadcast, the argmin is expression-only
+    assert "BroadcastNestedLoopJoin" in plan
+
+    # the oracle-paired refresh query: its ONLY remaining window-free
+    # batch path — aggregation exchanges (centroid build, per-cell counts)
+    # are inherent, a Window would mean the fan-out argmin came back
+    rplan = (
+        registry.all_queries()["embedding_index_refresh"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in rplan

@@ -165,3 +165,47 @@ def test_dimension_drift_fails_loudly(spark, sf_dir, tmp_path):
         refresh_vector_index(spark, bad, idx)
     with pytest.raises(ValueError, match="index expects 64"):
         search_vector_index(spark, idx, [(0, [0.0] * 32)])
+
+
+def test_build_guards_model_size_and_uri_paths(spark, sf_dir, tmp_path):
+    """r11 verdict #5 + advice: the centroid model is a driver-held JSON
+    artifact — refuse cell counts that assume a distributed model store,
+    and refuse URI paths whose parquet side would succeed while the local
+    JSON IO fails halfway through the build."""
+    import pytest
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="exceeds the 10000 cap"):
+        build_vector_index(spark, e, str(tmp_path / "vidx"), n_cells=10_001)
+    with pytest.raises(ValueError, match="must be local filesystem paths"):
+        build_vector_index(spark, e, "hdfs://nn/idx", n_cells=8)
+    # and a corpus smaller than n_cells fails with the corpus message,
+    # not a biased partial seed set
+    small = e.limit(4)
+    with pytest.raises(ValueError, match="exceeds the corpus"):
+        build_vector_index(spark, small, str(tmp_path / "vidx2"), n_cells=8)
+
+
+def test_build_works_on_offset_ids_and_meta_write_is_atomic(spark, sf_dir, tmp_path):
+    """r11 advice pair: (a) seeds come from the first n rows BY RANK, so
+    a corpus whose vec_ids don't start at 0 builds fine; (b) the model
+    rewrite goes through a temp file + os.replace — no .tmp remnant, and
+    the model parses back after a refresh rewrote it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    shifted = e.select((F.col("vec_id") + 10_000).alias("vec_id"), "label", "embedding")
+    idx = str(tmp_path / "vidx")
+    meta = build_vector_index(spark, shifted, idx, centroids="kmeans", n_cells=8)
+    assert len(meta["centroids"]) == 8
+    report = refresh_vector_index(
+        spark,
+        e.select((F.col("vec_id") + 90_000).alias("vec_id"), "label", "embedding").limit(20),
+        idx,
+    )
+    assert report["n_added"] == 20
+    assert not os.path.exists(f"{idx}/_centroids.json.tmp")
+    assert read_meta(idx)["n_vectors"] == meta["n_vectors"] + 20
+    assert verify_vector_index(spark, idx)["ok"]
