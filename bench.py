@@ -90,6 +90,13 @@ EXTRA_R9 = [
     "bracket_revenue",
     "waiting_suppliers",
 ]
+# New in r12 (no prior numbers; comparable from r13): the persisted
+# vector index's full loop — sim_search_index times build (seed + 3
+# Lloyd refinements) + partitioned write + full-probe serve from the
+# files, so the number covers the whole day-1 story, not just the query
+# — and the corpus bigram-LM scorer (two vocabulary aggs + token-keyed
+# joins over ~doc-length×corpus bigram instances).
+EXTRA_R12 = ["sim_search_index", "text_ngram_lm_score"]
 # New in r6: the engine the repo is named for, at benchmark scale — the
 # reference's FULL 85-table script.sql schema generated at 10k rows per
 # table (850k rows, 131 FK constraints) through the parquet
@@ -130,7 +137,8 @@ MAINTAIN_FULL = "maintain_full_after_4batches"
 _PIPELINE_KEYS = {GEN_FULL_SCHEMA, GEN_FULL_SCHEMA_SKEW, INGEST_CORPUS, MAINTAIN_FULL}
 _GEN_KEYS = _PIPELINE_KEYS  # historical alias used by the totals below
 NONCOMPARABLE = {
-    FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *_PIPELINE_KEYS
+    FORCED_SCALABLE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *EXTRA_R12,
+    *_PIPELINE_KEYS,
 }
 # entries absent from the r4 record — ONE definition so each new
 # EXTRA_Rn extends a single set, not three chains. EXTRA_R9 left this
@@ -138,7 +146,7 @@ NONCOMPARABLE = {
 # re-baseline constant above). EXTRA_R5/R6 stay excluded: their
 # per-key series are tracked individually and folding them would break
 # an 5-round-old total for no information gain.
-R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *_PIPELINE_KEYS})
+R4_EXCLUDED = frozenset({*EXTRA_R5, *EXTRA_R6, *EXTRA_R12, *_PIPELINE_KEYS})
 # From r5 the three r4-new heavyweights COUNT (they have r4 numbers to
 # compare against): total_r4_comparable = everything timed. Keeping both
 # totals means a regression in the three most expensive plans is visible
@@ -335,7 +343,7 @@ def run_sample(sf_dir: str) -> dict:
         # clear outside the timed region so entries stay independent
         spark.catalog.clearCache()
 
-    for name in [*HEADLINE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9]:
+    for name in [*HEADLINE, *EXTRA, *EXTRA_R5, *EXTRA_R6, *EXTRA_R9, *EXTRA_R12]:
         fn = queries[name]
         run_best_of_2(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
     # Series note: gen_1m_rows re-baselined in r11 at ≈0.5–0.8 s — the
@@ -398,6 +406,11 @@ def main() -> None:
 
     samples: list[dict] = []
     for i in range(2):
+        # machine-state telemetry rides with each sample (r11 verdict #4):
+        # the r11 driver run was +20% across 31 untouched entries —
+        # co-tenancy seesaws are only diagnosable from the RECORD if the
+        # record says what the machine was doing at the time
+        load_before = list(os.getloadavg())
         env = dict(os.environ, SDT_BENCH_CHILD="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -409,7 +422,10 @@ def main() -> None:
             (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")), None
         )
         if proc.returncode == 0 and line:
-            samples.append(json.loads(line))
+            sample = json.loads(line)
+            sample["loadavg_before"] = [round(x, 2) for x in load_before]
+            sample["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+            samples.append(sample)
         else:
             print(
                 f"bench sample {i} failed (rc={proc.returncode}):\n"
@@ -464,7 +480,15 @@ def main() -> None:
         # bench invocation, timestamped.
         with open(os.path.join(repo, "BENCH_samples_history.jsonl"), "a") as f:
             f.write(
-                json.dumps({"ts": int(time.time()), "sf": sf, "samples": samples})
+                json.dumps(
+                    {
+                        "ts": int(time.time()),
+                        "sf": sf,
+                        "n_cpus": os.cpu_count(),
+                        "loadavg_at_write": [round(x, 2) for x in os.getloadavg()],
+                        "samples": samples,
+                    }
+                )
                 + "\n"
             )
     except OSError as e:

@@ -42,9 +42,11 @@ _NQ = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
 _NC = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
 
 
-@q(
-    "sim_search",
-    sql=f"""
+# exact brute-force top-k oracle — shared by sim_search (the in-plan
+# brute force) and sim_search_index (the SAME answer served from the
+# persisted IVF index at full probe): bucketing changes recall, never
+# scores, and at n_probe = n_cells it changes nothing at all
+_BRUTE_KNN_SQL = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
@@ -62,8 +64,10 @@ _NC = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
       FROM scored) t
     WHERE rn <= {_TOP_K}
-    """,
-)
+    """
+
+
+@q("sim_search", sql=_BRUTE_KNN_SQL)
 def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -83,6 +87,39 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= _TOP_K
     )
+
+
+@q("sim_search_index", sql=_BRUTE_KNN_SQL)
+def sim_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index serve path under the driver's hash (r11
+    verdict #2): build the IVF index over the embeddings table
+    (operators/vector_index.py — kmeans centroids, partitioned-by-cell
+    parquet + JSON model on disk), then serve the standard query set
+    from the FILES at n_probe = n_cells. Full probe makes the serve
+    EXACT — identical fold expressions and tiebreak as the in-plan brute
+    force — so the whole build→persist→serve loop pairs with the same
+    DuckDB oracle as ``sim_search``; pruned-probe recall behavior is
+    covered rows-only by ``sim_search_ivf_lloyd`` and the
+    tests/test_vector_index.py recall floor.
+
+    The index lands in a per-invocation temp dir (removed at process
+    exit): what's under test is the loop, not a reusable artifact —
+    production keeps a long-lived --path via the ``index`` CLI."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .vector_index import build_vector_index, search_vector_index
+
+    e = table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="sdt_simsearchidx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_vector_index(spark, e, path, n_cells=_N_CELLS, centroids="kmeans")
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in e.filter(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return search_vector_index(spark, path, queries, top_k=_TOP_K, n_probe=_N_CELLS)
 
 
 @q(

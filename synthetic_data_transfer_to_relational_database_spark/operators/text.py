@@ -1343,3 +1343,95 @@ def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(keep)
     )
+
+
+@q(
+    "text_ngram_lm_score",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ), big AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), scored AS (
+      SELECT big.doc_id,
+             CAST(ROUND(1000000.0 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+                  AS BIGINT) AS p_micro
+      FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p_micro) AS BIGINT) AS lm_sum_micro,
+           CAST(CAST(SUM(p_micro) AS BIGINT) AS DOUBLE) / COUNT(*) AS lm_avg_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality scoring — the CCNet-style fluency filter
+    (score each document by how probable its word transitions are under
+    a language model trained on the corpus itself; low scores flag
+    boilerplate, shredded markup, and wrong-language text for removal).
+
+    Per document: every adjacent token pair (w1, w2) is scored by the
+    corpus-level conditional probability P(w2|w1) = c(w1,w2) / c(w1,·),
+    micro-quantized to an exact BIGINT; the document score is the count,
+    the exact integer sum, and their IEEE-division mean. LINEAR
+    probability rather than log-prob for the same reason text_tfidf_top
+    uses a linear idf: ln()'s last ulp differs between libm
+    implementations, while c2/c1 on exact integers is ONE IEEE division —
+    bit-identical cross-engine — and the micro-quantized sum is
+    order-independent (the no-double-sums registry rule). Monotonicity
+    per transition is preserved; only the aggregation geometry differs
+    from log-prob (arithmetic vs geometric mean).
+
+    Scale shape: bigram extraction is a map-side array transform +
+    explode (``sequence(1, size-1)`` guarded by size >= 2 — Spark's
+    sequence DESCENDS for start > stop, so unguarded 1-token docs would
+    fabricate a null bigram). The two count tables shuffle (token-pair,
+    int64 partial) — vocabulary-sized, partial-agg friendly, broadcastable
+    below ~100M distinct pairs; the instance→count joins are token-keyed
+    equi-joins and the final per-doc agg carries only (doc_id, int64).
+    Document text never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    big = (
+        d.select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1000000.0) * (F.col("c2").cast("double") / F.col("c1").cast("double"))
+            )
+            .cast("bigint")
+            .alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_micro").alias("lm_sum_micro"),
+        (F.sum("p_micro").cast("double") / F.count(F.lit(1))).alias("lm_avg_micro"),
+    )

@@ -40,67 +40,72 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-11 window:
-#   1) the two queries REGISTERED this round (rule 1 — new queries enter
-#      the window the round they appear): dedup_incremental (oracle-
-#      paired batch face of the incremental/streaming dedup path) and
-#      embedding_index_refresh (day-2 vector-index upsert).
-#   2) all 48 keys whose newest driver evidence is r8 — after r10 closed
-#      the r6 basket, these are now the oldest tier; sweeping them here
-#      means every key's newest evidence is >= r9 after this round.
+# new/changed queries first, then oldest-evidence first. Round-12 window:
+#   1) new/changed this round: sim_search_index (the persisted-index
+#      build→serve loop, NEW, pairs with the sim_search oracle),
+#      text_ngram_lm_score (corpus bigram-LM quality scorer, NEW), and
+#      embedding_index_refresh (CHANGED — its argmin was rewritten to the
+#      map-side array form; re-sweeping proves output identity under the
+#      driver's hash).
+#   2) 47 of the 50 keys whose newest driver evidence is r9 — the oldest
+#      tier after r11 closed the r8 basket. Three r9-evidence keys spill
+#      one round to make room for the new registrations (the same
+#      documented trade as r7): scalar_null, pivot_wide, unpivot_long —
+#      chosen because their operators are single-expression projections
+#      untouched since r9 — and they lead the r13 window.
 _SWEEP_FIRST = [
-    # -- 1) registered this round (r11) --------------------------------
-    "dedup_incremental",
+    # -- 1) new/changed this round (r12) -------------------------------
+    "sim_search_index",
+    "text_ngram_lm_score",
     "embedding_index_refresh",
-    # -- 2) the full r8-evidence tier (48 keys) ------------------------
-    "agg_approx_distinct",
-    "agg_distinct",
-    "agg_hash",
-    "agg_rollup",
-    "corpus_pack_sequences",
-    "corpus_token_budget_scalable",
-    "customer_distribution",
-    "dedup_key_norm",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_funnel",
-    "events_session",
-    "events_sliding",
-    "events_tumbling",
-    "filter_pred",
-    "fk_sample_join",
-    "gen_synthetic_orders",
-    "join_anti",
-    "join_broadcast",
-    "join_inner",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "market_share",
-    "multimodal_bytes",
-    "multimodal_features",
-    "nation_volume_shipping",
-    "rag_retrieve",
-    "revenue_by_nation",
-    "scalar_array",
-    "scalar_json",
-    "scan_project",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_centroid_pandas",
-    "sim_search",
-    "sim_search_lsh",
-    "small_qty_revenue",
-    "sort_limit",
-    "stream_tumbling",
-    "text_fingerprint",
-    "text_tfidf_top",
-    "topk_per_group",
-    "vector_norms",
-    "window_lag",
-    "window_ntile",
+    # -- 2) the r9-evidence tier (47 of 50 keys; spill documented above)
+    "agg_approx_percentile",
+    "agg_mode",
+    "agg_sketch_union",
+    "basket_pairs",
+    "bracket_revenue",
+    "corpus_diff",
+    "corpus_dup_ngrams",
+    "corpus_length_histogram",
+    "corpus_quantile_filter",
+    "corpus_split",
+    "data_quality_profile",
+    "dedup_cluster",
+    "dedup_embedding",
+    "dedup_semantic",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_forecast_baseline",
+    "events_gap_islands",
+    "events_gapfill",
+    "events_retention_cohorts",
+    "events_rolling_active",
+    "events_rollup_hierarchy",
+    "events_user_paths",
+    "join_asof",
+    "lineitem_discount_revenue",
+    "lineitem_yoy_growth",
+    "multimodal_dyn_batch",
+    "multimodal_phash_dedup",
+    "orders_cohort_ltv",
+    "orders_rfm",
+    "returned_item_report",
+    "sample_hash",
+    "sim_knn_graph",
+    "sim_search_ivfpq",
+    "sim_search_pq",
+    "skew_profile",
+    "snapshot_merge_upsert",
+    "stream_interval_join",
+    "text_containment",
+    "text_contamination",
+    "text_doc_pairs_jaccard",
+    "text_pii_scan",
+    "top_supplier_revenue",
+    "waiting_suppliers",
+    "window_first_last",
+    "window_rank",
+    "window_ranks_pct",
 ]
 
 

@@ -209,3 +209,12 @@ def test_build_works_on_offset_ids_and_meta_write_is_atomic(spark, sf_dir, tmp_p
     assert not os.path.exists(f"{idx}/_centroids.json.tmp")
     assert read_meta(idx)["n_vectors"] == meta["n_vectors"] + 20
     assert verify_vector_index(spark, idx)["ok"]
+
+
+def test_sim_search_index_key_equals_brute_force_exactly(spark, sf_dir):
+    """The registered oracle-paired key (r11 verdict #2): the
+    build→persist→serve loop must reproduce sim_search EXACTLY — same
+    rows, same double bits — because it shares the brute-force oracle."""
+    got = sorted(map(tuple, similarity.QUERIES["sim_search_index"](spark, sf_dir).collect()))
+    want = sorted(map(tuple, similarity.QUERIES["sim_search"](spark, sf_dir).collect()))
+    assert got == want

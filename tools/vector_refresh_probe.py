@@ -76,6 +76,20 @@ def main() -> None:
             "batch_10x_small_index": timed(idx_small, n_batch * 10, "b"),
             "batch_1x_big_index": timed(idx_big, n_batch, "c"),
         }
+        # r11 verdict #6: production IVF sets cells in the hundreds — the
+        # map-side argmin's cost is a per-row O(k) expression with NO
+        # fan-out and NO plan growth in k (the transform over __cents is
+        # constant-size text; the model ships as broadcast DATA), so the
+        # refresh wall should stay near-flat in k. Builds (outside the
+        # clock) use one Lloyd pass — refresh cost doesn't care where the
+        # centroids sit, only how many there are.
+        k_walls = {}
+        for k in (8, 64, 256):
+            idx_k = os.path.join(tmp, f"idx_k{k}")
+            build_vector_index(
+                spark, synth_vectors(spark, 20_000), idx_k, n_cells=k, lloyd_iters=1
+            )
+            k_walls[str(k)] = timed(idx_k, n_batch, f"k{k}")
         out = {
             "n_batch": n_batch,
             "index_sizes": {"small": 20_000, "big": 200_000},
@@ -86,6 +100,8 @@ def main() -> None:
             "index_ratio_10x_size": round(
                 walls["batch_1x_big_index"] / walls["batch_1x_small_index"], 2
             ),
+            "refresh_wall_by_cells": k_walls,
+            "cells_ratio_32x": round(k_walls["256"] / k_walls["8"], 2),
         }
         print(json.dumps(out))
     finally:
