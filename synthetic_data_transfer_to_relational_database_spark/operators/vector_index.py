@@ -108,6 +108,20 @@ def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, 
     )
 
 
+def _write_cells(assigned: DataFrame, path: str, mode: str) -> None:
+    """Partitioned write with a cell-keyed layout shuffle. Without the
+    repartition, a dynamic-partition write emits one file per (TASK,
+    cell) — tasks × k tiny files per refresh, the file-count explosion
+    that killed the k=256 probe (measured: refresh 17.2 s at k=256 vs a
+    near-flat-in-k 1.6 s assignment). Hash-repartitioning by cell_id
+    routes each cell to exactly one task: k files total, one O(batch)
+    shuffle of digest-sized rows. Callers persist ``assigned`` so this
+    write and the counter agg share ONE assignment computation."""
+    assigned.repartition("cell_id").select(
+        "cell_id", "vec_id", "label", "embedding", "d2"
+    ).write.mode(mode).partitionBy("cell_id").parquet(os.path.join(path, _CELLS))
+
+
 def _check_dim(vectors: DataFrame, meta: dict) -> None:
     """Refuse dimension drift LOUDLY: ``zip_with`` NULL-pads mismatched
     arrays, so a wrong-dim batch would otherwise assign every vector by
@@ -178,19 +192,20 @@ def build_vector_index(
         cents = list(enumerate([list(map(float, c)) for c in cvs]))
     else:
         raise ValueError(f"unknown centroids mode {centroids!r}")
-    assigned = _assign(spark, vectors, cents)
-    assigned.select("cell_id", "vec_id", "label", "embedding", "d2").write.mode(
-        "overwrite"
-    ).partitionBy("cell_id").parquet(os.path.join(path, _CELLS))
-    stats = {
-        int(r.cell_id): {"n": int(r.n), "d2_milli": int(r.m)}
-        for r in assigned.groupBy("cell_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("d2") * 1000).cast("bigint")).alias("m"),
-        )
-        .collect()  # bounded: one row per cell
-    }
+    assigned = _assign(spark, vectors, cents).persist()
+    try:
+        _write_cells(assigned, path, "overwrite")
+        stats = {
+            int(r.cell_id): {"n": int(r.n), "d2_milli": int(r.m)}
+            for r in assigned.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("d2") * 1000).cast("bigint")).alias("m"),
+            )
+            .collect()  # bounded: one row per cell
+        }
+    finally:
+        assigned.unpersist()
     n_total = sum(s["n"] for s in stats.values())
     base_milli = sum(s["d2_milli"] for s in stats.values())
     meta = {
@@ -226,24 +241,25 @@ def refresh_vector_index(
     meta = read_meta(path)
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
     _check_dim(new_vectors, meta)
-    assigned = _assign(spark, new_vectors, cents)
-    assigned.select("cell_id", "vec_id", "label", "embedding", "d2").write.mode(
-        "append"
-    ).partitionBy("cell_id").parquet(os.path.join(path, _CELLS))
-    added = {
-        int(r.cell_id): {
-            "n_added": int(r.n),
-            "n_label_match": int(r.lm),
-            "sum_d2_milli": int(r.m),
+    assigned = _assign(spark, new_vectors, cents).persist()
+    try:
+        _write_cells(assigned, path, "append")
+        added = {
+            int(r.cell_id): {
+                "n_added": int(r.n),
+                "n_label_match": int(r.lm),
+                "sum_d2_milli": int(r.m),
+            }
+            for r in assigned.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("label") == F.col("cell_id"), 1).otherwise(0)).alias("lm"),
+                F.sum(F.round(F.col("d2") * 1000).cast("bigint")).alias("m"),
+            )
+            .collect()  # bounded: one row per cell
         }
-        for r in assigned.groupBy("cell_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("label") == F.col("cell_id"), 1).otherwise(0)).alias("lm"),
-            F.sum(F.round(F.col("d2") * 1000).cast("bigint")).alias("m"),
-        )
-        .collect()  # bounded: one row per cell
-    }
+    finally:
+        assigned.unpersist()
     n_added = sum(a["n_added"] for a in added.values())
     d2_added = sum(a["sum_d2_milli"] for a in added.values())
     for cid, a in added.items():

@@ -218,3 +218,21 @@ def test_sim_search_index_key_equals_brute_force_exactly(spark, sf_dir):
     got = sorted(map(tuple, similarity.QUERIES["sim_search_index"](spark, sf_dir).collect()))
     want = sorted(map(tuple, similarity.QUERIES["sim_search"](spark, sf_dir).collect()))
     assert got == want
+
+
+def test_cells_write_is_one_file_per_cell(spark, sf_dir, tmp_path):
+    """The write-layout guard: hash-repartitioning by cell_id before the
+    partitioned write must produce ONE data file per cell — without it a
+    dynamic-partition write emits one file per (task, cell), tasks x k
+    tiny files per refresh (measured 17.2 s vs 4.5 s at k=256 on the
+    probe), the file-count explosion that compounds daily at 100 TB."""
+    import glob
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    refresh_vector_index(spark, new, idx)
+    for d in glob.glob(f"{idx}/cells/cell_id=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        # build wrote one file, refresh appended at most one more
+        assert 1 <= len(files) <= 2, f"{d}: {len(files)} files"
