@@ -53,6 +53,14 @@ _MODULES = [
 #      documented trade as r7): scalar_null, pivot_wide, unpivot_long —
 #      chosen because their operators are single-expression projections
 #      untouched since r9 — and they lead the r13 window.
+# Out-of-window change note (the r7 documentation rule):
+# sim_search_ivf_lloyd (rows-only, r10 evidence) is touched by the r12
+# _seed_centroids rank-based rewrite, but its output is PROVEN identical
+# on the registered input — the rank seeds equal the old vec_id<8
+# predicate seeds on contiguous ids (asserted element-for-element at
+# sf0.01 before the change landed), and the recall-floor tests re-ran
+# green. sim_search_ivfpq/sim_search_pq share that path and ARE in this
+# window.
 _SWEEP_FIRST = [
     # -- 1) new/changed this round (r12) -------------------------------
     "sim_search_index",
