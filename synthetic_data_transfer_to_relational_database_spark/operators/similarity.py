@@ -513,8 +513,8 @@ def _seed_centroids(e: DataFrame, n: int = _N_CELLS) -> list[list[float]]:
     cvs = []
     for r in cents:
         v = list(r["embedding"])
-        n = math.sqrt(sum(x * x for x in v)) or 1.0
-        cvs.append([x / n for x in v])
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0  # not `n`: the param
+        cvs.append([x / nrm for x in v])
     return cvs
 
 

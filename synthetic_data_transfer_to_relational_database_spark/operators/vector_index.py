@@ -122,17 +122,22 @@ def _write_cells(assigned: DataFrame, path: str, mode: str) -> None:
     ).write.mode(mode).partitionBy("cell_id").parquet(os.path.join(path, _CELLS))
 
 
-def _check_dim(vectors: DataFrame, meta: dict) -> None:
-    """Refuse dimension drift LOUDLY: ``zip_with`` NULL-pads mismatched
-    arrays, so a wrong-dim batch would otherwise assign every vector by
-    a silently-truncated distance instead of failing."""
-    dim = int(meta.get("dim") or 0)
-    if not dim:
-        return
-    bad = vectors.filter(F.size("embedding") != dim).limit(1).collect()  # bounded probe
+def _check_vectors(vectors: DataFrame, dim: int) -> None:
+    """Refuse dimension drift and NULL embeddings LOUDLY, BEFORE the
+    partitioned write: ``zip_with`` NULL-pads mismatched arrays and
+    propagates NULLs, so a bad batch would otherwise assign by a
+    silently-truncated distance — or assign cell_id NULL, landing rows
+    in a __HIVE_DEFAULT_PARTITION__ directory no centroid owns."""
+    bad_pred = F.col("embedding").isNull()
+    if dim:
+        bad_pred = bad_pred | (F.size("embedding") != dim)
+    bad = vectors.filter(bad_pred).limit(1).collect()  # bounded probe
     if bad:
+        got = bad[0].embedding
         raise ValueError(
-            f"embedding dim {len(bad[0].embedding)} does not match the index's {dim}"
+            "embedding is NULL"
+            if got is None
+            else f"embedding dim {len(got)} does not match the index's {dim}"
         )
 
 
@@ -192,6 +197,9 @@ def build_vector_index(
         cents = list(enumerate([list(map(float, c)) for c in cvs]))
     else:
         raise ValueError(f"unknown centroids mode {centroids!r}")
+    if not cents:
+        raise ValueError("cannot build a vector index over an empty corpus")
+    _check_vectors(vectors, len(cents[0][1]))
     assigned = _assign(spark, vectors, cents).persist()
     try:
         _write_cells(assigned, path, "overwrite")
@@ -240,7 +248,9 @@ def refresh_vector_index(
     path = _norm_path(path)
     meta = read_meta(path)
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
-    _check_dim(new_vectors, meta)
+    if not cents:
+        raise ValueError(f"index at {path} has no centroids — rebuild it")
+    _check_vectors(new_vectors, int(meta.get("dim") or 0))
     assigned = _assign(spark, new_vectors, cents).persist()
     try:
         _write_cells(assigned, path, "append")

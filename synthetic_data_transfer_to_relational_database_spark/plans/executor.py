@@ -148,6 +148,9 @@ class GenerationPlan:
     # into a LIVE database, IDENTITY values are NOT 1..n — the sink fetches
     # the real keys after insert and stores them here ({table: {pk_col:
     # [keys]}}); children then sample these instead of the assumed range.
+    # Contract: to change a column's keys, REPLACE the list (assign a new
+    # one) — never mutate it in place; the byte-gate memo invalidates on
+    # list identity (+ a length backstop for .extend misuse).
     parent_keys_override: dict[str, dict[str, list]] = field(default_factory=dict)
     # storage root for materialize="write" (defaults to spark-warehouse)
     materialize_dir: str = "spark-warehouse/_generated"
@@ -341,7 +344,16 @@ class GenerationPlan:
             # (r11 advice).
             memo_key = (parent_name, parent_col)
             prepped = self._override_prepped.get(memo_key)
-            if prepped is None or prepped[0] is not override:
+            if (
+                prepped is None
+                or prepped[0] is not override
+                # length check: catches the in-place `.extend(new_keys)`
+                # misuse that an identity check alone cannot (same-length
+                # in-place edits are the caller's contract breach — see
+                # the parent_keys_override field doc: replace, never
+                # mutate)
+                or len(prepped[1]) != len(override)
+            ):
                 srt = sorted(override)
                 prepped = (override, srt, sum(len(str(v)) + 3 for v in srt))
                 self._override_prepped[memo_key] = prepped

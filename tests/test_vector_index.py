@@ -236,3 +236,30 @@ def test_cells_write_is_one_file_per_cell(spark, sf_dir, tmp_path):
         files = glob.glob(f"{d}/*.parquet")
         # build wrote one file, refresh appended at most one more
         assert 1 <= len(files) <= 2, f"{d}: {len(files)} files"
+
+
+def test_null_embeddings_and_empty_corpus_fail_loudly(spark, sf_dir, tmp_path):
+    """Self-review hardening: a NULL embedding (or an empty build corpus)
+    must raise BEFORE the partitioned write — the map-side argmin would
+    otherwise assign cell_id NULL and land rows in a
+    __HIVE_DEFAULT_PARTITION__ directory no centroid owns, then crash the
+    counter fold with int(None)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_vector_index(spark, base.limit(0), idx, centroids="by_label")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    poisoned = new.limit(5).select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="embedding is NULL"):
+        refresh_vector_index(spark, poisoned, idx)
+    with pytest.raises(ValueError, match="embedding is NULL"):
+        build_vector_index(spark, poisoned, str(tmp_path / "vidx2"), centroids="by_label")
+    # the failed refresh wrote nothing: the index still verifies
+    assert verify_vector_index(spark, idx)["ok"]
