@@ -47,6 +47,11 @@ DEFAULT_KEYS = [
     "sim_search",
     "dedup_incremental",
     "embedding_index_refresh",
+    # r12-new pair: the persisted-index loop under max cosine ties
+    # (exact vector replicas) and the bigram LM under 10× denser
+    # repeated-text mass
+    "sim_search_index",
+    "text_ngram_lm_score",
 ]
 
 # key columns remapped to k*10+i per replica (PK and every FK to it)
