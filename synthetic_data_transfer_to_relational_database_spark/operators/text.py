@@ -1397,10 +1397,17 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (``sequence(1, size-1)`` guarded by size >= 2 — Spark's
     sequence DESCENDS for start > stop, so unguarded 1-token docs would
     fabricate a null bigram). The two count tables shuffle (token-pair,
-    int64 partial) — vocabulary-sized, partial-agg friendly, broadcastable
-    below ~100M distinct pairs; the instance→count joins are token-keyed
-    equi-joins and the final per-doc agg carries only (doc_id, int64).
-    Document text never shuffles."""
+    int64 partial) — vocabulary-sized and partial-agg friendly. Their
+    joins back onto the instances are HINTED ``shuffle_hash``: Catalyst's
+    static size estimate for an aggregate above an explode is garbage,
+    and at the 10× corpus probe it chose to BROADCAST the ~6M-distinct
+    pair-count table (and then the joined result!), dying with
+    not-enough-memory-to-broadcast — measured, not hypothetical. A
+    shuffled hash join's BUILD side here is one row per key by
+    construction (the agg), so per-partition hash maps stay bounded and
+    AQE skew-split handles hot prefixes; the count side even reuses its
+    own groupBy partitioning on the pair join. The final per-doc agg
+    carries only (doc_id, int64). Document text never shuffles."""
     d = table(spark, sf_dir, "documents")
     big = (
         d.select("doc_id", _tokens().alias("toks"))
@@ -1419,8 +1426,8 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
-        big.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
+        big.join(bc.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uc.hint("shuffle_hash"), ["w1"])
         .select(
             "doc_id",
             F.round(

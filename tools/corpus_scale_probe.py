@@ -36,7 +36,16 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-PROBE_QUERIES = ["text_stats", "dedup_minhash_lsh", "dedup_cluster"]
+# SDT_PROBE_QUERIES=a,b,c scopes the probe (always include text_stats —
+# the linear yardstick a ratio means nothing without); default is the
+# SCALE.md §2 trio whose numbers the standing re-pin rule governs.
+PROBE_QUERIES = [
+    q
+    for q in os.environ.get(
+        "SDT_PROBE_QUERIES", "text_stats,dedup_minhash_lsh,dedup_cluster"
+    ).split(",")
+    if q
+]
 DUP_EVERY = 20  # every 20th doc is a near-dup of its predecessor (5%)
 
 
