@@ -117,7 +117,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("grams"),
     )
     a = sh.alias("a")
-    b = sh.alias("b")
+    # shuffle_hash: both sides are the corpus carrying trigram-set
+    # arrays — the static plan broadcast one whole side and died at the
+    # 10× corpus probe (SCALE.md §2 disease sweep); SHJ shuffles by
+    # doc_id and avoids sorting rows with heavy arrays
+    b = sh.alias("b").hint("shuffle_hash")
     n_common = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     n_union = F.size(F.array_distinct(F.concat(F.col("a.grams"), F.col("b.grams"))))
     return (
@@ -378,26 +382,43 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = pp.filter(F.col("bk") < 8).drop("bk")
     new = pp.filter(F.col("bk") >= 8).drop("bk")
+    # Corpus-scaled build sides (the base split's digests, band keys,
+    # and gram arrays) are hinted shuffle_hash: the static estimates
+    # above the shingle pipeline are garbage, and the unhinted plan
+    # broadcast the base split and died at the 10× corpus probe
+    # (SCALE.md §2 disease sweep). Catalyst still prunes the gram
+    # arrays out of the digest/band join shuffles (keys + ids only);
+    # only the verify joins carry grams, for candidate rows.
     ex = (
         new.alias("n")
-        .join(base.alias("b"), F.col("b.digest") == F.col("n.digest"))
+        .join(base.alias("b").hint("shuffle_hash"), F.col("b.digest") == F.col("n.digest"))
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.min("b.doc_id").alias("exact_id"))
     )
     cand = (
         new.alias("n")
-        .join(base.alias("b"), F.col("b.b1") == F.col("n.b1"))
+        .join(base.alias("b").hint("shuffle_hash"), F.col("b.b1") == F.col("n.b1"))
         .select(F.col("n.doc_id").alias("new_id"), F.col("b.doc_id").alias("base_id"))
         .union(
             new.alias("n")
-            .join(base.alias("b"), F.col("b.b2") == F.col("n.b2"))
+            .join(base.alias("b").hint("shuffle_hash"), F.col("b.b2") == F.col("n.b2"))
             .select(F.col("n.doc_id").alias("new_id"), F.col("b.doc_id").alias("base_id"))
         )
         .distinct()
     )
     ver = (
-        cand.join(new.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("ngrams")), "new_id")
-        .join(base.select(F.col("doc_id").alias("base_id"), F.col("grams").alias("bgrams")), "base_id")
+        cand.join(
+            new.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("ngrams")).hint(
+                "shuffle_hash"
+            ),
+            "new_id",
+        )
+        .join(
+            base.select(F.col("doc_id").alias("base_id"), F.col("grams").alias("bgrams")).hint(
+                "shuffle_hash"
+            ),
+            "base_id",
+        )
         .select(
             "new_id",
             "base_id",

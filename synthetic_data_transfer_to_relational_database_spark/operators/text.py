@@ -847,8 +847,17 @@ def _doc_pair_commons(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     n = sizes.agg(F.count(F.lit(1)).alias("n_docs"))
     abs_cap = int(spark.conf.get("spark.sdt.pairs.maxTokenDf", "10000"))
+    # Every join below whose build side SCALES WITH THE CORPUS (the df
+    # vocabulary, the token index, the per-doc sizes) is hinted
+    # shuffle_hash: Catalyst's static size estimates above the tokenize
+    # explode are garbage, and at the 10× corpus probe it chose to
+    # BROADCAST the token index and died building the hash relation
+    # (SCALE.md §2 disease sweep). SHJ build sides here are one row per
+    # key (df, sizes) or partition-bounded postings (tok) and AQE
+    # skew-split still applies; only the genuinely-1-row n frame keeps
+    # an explicit broadcast.
     rare = (
-        tok.join(df_, "token")
+        tok.join(df_.hint("shuffle_hash"), "token")
         .crossJoin(F.broadcast(n))
         .filter(F.col("df") <= F.least(F.col("n_docs") * 0.06, F.lit(abs_cap)))
         .select("doc_id", "token")
@@ -863,7 +872,7 @@ def _doc_pair_commons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta, tb = tok.alias("ta"), tok.alias("tb")
+    ta, tb = tok.alias("ta").hint("shuffle_hash"), tok.alias("tb").hint("shuffle_hash")
     common = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
         .join(
@@ -874,7 +883,8 @@ def _doc_pair_commons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    sa = sizes.alias("sa").hint("shuffle_hash")
+    sb = sizes.alias("sb").hint("shuffle_hash")
     return (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
@@ -1020,8 +1030,13 @@ def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one (digest+id rows only, same recipe as text_doc_pairs_jaccard)
     g = t.select("doc_id", F.explode(grams).alias("gram")).cache()
     df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # shuffle_hash, not the planner's choice: the gram-count table is
+    # CORPUS-scaled and Catalyst's static estimate above the explode is
+    # garbage — at the 10× corpus probe it broadcast ~5.6M digests and
+    # died (the text_ngram_lm_score disease, SCALE.md §2); the SHJ build
+    # side is one row per key, bounded per partition
     return (
-        g.join(df_, "gram")
+        g.join(df_.hint("shuffle_hash"), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

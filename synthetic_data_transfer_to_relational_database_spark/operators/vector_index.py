@@ -44,7 +44,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql.window import Window  # search top-k only; assignment is window-free
 
 from .similarity import _argmin_assign, _fold_sum, _lloyd_refine, _seed_centroids
 

@@ -20,6 +20,18 @@ def get_spark(app_name: str = "sdt-spark", shuffle_partitions: int | None = None
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        # Size the single local JVM to the machine (r12): pyspark's 1g
+        # default heap gave local[32] ~32 MB per task slot — an order
+        # tighter than any real executor (prod runs 1–4 GB per core) —
+        # and it was the hidden variable behind GC-locker thrash and
+        # broadcast-build deaths in the 10× corpus disease sweep
+        # (SCALE.md "Heap sizing"). 8g is still conservative for a
+        # 128 GiB host and leaves room for concurrent JVMs (pytest,
+        # driver sims, bench children). Only effective when this call
+        # launches the JVM; ignored on an already-running session.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         # AQE: coalesce post-shuffle partitions, split skewed joins,
         # convert to broadcast at runtime when a side turns out small.
         .config("spark.sql.adaptive.enabled", "true")
