@@ -20,6 +20,13 @@ Each query is fully materialized through the `noop` datasource sink so the
 timing covers the whole plan (scan → shuffle → sink), not a count()
 shortcut that lets Spark prune columns. One warm-up run of the flagship
 query first so JVM/codegen warm-up isn't charged to q1.
+
+RIG NOTE (r12): all figures through the FIRST r12 official run were
+measured on pyspark's 1g default driver heap (session.py never set it);
+from the second r12 run the JVM is sized to the machine (8g — SCALE.md
+"Heap sizing"). Cross-rig comparisons carry a ~0-30% GC-tax skew on top
+of the usual noise band; the history file's loadavg/cpu telemetry marks
+the boundary.
 """
 
 from __future__ import annotations
