@@ -103,10 +103,12 @@ EXTRA_R9 = [
 # files, so the number covers the whole day-1 story, not just the query
 # — and the corpus bigram-LM scorer (two vocabulary aggs + token-keyed
 # joins over ~doc-length×corpus bigram instances). Series note:
-# text_ngram_lm_score's comparable baseline is the post-shuffle_hash
-# figure 1.402 s (scoped adjudication, in BENCH_samples_history.jsonl) —
-# the 0.955 s in the r12 official run predates that fix (the static
-# broadcast plan that DIED at the 10× corpus probe; SCALE.md §2).
+# text_ngram_lm_score's r13-comparable baseline is 0.955 s from the
+# 8g-rig official run, which already carries the shuffle_hash plan
+# (the fix for the static broadcast that DIED at the 10× corpus probe;
+# SCALE.md §2). On the sized rig the shuffle plan costs what the
+# broadcast plan did; the 1.402 s scoped adjudication in the history
+# was the same plan paying the old 1g rig's GC tax.
 EXTRA_R12 = ["sim_search_index", "text_ngram_lm_score"]
 # New in r6: the engine the repo is named for, at benchmark scale — the
 # reference's FULL 85-table script.sql schema generated at 10k rows per
