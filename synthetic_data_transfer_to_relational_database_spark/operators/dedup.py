@@ -406,6 +406,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Build-side choice MEASURED, not argued (r12): the gram-side build
+    # map scales with docs/partition (one shingle set per doc), the
+    # cand-side build with PAIR DENSITY — and at the 10× probe corpus
+    # the cand-side placement OOMed while this one ran (129 s). Either
+    # placement suppresses the fatal static broadcast; this one's build
+    # is bounded by the corpus, not by how dup-heavy the batch is.
     ver = (
         cand.join(
             new.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("ngrams")).hint(

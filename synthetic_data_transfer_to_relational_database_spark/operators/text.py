@@ -872,6 +872,13 @@ def _doc_pair_commons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Build-side choice MEASURED, not argued (r12): hinting the token
+    # index makes the per-partition hash map scale with docs/partition
+    # (postings per doc are bounded); hinting the candidate side makes
+    # it scale with PAIR DENSITY, which is corpus-dependent and
+    # explodes under adversarial dup mass — at the 10× probe corpus
+    # the cand-side build OOMed while the index-side build ran in
+    # 41.5 s. Keep the hints on the index side.
     ta, tb = tok.alias("ta").hint("shuffle_hash"), tok.alias("tb").hint("shuffle_hash")
     common = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))

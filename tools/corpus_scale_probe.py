@@ -40,12 +40,17 @@ sys.path.insert(0, _REPO)
 # the linear yardstick a ratio means nothing without); default is the
 # SCALE.md §2 trio whose numbers the standing re-pin rule governs.
 PROBE_QUERIES = [
-    q
+    q.strip()
     for q in os.environ.get(
         "SDT_PROBE_QUERIES", "text_stats,dedup_minhash_lsh,dedup_cluster"
     ).split(",")
-    if q
+    if q.strip()
 ]
+if "SDT_PROBE_QUERIES" in os.environ:
+    # a lingering export must never masquerade as the standing-rule
+    # trio re-pin — make the scoping visible in the run's own output
+    print(f"# SCOPED by SDT_PROBE_QUERIES: {PROBE_QUERIES} (NOT the standing trio)",
+          file=sys.stderr)
 DUP_EVERY = 20  # every 20th doc is a near-dup of its predecessor (5%)
 
 
