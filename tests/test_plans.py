@@ -553,3 +553,22 @@ def test_nearest_centroid_assignment_is_map_side(spark):
         .toString()
     )
     assert "Window" not in rplan
+
+
+def test_corpus_scaled_joins_are_shuffle_hash_not_broadcast(spark):
+    """r12 disease-sweep fix: joins whose build side scales with the
+    corpus (token df, gram counts, base-split digests/grams, the token
+    index) must stay ShuffledHashJoin — the static-estimate broadcast
+    plan died at the 10x corpus probe (SCALE.md 'Heap sizing'). The
+    1-row frames (n_docs) keep their explicit broadcasts; this guards
+    the hints against accidental removal."""
+    for key in (
+        "text_ngram_lm_score",
+        "corpus_dup_ngrams",
+        "dedup_ngram_jaccard",
+        "dedup_incremental",
+        "text_doc_pairs_jaccard",
+        "text_containment",
+    ):
+        plan = _plan(registry.all_queries()[key](spark, SF_DIR))
+        assert "ShuffledHashJoin" in plan, f"{key}: shuffle_hash hint lost"
