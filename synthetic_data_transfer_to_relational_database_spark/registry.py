@@ -40,80 +40,74 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-12 window:
-#   1) new/changed this round: sim_search_index (the persisted-index
-#      build→serve loop, NEW, pairs with the sim_search oracle),
-#      text_ngram_lm_score (corpus bigram-LM quality scorer, NEW), and
-#      embedding_index_refresh (CHANGED — its argmin was rewritten to the
-#      map-side array form; re-sweeping proves output identity under the
-#      driver's hash).
-#   2) 47 of the 50 keys whose newest driver evidence is r9 — the oldest
-#      tier after r11 closed the r8 basket. Three r9-evidence keys spill
-#      one round to make room for the new registrations (the same
-#      documented trade as r7): scalar_null, pivot_wide, unpivot_long —
-#      chosen because their operators are single-expression projections
-#      untouched since r9 — and they lead the r13 window.
-# Out-of-window change note (the r7 documentation rule):
-# sim_search_ivf_lloyd (rows-only, r10 evidence) is touched by the r12
-# _seed_centroids rank-based rewrite, but its output is PROVEN identical
-# on the registered input — the rank seeds equal the old vec_id<8
-# predicate seeds on contiguous ids (asserted element-for-element at
-# sf0.01 before the change landed), and the recall-floor tests re-ran
-# green. sim_search_ivfpq/sim_search_pq share that path and ARE in this
-# window.
+# new/changed queries first, then oldest-evidence first. Round-13 window:
+#   1) the r12 spill (the only keys at r9 evidence — the documented r12
+#      trade): scalar_null, pivot_wide, unpivot_long. They lead, per the
+#      r12 verdict.
+#   2) 47 of the 50 keys whose newest driver evidence is r10 — the
+#      oldest tier after r12 closed the r9 basket. Three r10-evidence
+#      keys spill one round to r14 (same documented trade as r7/r12):
+#      orders_shipping_priority, orders_big_volume, orders_late_priority
+#      — chosen because they are single-statement TPC-H-style
+#      filter+agg queries over orders/lineitem, untouched since they
+#      were registered, each re-verified strict-green locally via
+#      driver_sim this round (r13) before the window landed.
+# No NEW oracle-paired keys register in r13: the window is over-full
+# with owed evidence (53 candidates for 50 slots), and the r7 corollary
+# says new keys must enter the window the round they register.
 _SWEEP_FIRST = [
-    # -- 1) new/changed this round (r12) -------------------------------
-    "sim_search_index",
-    "text_ngram_lm_score",
-    "embedding_index_refresh",
-    # -- 2) the r9-evidence tier (47 of 50 keys; spill documented above)
-    "agg_approx_percentile",
-    "agg_mode",
-    "agg_sketch_union",
-    "basket_pairs",
-    "bracket_revenue",
-    "corpus_diff",
-    "corpus_dup_ngrams",
-    "corpus_length_histogram",
-    "corpus_quantile_filter",
-    "corpus_split",
-    "data_quality_profile",
-    "dedup_cluster",
-    "dedup_embedding",
-    "dedup_semantic",
-    "events_anomaly_mad",
-    "events_attribution",
-    "events_forecast_baseline",
-    "events_gap_islands",
-    "events_gapfill",
-    "events_retention_cohorts",
-    "events_rolling_active",
-    "events_rollup_hierarchy",
-    "events_user_paths",
-    "join_asof",
-    "lineitem_discount_revenue",
-    "lineitem_yoy_growth",
-    "multimodal_dyn_batch",
-    "multimodal_phash_dedup",
-    "orders_cohort_ltv",
-    "orders_rfm",
-    "returned_item_report",
-    "sample_hash",
-    "sim_knn_graph",
-    "sim_search_ivfpq",
-    "sim_search_pq",
-    "skew_profile",
-    "snapshot_merge_upsert",
-    "stream_interval_join",
-    "text_containment",
-    "text_contamination",
-    "text_doc_pairs_jaccard",
-    "text_pii_scan",
-    "top_supplier_revenue",
-    "waiting_suppliers",
-    "window_first_last",
-    "window_rank",
-    "window_ranks_pct",
+    # -- 1) the r12 spill (r9 evidence) ---------------------------------
+    "scalar_null",
+    "pivot_wide",
+    "unpivot_long",
+    # -- 2) the r10-evidence tier (47 of 50 keys; spill documented above)
+    "above_order_avg",
+    "agg_cube",
+    "agg_gsets",
+    "agg_median",
+    "agg_string",
+    "basket_rules",
+    "corpus_curation_pipeline",
+    "corpus_mixture",
+    "corpus_quality_resample",
+    "customer_idle_rich",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "events_ab_test",
+    "graph_pagerank",
+    "graph_triangles",
+    "join_full_outer",
+    "join_salted",
+    "lineitem_pricing_summary",
+    "lineitem_priority_mix",
+    "multimodal_frame_sample",
+    "part_promo_revenue_share",
+    "sample_stratified",
+    "scalar_date",
+    "scalar_math",
+    "scalar_string",
+    "sim_centroid_by_label",
+    "sim_centroid_scalable",
+    "sim_classifier_udf",
+    "sim_search_ivf_lloyd",
+    "stream_dedup",
+    "stream_jdbc_exactly_once",
+    "stream_session",
+    "stream_sliding",
+    "stream_user_profile",
+    "text_bpe_train",
+    "text_lang_id",
+    "text_oov_rate",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "text_term_freq",
+    "text_token_bpe",
+    "udf_surface",
+    "user_erasure_audit",
+    "window_frame",
 ]
 
 
