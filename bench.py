@@ -69,6 +69,12 @@ FORCED_SCALABLE = "window_rank_scalable_forced"
 # r3-comparable totals; comparable from r5 on): the inverted-index
 # all-pairs similarity join (multi-join + cached token index) and the
 # blocked kNN-graph (block-quadratic cosine + per-src window).
+# Series note: text_doc_pairs_jaccard re-baselined TWICE — r12 at the
+# shuffle-hash plan adoption (broadcast dies at 10× corpus), r13 at
+# ≈3.0 s after a quiet-rig scoped adjudication showed the 2.362 r12
+# figure was one favorable sample (SHJ-era samples range 2.6–5.0 s;
+# it is the most stage-count-heavy sub-5 s entry, so it surfs
+# co-tenancy hardest — treat 2.6–3.3 as in-band, SCALE.md).
 EXTRA = ["text_doc_pairs_jaccard", "sim_knn_graph"]
 # New in r5 (no prior numbers): tracked but outside BOTH comparable
 # totals until r6 — the PQ entry times train(3 Lloyd jobs)+encode+ADC.
