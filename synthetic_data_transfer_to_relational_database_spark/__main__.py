@@ -238,26 +238,46 @@ def cmd_index(args) -> int:
             print(json.dumps(report))
             return 0 if report["ok"] else 1
         if args.action == "search":
-            from .operators.vector_index import search_vector_index
+            from pyspark.sql import functions as F
+
+            from .operators.vector_index import (
+                search_vector_index,
+                search_vector_index_df,
+            )
 
             if not args.queries_src:
                 raise SystemExit("index search requires --queries-src (parquet of vec_id, embedding)")
-            queries = [
-                (int(r.vec_id), list(r.embedding))
-                # orderBy BEFORE limit (r11 advice): a bare limit on an
-                # unordered parquet read picks a run-dependent subset
-                for r in spark.read.parquet(args.queries_src)
+            # orderBy BEFORE limit (r11 advice): a bare limit on an
+            # unordered parquet read picks a run-dependent subset
+            qdf = (
+                spark.read.parquet(args.queries_src)
                 .select("vec_id", "embedding")
                 .orderBy("vec_id")
                 .limit(args.max_queries)
-                .collect()  # bounded by --max-queries
-            ]
-            res = search_vector_index(
-                spark, args.path, queries, top_k=args.top_k, n_probe=args.n_probe
             )
+            n_queries = qdf.count()  # bounded by --max-queries
+            if n_queries >= args.df_serve_threshold:
+                # big query batches ride the DataFrame-native serve: the
+                # probe ranking stays distributed instead of a driver
+                # loop; row-identical to the list path (test-pinned)
+                res = search_vector_index_df(
+                    spark,
+                    args.path,
+                    qdf.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qv"),
+                    ),
+                    top_k=args.top_k,
+                    n_probe=args.n_probe,
+                )
+            else:
+                queries = [(int(r.vec_id), list(r.embedding)) for r in qdf.collect()]
+                res = search_vector_index(
+                    spark, args.path, queries, top_k=args.top_k, n_probe=args.n_probe
+                )
             if args.out:
                 res.write.mode("overwrite").parquet(args.out)
-                print(json.dumps({"queries": len(queries), "out": args.out}))
+                print(json.dumps({"queries": n_queries, "out": args.out}))
             else:
                 for r in res.collect():
                     print(json.dumps({"query_id": r.query_id, "vec_id": r.vec_id, "cosine": r.cosine, "rn": r.rn}))
@@ -512,6 +532,14 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=100,
         help="serve the first N queries by vec_id rank (default 100)",
+    )
+    p.add_argument(
+        "--df-serve-threshold",
+        type=int,
+        default=64,
+        help="at or above this many queries, serve via the DataFrame-native "
+        "path (distributed probe ranking, equi-joined cells) instead of the "
+        "driver-list path — the two are row-identical (test-pinned)",
     )
     p.add_argument("--out", help="write search results parquet instead of printing")
     p.add_argument(

@@ -89,6 +89,12 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one per-process index scratch dir (r12 advice): created lazily on the
+# first sim_search_index invocation, overwritten in place by later ones,
+# removed once at process exit
+_SIM_IDX_DIR: dict = {"path": None}
+
+
 @q("sim_search_index", sql=_BRUTE_KNN_SQL)
 def sim_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index serve path under the driver's hash (r11
@@ -102,9 +108,14 @@ def sim_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered rows-only by ``sim_search_ivf_lloyd`` and the
     tests/test_vector_index.py recall floor.
 
-    The index lands in a per-invocation temp dir (removed at process
-    exit): what's under test is the loop, not a reusable artifact —
-    production keeps a long-lived --path via the ``index`` CLI."""
+    The index lands in ONE per-process temp dir (r12 advice: a fresh
+    mkdtemp per invocation accumulated full index copies + atexit
+    registrations across a long pytest/REPL session) — the build's
+    overwrite mode already makes re-runs safe, and each invocation's
+    serve collects against the index IT just built, so reuse is sound
+    for the sequential driver/bench contract. What's under test is the
+    loop, not a reusable artifact — production keeps a long-lived
+    --path via the ``index`` CLI."""
     import atexit
     import shutil
     import tempfile
@@ -112,8 +123,10 @@ def sim_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vector_index import build_vector_index, search_vector_index
 
     e = table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="sdt_simsearchidx_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if _SIM_IDX_DIR["path"] is None:
+        _SIM_IDX_DIR["path"] = tempfile.mkdtemp(prefix="sdt_simsearchidx_")
+        atexit.register(shutil.rmtree, _SIM_IDX_DIR["path"], ignore_errors=True)
+    path = _SIM_IDX_DIR["path"]
     build_vector_index(spark, e, path, n_cells=_N_CELLS, centroids="kmeans")
     queries = [
         (int(r.vec_id), list(r.embedding))

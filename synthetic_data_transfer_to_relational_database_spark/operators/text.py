@@ -1431,6 +1431,12 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     own groupBy partitioning on the pair join. The final per-doc agg
     carries only (doc_id, int64). Document text never shuffles."""
     d = table(spark, sf_dir, "documents")
+    # big feeds THREE consumers (bc, uc, the scored join) grouping on
+    # different keys, so no exchange reuse applies — uncached the corpus
+    # is scanned + tokenized + exploded three times per run (r12 advice;
+    # the corpus_dup_ngrams precedent). cache() collapses that to one
+    # pass; the cached frame is (doc_id, w1, w2) — id+token sized, far
+    # under the document text it replaces, memory-and-disk at scale.
     big = (
         d.select("doc_id", _tokens().alias("toks"))
         .filter(F.size("toks") >= 2)
@@ -1444,6 +1450,7 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", "bg.w1", "bg.w2")
+        .cache()
     )
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

@@ -60,14 +60,21 @@ _MAX_CELLS = 10_000
 
 def _norm_path(path: str) -> str:
     if "://" in path:
-        # the parquet side would accept an hdfs:// or s3a:// URI, but the
-        # JSON model IO is plain local open() — refuse up front instead of
-        # failing halfway through a build with half an index on disk
-        raise ValueError(
-            f"vector index paths must be local filesystem paths, got {path!r} "
-            "(the _centroids.json model is read/written with local IO)"
-        )
+        # URI paths (file://, hdfs://, s3a://, …) ride the Hadoop
+        # FileSystem API for BOTH faces of the index: parquet natively,
+        # the JSON model via _write_meta/read_meta (r12 verdict #1 — a
+        # production 100 TB index lives on an object store, and the
+        # model IO was the last local-only seam)
+        return path.rstrip("/")
     return os.path.abspath(path)
+
+
+def _join(path: str, *parts: str) -> str:
+    """Path join that preserves URI schemes (os.path.join would be
+    correct-by-accident on '/'-separated URIs but reads as local-only)."""
+    if "://" in path:
+        return "/".join([path.rstrip("/"), *parts])
+    return os.path.join(path, *parts)
 
 
 def _label_centroids(vectors: DataFrame) -> list[tuple[int, list[float]]]:
@@ -108,18 +115,35 @@ def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, 
     )
 
 
-def _write_cells(assigned: DataFrame, path: str, mode: str) -> None:
+def _write_cells(assigned: DataFrame, path: str, mode: str, shards_per_cell: int = 1) -> None:
     """Partitioned write with a cell-keyed layout shuffle. Without the
     repartition, a dynamic-partition write emits one file per (TASK,
     cell) — tasks × k tiny files per refresh, the file-count explosion
     that killed the k=256 probe (measured: refresh 17.2 s at k=256 vs a
-    near-flat-in-k 1.6 s assignment). Hash-repartitioning by cell_id
-    routes each cell to exactly one task: k files total, one O(batch)
-    shuffle of digest-sized rows. Callers persist ``assigned`` so this
-    write and the counter agg share ONE assignment computation."""
-    assigned.repartition("cell_id").select(
-        "cell_id", "vec_id", "label", "embedding", "d2"
-    ).write.mode(mode).partitionBy("cell_id").parquet(os.path.join(path, _CELLS))
+    near-flat-in-k 1.6 s assignment).
+
+    ``shards_per_cell=1`` (refresh appends): hash-repartitioning by
+    cell_id alone routes each cell to exactly one task — ONE file per
+    refresh per cell, one O(batch) shuffle of digest-sized rows.
+
+    ``shards_per_cell=s>1`` (initial builds, r12 advice): keying the
+    shuffle on cell_id ALONE caps write parallelism at the cell count
+    and produces one unbounded file per cell — wrong for a full-corpus
+    build at small k. A deterministic vec_id-hash shard column widens
+    the key to (cell_id, shard): parallelism up to k×s tasks, file
+    count bounded at ≤ s per cell, and each (cell, shard) group still
+    lands wholly in one task so the layout stays append-compatible with
+    later single-shard refreshes. The shard is a repartition-only
+    expression — it never reaches the schema."""
+    cols = ["cell_id", "vec_id", "label", "embedding", "d2"]
+    df = assigned.select(*cols)
+    if shards_per_cell > 1:
+        df = df.repartition(
+            F.col("cell_id"), F.pmod(F.xxhash64("vec_id"), F.lit(shards_per_cell))
+        )
+    else:
+        df = df.repartition("cell_id")
+    df.write.mode(mode).partitionBy("cell_id").parquet(_join(path, _CELLS))
 
 
 def _check_vectors(vectors: DataFrame, dim: int) -> None:
@@ -141,21 +165,67 @@ def _check_vectors(vectors: DataFrame, dim: int) -> None:
         )
 
 
-def _write_meta(path: str, meta: dict) -> None:
+def _require_session(path: str, spark: SparkSession | None) -> SparkSession:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"reading the model at URI {path!r} needs a SparkSession (the "
+            "JSON IO rides the Hadoop FileSystem API) and none is active"
+        )
+    return spark
+
+
+def _write_meta(path: str, meta: dict, spark: SparkSession | None = None) -> None:
     # atomic replace (r11 advice): refresh REWRITES the only copy of the
     # centroid model every day-2 batch — a crash mid-dump must leave the
     # previous model intact, never a truncated JSON that bricks
-    # refresh/search/verify with no recovery path
-    final = os.path.join(path, _META)
+    # refresh/search/verify with no recovery path. URI paths keep the
+    # same semantics through FileContext.rename(OVERWRITE) — the Hadoop
+    # API whose contract is atomic rename-over (plain FileSystem.rename
+    # refuses an existing destination, and delete-then-rename would open
+    # exactly the crash window the local os.replace closes).
+    final = _join(path, _META)
     tmp = final + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, final)
+    if "://" not in path:
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, final)
+        return
+    spark = _require_session(path, spark)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    jfinal, jtmp = hpath(final), hpath(tmp)
+    fs = jfinal.getFileSystem(conf)
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(jfinal.toUri(), conf)
+    rename = jvm.org.apache.hadoop.fs.Options.Rename
+    overwrite = spark.sparkContext._gateway.new_array(rename, 1)
+    overwrite[0] = rename.OVERWRITE
+    fc.rename(jtmp, jfinal, overwrite)
 
 
-def read_meta(path: str) -> dict:
-    with open(os.path.join(_norm_path(path), _META)) as f:
-        return json.load(f)
+def read_meta(path: str, spark: SparkSession | None = None) -> dict:
+    path = _norm_path(path)
+    final = _join(path, _META)
+    if "://" not in path:
+        with open(final) as f:
+            return json.load(f)
+    spark = _require_session(path, spark)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jfinal = jvm.org.apache.hadoop.fs.Path(final)
+    fs = jfinal.getFileSystem(conf)
+    ins = fs.open(jfinal)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(ins))
+    finally:
+        ins.close()
+    return json.loads(raw.decode("utf-8"))
 
 
 def build_vector_index(
@@ -165,6 +235,7 @@ def build_vector_index(
     n_cells: int = 8,
     centroids: str = "kmeans",
     lloyd_iters: int = 3,
+    write_shards: int | None = None,
 ) -> dict:
     """Build-once step. ``vectors`` must carry (vec_id, embedding, label
     — label may be a constant for unlabeled corpora). Writes
@@ -200,9 +271,17 @@ def build_vector_index(
     if not cents:
         raise ValueError("cannot build a vector index over an empty corpus")
     _check_vectors(vectors, len(cents[0][1]))
+    if write_shards is None:
+        # default the BUILD's write parallelism to the machine, not the
+        # cell count: s = ceil(cores / k) keeps ~defaultParallelism write
+        # tasks at small k while staying at one file per cell once k
+        # alone provides the parallelism (r12 advice — refresh appends
+        # keep shards=1, the one-file-per-refresh layout)
+        par = spark.sparkContext.defaultParallelism
+        write_shards = max(1, -(-par // max(1, len(cents))))
     assigned = _assign(spark, vectors, cents).persist()
     try:
-        _write_cells(assigned, path, "overwrite")
+        _write_cells(assigned, path, "overwrite", shards_per_cell=write_shards)
         stats = {
             int(r.cell_id): {"n": int(r.n), "d2_milli": int(r.m)}
             for r in assigned.groupBy("cell_id")
@@ -228,7 +307,7 @@ def build_vector_index(
         "refresh_d2_milli": 0,
         "refresh_n": 0,
     }
-    _write_meta(path, meta)
+    _write_meta(path, meta, spark)
     return meta
 
 
@@ -246,7 +325,7 @@ def refresh_vector_index(
     arrival distance > ``rebuild_factor`` × build-time mean: the cells
     no longer describe the data and a re-cluster pays for itself)."""
     path = _norm_path(path)
-    meta = read_meta(path)
+    meta = read_meta(path, spark)
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
     if not cents:
         raise ValueError(f"index at {path} has no centroids — rebuild it")
@@ -279,7 +358,7 @@ def refresh_vector_index(
     meta["n_vectors"] += n_added
     meta["refresh_n"] += n_added
     meta["refresh_d2_milli"] += d2_added
-    _write_meta(path, meta)
+    _write_meta(path, meta, spark)
     arrival_mean = (meta["refresh_d2_milli"] / meta["refresh_n"]) if meta["refresh_n"] else 0.0
     return {
         "n_added": n_added,
@@ -299,10 +378,10 @@ def verify_vector_index(spark: SparkSession, path: str) -> dict:
     every data cell must have a centroid, and the total must add up.
     Returns {ok, n_meta, n_data, orphan_cells, mismatched_cells}."""
     path = _norm_path(path)
-    meta = read_meta(path)
+    meta = read_meta(path, spark)
     counts = {
         int(r.cell_id): int(r.n)
-        for r in spark.read.parquet(os.path.join(path, _CELLS))
+        for r in spark.read.parquet(_join(path, _CELLS))
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # bounded: one row per cell
@@ -336,7 +415,7 @@ def search_vector_index(
     partitions (directory pruning), exact cosine rescoring within them.
     Returns (query_id, vec_id, cosine, rn) like sim_search."""
     path = _norm_path(path)
-    meta = read_meta(path)
+    meta = read_meta(path, spark)
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
     dim = int(meta.get("dim") or 0)
     if dim:
@@ -358,7 +437,7 @@ def search_vector_index(
         for qid, qv in queries
     }
     wanted = sorted({c for cs in probe.values() for c in cs})
-    cells = spark.read.parquet(os.path.join(path, _CELLS)).filter(
+    cells = spark.read.parquet(_join(path, _CELLS)).filter(
         F.col("cell_id").isin(wanted)
     )
     qdf = spark.createDataFrame(
@@ -374,6 +453,101 @@ def search_vector_index(
             cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")),
             F.expr("array_contains(probed, cell_id)") & (F.col("vec_id") != F.col("query_id")),
         )
+        .select(
+            "query_id",
+            "vec_id",
+            (F.expr(dot) / (F.sqrt(F.expr(nq)) * F.sqrt(F.expr(nc)))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select(
+        "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= top_k)
+
+
+def search_vector_index_df(
+    spark: SparkSession,
+    path: str,
+    queries_df: DataFrame,
+    top_k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """DataFrame-native serve (r12 verdict #4): same answer as
+    ``search_vector_index`` — row-identical, test-pinned — but the
+    queries arrive as a DataFrame of (query_id, qv) instead of a Python
+    list, so the probe-cell ranking is no longer a driver-side
+    O(|queries| × n_cells) loop and a million-query batch serves as one
+    distributed job.
+
+    Probe ranking is the ``_argmin_assign`` pattern generalized to
+    top-n: the whole centroid model rides as ONE broadcast
+    array-of-structs row, per-query distances to all k centroids
+    evaluate in one map-side array expression, and
+    ``transform(slice(array_sort(struct(d2, cell_id)), 1, n_probe))``
+    takes the n_probe nearest cells — d2 asc then cell_id asc, the
+    identical IEEE fold and tiebreak as the list path's Python sort. No
+    Window, no shuffle, no driver loop (plan-asserted in
+    tests/test_plans.py).
+
+    The cells scan is still partition-pruned: ONE bounded collect
+    (≤ n_cells ints — the distinct union of probed cells, NOT the
+    queries) derives an ``isin`` partition filter, the same directory
+    pruning the list path gets, robust where DPP on a bare parquet path
+    wouldn't trigger. The query→cells attach is then an EQUI-join on
+    cell_id (explode the n_probe array) — broadcastable when queries
+    are small, shuffleable when they aren't, Catalyst/AQE's call —
+    never the list path's array_contains nested-loop, which is the
+    right shape for 10 queries and the wrong one for 10 million."""
+    path = _norm_path(path)
+    meta = read_meta(path, spark)
+    cents = sorted((int(c["cell_id"]), [float(x) for x in c["cv"]]) for c in meta["centroids"])
+    if not cents:
+        raise ValueError(f"index at {path} has no centroids — rebuild it")
+    dim = int(meta.get("dim") or 0)
+    n_probe = max(1, min(n_probe, len(cents)))
+    qv_ok = queries_df.select(
+        F.col("query_id").cast("bigint").alias("query_id"), F.col("qv")
+    )
+    if dim:
+        bad = qv_ok.filter(
+            F.col("qv").isNull() | (F.size("qv") != dim)
+        ).limit(1).collect()  # bounded probe — the _check_vectors recipe
+        if bad:
+            got = bad[0].qv
+            raise ValueError(
+                "query vector is NULL"
+                if got is None
+                else f"query dim {len(got)} does not match the index's {dim}"
+            )
+    cents_row = spark.createDataFrame(
+        [([(cid, cv) for cid, cv in cents],)],
+        "__cents array<struct<cell_id:int,cv:array<double>>>",
+    )
+    # textually the _argmin_assign distance fold (qv for embedding), so
+    # every d2 bit matches the list path's sequential Python sum
+    ranked = F.expr(
+        "transform(slice(array_sort(transform(__cents, c -> struct("
+        "aggregate(zip_with(qv, c.cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
+        " cast(0.0 as double), (acc, x) -> acc + x) AS d2,"
+        " c.cell_id AS cell_id))), 1, {n}), x -> x.cell_id)".format(n=n_probe)
+    )
+    probed = (
+        qv_ok.crossJoin(F.broadcast(cents_row))
+        .select("query_id", "qv", ranked.alias("probed"))
+    )
+    # one bounded collect (≤ n_cells rows) → isin partition filter
+    wanted = sorted(
+        int(r.c)
+        for r in probed.select(F.explode("probed").alias("c")).distinct().collect()
+    )
+    cells = spark.read.parquet(_join(path, _CELLS)).filter(F.col("cell_id").isin(wanted))
+    pq = probed.select("query_id", "qv", F.explode("probed").alias("cell_id"))
+    dot = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
+    nq = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
+    nc = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
+    scored = (
+        pq.join(cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",

@@ -55,6 +55,17 @@ _MODULES = [
 # No NEW oracle-paired keys register in r13: the window is over-full
 # with owed evidence (53 candidates for 50 slots), and the r7 corollary
 # says new keys must enter the window the round they register.
+# Out-of-window change notes (the r7 documentation rule) — r13 touched
+# three r12-evidence keys, each re-verified strict hash-green locally
+# via driver_sim after the change:
+#   sim_search_index — reuses one per-process index scratch dir instead
+#     of a fresh mkdtemp per invocation (r12 advice), and rides the
+#     vector_index build-path write sharding; serve math untouched.
+#   text_ngram_lm_score — the exploded bigram frame is cache()d so its
+#     three consumers share one tokenize pass (r12 advice); plan values
+#     and the shuffle_hash hints unchanged (plan test re-ran green).
+#   embedding_index_refresh — untouched code, re-swept alongside the
+#     two above as shared-machinery assurance.
 _SWEEP_FIRST = [
     # -- 1) the r12 spill (r9 evidence) ---------------------------------
     "scalar_null",

@@ -396,5 +396,15 @@ def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
     ]) == 0
     res = spark.read.parquet(res_out)
     assert res.count() == 15 and res.filter("rn > 3").count() == 0
+    # same search forced onto the DataFrame-native serve (threshold 1):
+    # row-identical to the list path through the same CLI surface
+    res_out_df = str(tmp_path / "res_df")
+    assert main([
+        "index", "search", "--path", idx, "--queries-src", str(qsrc),
+        "--top-k", "3", "--n-probe", "8", "--out", res_out_df,
+        "--df-serve-threshold", "1",
+    ]) == 0
+    got = sorted(map(tuple, spark.read.parquet(res_out_df).collect()))
+    assert got == sorted(map(tuple, res.collect()))
     with _pytest.raises(SystemExit, match="requires --queries-src"):
         main(["index", "search", "--path", idx])

@@ -572,3 +572,59 @@ def test_corpus_scaled_joins_are_shuffle_hash_not_broadcast(spark):
     ):
         plan = _plan(registry.all_queries()[key](spark, SF_DIR))
         assert "ShuffledHashJoin" in plan, f"{key}: shuffle_hash hint lost"
+
+
+def test_search_vector_index_df_plan_is_pruned_and_equi_joined(spark, tmp_path):
+    """r12 verdict #4 plan lock for the DataFrame-native serve: the
+    probe-cell ranking is map-side (no Window, no Exchange, no driver
+    loop — the model rides ONE broadcast row), the query→cells attach is
+    an EQUI-join (never the list path's array_contains nested loop), and
+    the cells scan is partition-pruned to the probed cells via the
+    isin filter derived from the bounded probed-set collect."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.vector_index import (
+        build_vector_index,
+        search_vector_index_df,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, e, idx, centroids="kmeans", n_cells=8)
+    qdf = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    res = search_vector_index_df(spark, idx, qdf, top_k=3, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the final top-k window is the one Window operator; probe ranking
+    # adds none (WindowGroupLimit is that same top-k's rank pushdown)
+    window_ops = [
+        ln for ln in plan.splitlines() if re.search(r"[+:]- Window \[", ln)
+    ]
+    assert len(window_ops) <= 1, window_ops
+    # the probed-cells scan carries the partition-pruning isin
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell_id" in ln and "IN" in ln.upper() for ln in scan_lines), scan_lines
+    # query→cells attach is keyed on cell_id: a hash/broadcast-hash join,
+    # not the BNLJ the list path accepts for its 10-query contract; the
+    # only nested loops allowed are the 1-row __cents model attaches
+    # (the whitelisted _argmin_assign shape)
+    assert any(
+        "HashJoin [cell_id" in ln or "HashJoin[cell_id" in ln
+        for ln in plan.splitlines()
+    ), plan
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("__cents" in ln for ln in bnlj), bnlj
+    # the probe-ranking stage alone: broadcast model, zero shuffles/window
+    probe_only = (
+        qdf.crossJoin(F.broadcast(spark.createDataFrame(
+            [([(0, [0.0] * 64)],)],
+            "__cents array<struct<cell_id:int,cv:array<double>>>",
+        )))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in probe_only
+    assert not re.search(r"\bExchange (hashpartitioning|rangepartitioning)", probe_only)

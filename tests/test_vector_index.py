@@ -167,23 +167,49 @@ def test_dimension_drift_fails_loudly(spark, sf_dir, tmp_path):
         search_vector_index(spark, idx, [(0, [0.0] * 32)])
 
 
-def test_build_guards_model_size_and_uri_paths(spark, sf_dir, tmp_path):
-    """r11 verdict #5 + advice: the centroid model is a driver-held JSON
-    artifact — refuse cell counts that assume a distributed model store,
-    and refuse URI paths whose parquet side would succeed while the local
-    JSON IO fails halfway through the build."""
+def test_build_guards_model_size(spark, sf_dir, tmp_path):
+    """r11 verdict #5: the centroid model is a driver-held JSON artifact
+    — refuse cell counts that assume a distributed model store."""
     import pytest
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="exceeds the 10000 cap"):
         build_vector_index(spark, e, str(tmp_path / "vidx"), n_cells=10_001)
-    with pytest.raises(ValueError, match="must be local filesystem paths"):
-        build_vector_index(spark, e, "hdfs://nn/idx", n_cells=8)
     # and a corpus smaller than n_cells fails with the corpus message,
     # not a biased partial seed set
     small = e.limit(4)
     with pytest.raises(ValueError, match="exceeds the corpus"):
         build_vector_index(spark, small, str(tmp_path / "vidx2"), n_cells=8)
+
+
+def test_uri_paths_round_trip_through_hadoop_fs(spark, sf_dir, tmp_path):
+    """r12 verdict #3: the index is object-store-complete — a non-local
+    URI (file:// here, the same Hadoop FileSystem API an hdfs:// or
+    s3a:// path rides) must survive the whole build→refresh→verify→
+    search loop, the model rewrite must stay atomic (FileContext
+    rename-over: no .tmp remnant), and the answers must equal the plain
+    local-path index byte-for-byte."""
+    import os
+
+    base, new = _splits(spark, sf_dir)
+    local = str(tmp_path / "vidx_local")
+    uri = "file://" + str(tmp_path / "vidx_uri")
+    build_vector_index(spark, base, local, centroids="by_label")
+    build_vector_index(spark, base, uri, centroids="by_label")
+    r_local = refresh_vector_index(spark, new, local)
+    r_uri = refresh_vector_index(spark, new, uri)
+    assert r_uri == r_local
+    assert verify_vector_index(spark, uri)["ok"]
+    # atomic rename-over left no temp artifact, and the model parses back
+    assert not os.path.exists(str(tmp_path / "vidx_uri" / "_centroids.json.tmp"))
+    assert read_meta(uri, spark) == read_meta(local)
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in base.filter(F.col("vec_id") < 5).collect()
+    ]
+    got = sorted(map(tuple, search_vector_index(spark, uri, queries, top_k=3, n_probe=2).collect()))
+    want = sorted(map(tuple, search_vector_index(spark, local, queries, top_k=3, n_probe=2).collect()))
+    assert got == want
 
 
 def test_build_works_on_offset_ids_and_meta_write_is_atomic(spark, sf_dir, tmp_path):
@@ -220,22 +246,66 @@ def test_sim_search_index_key_equals_brute_force_exactly(spark, sf_dir):
     assert got == want
 
 
-def test_cells_write_is_one_file_per_cell(spark, sf_dir, tmp_path):
-    """The write-layout guard: hash-repartitioning by cell_id before the
-    partitioned write must produce ONE data file per cell — without it a
-    dynamic-partition write emits one file per (task, cell), tasks x k
-    tiny files per refresh (measured 17.2 s vs 4.5 s at k=256 on the
-    probe), the file-count explosion that compounds daily at 100 TB."""
+def test_cells_write_layout_refresh_single_file_build_sharded(spark, sf_dir, tmp_path):
+    """The write-layout guard, split by face (r12 advice):
+
+    REFRESH appends exactly ONE file per touched cell — without the
+    cell_id repartition a dynamic-partition write emits one file per
+    (task, cell), tasks × k tiny files per refresh (measured 17.2 s vs
+    4.5 s at k=256 on the probe), the file-count explosion that
+    compounds daily at 100 TB.
+
+    BUILD keeps write parallelism instead: funneling the full corpus
+    through k tasks caps the initial write at the cell count and makes
+    one unbounded file per cell, so builds shard each cell's write by a
+    vec_id hash — ≤ write_shards files per cell, never (task, cell)
+    explosion."""
     import glob
 
     base, new = _splits(spark, sf_dir)
     idx = str(tmp_path / "vidx")
-    build_vector_index(spark, base, idx, centroids="by_label")
+    build_vector_index(spark, base, idx, centroids="by_label", write_shards=4)
+    before = {
+        d: len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{idx}/cells/cell_id=*")
+    }
+    assert before and all(1 <= n <= 4 for n in before.values()), before
     refresh_vector_index(spark, new, idx)
-    for d in glob.glob(f"{idx}/cells/cell_id=*"):
-        files = glob.glob(f"{d}/*.parquet")
-        # build wrote one file, refresh appended at most one more
-        assert 1 <= len(files) <= 2, f"{d}: {len(files)} files"
+    after = {
+        d: len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{idx}/cells/cell_id=*")
+    }
+    for d, n in after.items():
+        assert n - before.get(d, 0) <= 1, f"{d}: refresh appended {n - before.get(d, 0)} files"
+    assert verify_vector_index(spark, idx)["ok"]
+
+
+def test_search_df_path_equals_list_path(spark, sf_dir, tmp_path):
+    """r12 verdict #4: the DataFrame-native serve must be row-identical
+    to the list-path serve on the same query set — at FULL probe (exact)
+    and at a PRUNED probe (same probe-cell ranking: identical IEEE d2
+    fold and d2-then-cell_id tiebreak, so the same cells are scanned and
+    the same candidates scored)."""
+    from synthetic_data_transfer_to_relational_database_spark.operators.vector_index import (
+        search_vector_index_df,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, e, idx, centroids="kmeans", n_cells=8)
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in e.filter(F.col("vec_id") < 10).collect()
+    ]
+    qdf = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    for n_probe in (8, 2):
+        got = sorted(
+            map(tuple, search_vector_index_df(spark, idx, qdf, top_k=5, n_probe=n_probe).collect())
+        )
+        want = sorted(
+            map(tuple, search_vector_index(spark, idx, queries, top_k=5, n_probe=n_probe).collect())
+        )
+        assert got == want, f"n_probe={n_probe}"
 
 
 def test_null_embeddings_and_empty_corpus_fail_loudly(spark, sf_dir, tmp_path):
