@@ -25,10 +25,14 @@ Scale shape:
   doubles, map-side), one partitioned write. Lloyd iterations are the
   sim_search_ivf_lloyd plan (k hash-agg groups, never pairwise).
 - refresh: reads ONLY the JSON model (never the cells data), assigns
-  the new batch map-side, APPENDS the new partitions, rewrites the
-  model's counters. Cost is O(batch × k) — the index data is untouched,
-  which is the whole point at 100 TB (tests assert the refresh plan
-  scans no index file).
+  the new batch map-side, lands it as a batch-scoped partition
+  (``cell_id=K/ingest_batch=<scope>`` — a dynamic partition overwrite
+  of its own scope, so replays and crash retries are idempotent),
+  rewrites the model's counters. Cost is O(batch × k) — the index data
+  is untouched, which is the whole point at 100 TB (tests assert the
+  refresh plan scans no index file). The streaming face
+  (streaming/vector_ingest.py) drives this per micro-batch with the
+  replay ledger riding in the same atomic meta write.
 - drift: every refresh accumulates integer-quantized assignment
   distance mass (sum_d2_milli — order-independent, exact under any
   partitioning). When the running mean per-vector distance of arrivals
@@ -115,16 +119,33 @@ def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, 
     )
 
 
-def _write_cells(assigned: DataFrame, path: str, mode: str, shards_per_cell: int = 1) -> None:
+def _write_cells(
+    assigned: DataFrame,
+    path: str,
+    scope: str,
+    shards_per_cell: int = 1,
+    initial_build: bool = False,
+) -> None:
     """Partitioned write with a cell-keyed layout shuffle. Without the
     repartition, a dynamic-partition write emits one file per (TASK,
     cell) — tasks × k tiny files per refresh, the file-count explosion
     that killed the k=256 probe (measured: refresh 17.2 s at k=256 vs a
     near-flat-in-k 1.6 s assignment).
 
-    ``shards_per_cell=1`` (refresh appends): hash-repartitioning by
-    cell_id alone routes each cell to exactly one task — ONE file per
-    refresh per cell, one O(batch) shuffle of digest-sized rows.
+    LAYOUT: ``cells/cell_id=K/ingest_batch=<scope>/`` — cell_id stays
+    the FIRST partition level (probed-cell directory pruning unchanged),
+    and every write is scoped to a second-level batch partition
+    (``build`` / ``r<seq>`` / ``s<stream_batch_id>``). Refreshes land as
+    a DYNAMIC partition overwrite of their own scope: a replayed or
+    retried batch overwrites exactly the directories its first attempt
+    wrote — idempotent under Structured Streaming's at-least-once
+    foreachBatch redelivery and under plain-refresh crash retries —
+    while every other batch's directories are untouched. The initial
+    build is a static overwrite (it owns the whole tree).
+
+    ``shards_per_cell=1`` (refreshes): hash-repartitioning by cell_id
+    alone routes each cell to exactly one task — ONE file per refresh
+    per cell, one O(batch) shuffle of digest-sized rows.
 
     ``shards_per_cell=s>1`` (initial builds, r12 advice): keying the
     shuffle on cell_id ALONE caps write parallelism at the cell count
@@ -136,14 +157,17 @@ def _write_cells(assigned: DataFrame, path: str, mode: str, shards_per_cell: int
     later single-shard refreshes. The shard is a repartition-only
     expression — it never reaches the schema."""
     cols = ["cell_id", "vec_id", "label", "embedding", "d2"]
-    df = assigned.select(*cols)
+    df = assigned.select(*cols).withColumn("ingest_batch", F.lit(scope))
     if shards_per_cell > 1:
         df = df.repartition(
             F.col("cell_id"), F.pmod(F.xxhash64("vec_id"), F.lit(shards_per_cell))
         )
     else:
         df = df.repartition("cell_id")
-    df.write.mode(mode).partitionBy("cell_id").parquet(_join(path, _CELLS))
+    writer = df.write.mode("overwrite").partitionBy("cell_id", "ingest_batch")
+    if not initial_build:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(_join(path, _CELLS))
 
 
 def _check_vectors(vectors: DataFrame, dim: int) -> None:
@@ -281,7 +305,9 @@ def build_vector_index(
         write_shards = max(1, -(-par // max(1, len(cents))))
     assigned = _assign(spark, vectors, cents).persist()
     try:
-        _write_cells(assigned, path, "overwrite", shards_per_cell=write_shards)
+        _write_cells(
+            assigned, path, "build", shards_per_cell=write_shards, initial_build=True
+        )
         stats = {
             int(r.cell_id): {"n": int(r.n), "d2_milli": int(r.m)}
             for r in assigned.groupBy("cell_id")
@@ -306,6 +332,12 @@ def build_vector_index(
         "base_mean_d2_milli": (base_milli / n_total) if n_total else 0.0,
         "refresh_d2_milli": 0,
         "refresh_n": 0,
+        # plain-refresh scope counter and the streaming replay ledger —
+        # both live IN the model artifact so a refresh's counter fold and
+        # its commit mark are ONE atomic meta write (no separate ledger
+        # file whose append could diverge from the model under a crash)
+        "refresh_seq": 0,
+        "stream_batches": {},
     }
     _write_meta(path, meta, spark)
     return meta
@@ -316,23 +348,44 @@ def refresh_vector_index(
     new_vectors: DataFrame,
     path: str,
     rebuild_factor: float = 2.0,
+    stream_batch_id: int | None = None,
 ) -> dict:
     """Day-2 upsert: assign ``new_vectors`` to the EXISTING centroids,
-    append them to the cells dataset, fold the per-cell counters and
-    drift mass into the model artifact. Reads only the JSON model —
-    never the index data — so cost is O(batch), not O(index). Returns a
-    report with per-cell adds and ``rebuild_recommended`` (running mean
-    arrival distance > ``rebuild_factor`` × build-time mean: the cells
-    no longer describe the data and a re-cluster pays for itself)."""
+    land them in a batch-scoped cells partition, fold the per-cell
+    counters and drift mass into the model artifact. Reads only the
+    JSON model — never the index data — so cost is O(batch), not
+    O(index). Returns a report with per-cell adds and
+    ``rebuild_recommended`` (running mean arrival distance >
+    ``rebuild_factor`` × build-time mean: the cells no longer describe
+    the data and a re-cluster pays for itself).
+
+    Exactly-once under replay: the data write is a DYNAMIC partition
+    overwrite of this batch's own ``ingest_batch`` scope (a re-run
+    overwrites exactly what its first attempt wrote), and the counter
+    fold commits atomically WITH its ledger mark in the single meta
+    rewrite. With ``stream_batch_id`` set (the streaming face — Spark
+    redelivers foreachBatch batch_ids at-least-once after recovery), a
+    batch already in the meta's ``stream_batches`` ledger returns its
+    stored report with ``replayed: True`` and touches nothing. Plain
+    refreshes scope by the meta's ``refresh_seq`` counter, so a crashed
+    attempt (cells written, meta fold lost) is healed by retrying the
+    SAME batch: the retry reuses the crashed scope and overwrites it."""
     path = _norm_path(path)
     meta = read_meta(path, spark)
+    if stream_batch_id is not None:
+        done = meta.get("stream_batches", {}).get(str(stream_batch_id))
+        if done is not None:
+            return {**done, "replayed": True}
+        scope = f"s{stream_batch_id}"
+    else:
+        scope = f"r{int(meta.get('refresh_seq', 0)) + 1}"
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
     if not cents:
         raise ValueError(f"index at {path} has no centroids — rebuild it")
     _check_vectors(new_vectors, int(meta.get("dim") or 0))
     assigned = _assign(spark, new_vectors, cents).persist()
     try:
-        _write_cells(assigned, path, "append")
+        _write_cells(assigned, path, scope)
         added = {
             int(r.cell_id): {
                 "n_added": int(r.n),
@@ -358,9 +411,8 @@ def refresh_vector_index(
     meta["n_vectors"] += n_added
     meta["refresh_n"] += n_added
     meta["refresh_d2_milli"] += d2_added
-    _write_meta(path, meta, spark)
     arrival_mean = (meta["refresh_d2_milli"] / meta["refresh_n"]) if meta["refresh_n"] else 0.0
-    return {
+    report = {
         "n_added": n_added,
         "cells": added,
         "arrival_mean_d2_milli": arrival_mean,
@@ -370,6 +422,20 @@ def refresh_vector_index(
             and arrival_mean > rebuild_factor * meta["base_mean_d2_milli"]
         ),
     }
+    if stream_batch_id is not None:
+        # ledger mark and counter fold commit in ONE atomic write; the
+        # stored report is what a replay of this batch_id returns.
+        # JSON round trip note: `added` is keyed by int cell_id here but
+        # comes back str-keyed after the meta reload — replay reports
+        # normalize to the stored (string-keyed) form.
+        meta.setdefault("stream_batches", {})[str(stream_batch_id)] = {
+            **report,
+            "cells": {str(c): a for c, a in added.items()},
+        }
+    else:
+        meta["refresh_seq"] = int(meta.get("refresh_seq", 0)) + 1
+    _write_meta(path, meta, spark)
+    return report
 
 
 def verify_vector_index(spark: SparkSession, path: str) -> dict:

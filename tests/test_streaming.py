@@ -1068,3 +1068,106 @@ def test_late_drill_batch_face_parity_session(spark, tmp_path):
         (_dt(1330), _dt(1400), 1),
         (_dt(1500), _dt(1530), 1),  # open tail, withheld by append mode
     }
+
+
+def test_stream_vector_refresh_restart_and_replay_heal(spark, tmp_path):
+    """r12 stretch: the vector index's streaming face. Drill ladder:
+    (1) a stream of embedding files refreshes the index per micro-batch
+    and the result equals the SAME batches applied as plain batch
+    refreshes in order (counters, drift mass, verify);
+    (2) a restart against the same checkpoint with no new files changes
+    nothing; a new file is picked up alone;
+    (3) replaying a committed batch_id returns the stored report with
+    replayed=True and touches nothing (the meta ledger);
+    (4) a simulated crash (cells written, meta fold lost) heals on
+    replay — the batch-scoped dynamic overwrite re-owns its directories
+    and the counters fold exactly once."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.vector_index import (
+        _assign,
+        _write_cells,
+        build_vector_index,
+        read_meta,
+        refresh_vector_index,
+        verify_vector_index,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.vector_ingest import (
+        stream_vectors,
+        write_stream_vector_refresh,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter("vec_id < 300")
+    batches = [
+        e.filter(f"vec_id >= {300 + 50 * i} and vec_id < {350 + 50 * i}")
+        for i in range(3)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(df, name):
+        # the file source wants FLAT files: stage the single part file
+        # and copy it in under a stable name (ordered mtimes = ordered
+        # batches, the late-data drill recipe)
+        import glob as _glob
+        import shutil as _shutil
+
+        stage = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        _shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], str(src / name))
+
+    for i, b in enumerate(batches):
+        land(b, f"b{i}.parquet")
+
+    # clean batch-face twin: same batches, plain refreshes, in order
+    twin = str(tmp_path / "vidx_twin")
+    build_vector_index(spark, base, twin, centroids="by_label")
+    for b in batches:
+        refresh_vector_index(spark, b, twin)
+
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        write_stream_vector_refresh(
+            stream_vectors(spark, str(src)), idx, ckpt
+        ).awaitTermination()
+
+    run()
+    meta, tmeta = read_meta(idx), read_meta(twin)
+    # (1) stream == batch twin on every counter the contract cares about
+    for k in ("n_vectors", "refresh_n", "refresh_d2_milli", "cells"):
+        assert meta[k] == tmeta[k], k
+    assert sorted(meta["stream_batches"]) == ["0", "1", "2"]
+    assert verify_vector_index(spark, idx)["ok"]
+
+    # (2) restart: no new files -> nothing changes; one new file -> +50
+    run()
+    assert read_meta(idx) == meta
+    land(e.filter("vec_id >= 450 and vec_id < 500"), "b3.parquet")
+    run()
+    meta2 = read_meta(idx)
+    assert meta2["n_vectors"] == meta["n_vectors"] + 50
+    assert sorted(meta2["stream_batches"]) == ["0", "1", "2", "3"]
+    assert verify_vector_index(spark, idx)["ok"]
+
+    # (3) replay of a committed batch_id: stored report, nothing touched
+    replay = refresh_vector_index(spark, batches[1], idx, stream_batch_id=1)
+    assert replay["replayed"] and replay["n_added"] == 50
+    assert read_meta(idx) == meta2
+
+    # (4) crash drill: write batch 9's cells WITHOUT the meta fold (the
+    # crash window), then deliver batch 9 properly — the dynamic
+    # overwrite re-owns ingest_batch=s9 and the counters fold once
+    crash_batch = e.filter("vec_id < 20").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "label", "embedding"
+    )
+    cents = [(int(c["cell_id"]), c["cv"]) for c in meta2["centroids"]]
+    _write_cells(_assign(spark, crash_batch, cents), idx, "s9")
+    assert not verify_vector_index(spark, idx)["ok"]  # detectably torn
+    rep = refresh_vector_index(spark, crash_batch, idx, stream_batch_id=9)
+    assert not rep.get("replayed") and rep["n_added"] == 20
+    v = verify_vector_index(spark, idx)
+    assert v["ok"] and v["n_data"] == meta2["n_vectors"] + 20

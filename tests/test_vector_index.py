@@ -94,8 +94,13 @@ def test_verify_detects_orphan_cells(spark, sf_dir, tmp_path):
     build_vector_index(spark, base, idx, centroids="by_label")
     # an orphan cell partition nothing in the model knows about
     base.limit(3).select(
-        F.lit(999).alias("cell_id"), "vec_id", "label", "embedding", F.lit(0.0).alias("d2")
-    ).write.mode("append").partitionBy("cell_id").parquet(f"{idx}/cells")
+        F.lit(999).alias("cell_id"),
+        "vec_id",
+        "label",
+        "embedding",
+        F.lit(0.0).alias("d2"),
+        F.lit("rogue").alias("ingest_batch"),
+    ).write.mode("append").partitionBy("cell_id", "ingest_batch").parquet(f"{idx}/cells")
     v = verify_vector_index(spark, idx)
     assert not v["ok"] and v["orphan_cells"] == [999]
 
@@ -265,16 +270,24 @@ def test_cells_write_layout_refresh_single_file_build_sharded(spark, sf_dir, tmp
     base, new = _splits(spark, sf_dir)
     idx = str(tmp_path / "vidx")
     build_vector_index(spark, base, idx, centroids="by_label", write_shards=4)
-    before = {
-        d: len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{idx}/cells/cell_id=*")
+    built = {
+        d: len(glob.glob(f"{d}/ingest_batch=build/*.parquet"))
+        for d in glob.glob(f"{idx}/cells/cell_id=*")
     }
-    assert before and all(1 <= n <= 4 for n in before.values()), before
+    assert built and all(1 <= n <= 4 for n in built.values()), built
     refresh_vector_index(spark, new, idx)
-    after = {
-        d: len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{idx}/cells/cell_id=*")
+    # the refresh landed in its own scope (r1), exactly one file per
+    # touched cell, and touched nothing in the build scope
+    assert built == {
+        d: len(glob.glob(f"{d}/ingest_batch=build/*.parquet"))
+        for d in glob.glob(f"{idx}/cells/cell_id=*")
     }
-    for d, n in after.items():
-        assert n - before.get(d, 0) <= 1, f"{d}: refresh appended {n - before.get(d, 0)} files"
+    refreshed = {
+        d: len(glob.glob(f"{d}/ingest_batch=r1/*.parquet"))
+        for d in glob.glob(f"{idx}/cells/cell_id=*")
+    }
+    assert all(n <= 1 for n in refreshed.values()), refreshed
+    assert sum(refreshed.values()) > 0
     assert verify_vector_index(spark, idx)["ok"]
 
 
