@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Scale probe for the persisted index's TWO serve paths (r12 verdict
+item 4): the list path ranks probe cells in a driver-side Python loop
+(O(|queries| × n_cells)) and attaches queries to cells with a
+broadcast nested-loop array_contains join — fine for its 10-query CLI
+contract, a wall at batch-inference query counts. The DataFrame-native
+path (``search_vector_index_df``) ranks probe cells map-side and
+equi-joins on cell_id. This measures both at a query count where the
+difference matters and asserts they return the SAME rows.
+
+Synthetic 64-dim hash vectors (the vector_refresh_probe recipe);
+corpus and query builds happen OUTSIDE the clock; each timing is
+best-of-2 in one warmed JVM.
+
+Usage: python tools/serve_scale_probe.py [n_queries] [n_cells]
+       # defaults 5000 queries, 64 cells over a 100k-vector index
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from vector_refresh_probe import synth_vectors  # noqa: E402
+
+
+def main() -> None:
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
+    n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    from pyspark.sql import functions as F
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.vector_index import (
+        build_vector_index,
+        search_vector_index,
+        search_vector_index_df,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.session import get_spark
+
+    spark = get_spark("sdt-serve-probe")
+    tmp = tempfile.mkdtemp(prefix="sdt_serve_")
+    try:
+        idx = os.path.join(tmp, "idx")
+        build_vector_index(spark, synth_vectors(spark, 100_000), idx, n_cells=n_cells)
+        qdf = (
+            synth_vectors(spark, n_queries, id_offset=5_000_000)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+            .persist()
+        )
+        qdf.count()
+        queries = [(int(r.query_id), list(r.qv)) for r in qdf.collect()]
+
+        def timed(fn) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        # warm-up (codegen/JIT), discarded
+        timed(lambda: search_vector_index_df(spark, idx, qdf.limit(64), top_k=5, n_probe=2))
+        df_wall = timed(lambda: search_vector_index_df(spark, idx, qdf, top_k=5, n_probe=2))
+        list_wall = timed(
+            lambda: search_vector_index(spark, idx, queries, top_k=5, n_probe=2)
+        )
+        n_df = search_vector_index_df(spark, idx, qdf, top_k=5, n_probe=2).count()
+        n_list = search_vector_index(spark, idx, queries, top_k=5, n_probe=2).count()
+        print(
+            json.dumps(
+                {
+                    "n_queries": n_queries,
+                    "n_cells": n_cells,
+                    "corpus": 100_000,
+                    "walls": {"df_path": df_wall, "list_path": list_wall},
+                    "speedup": round(list_wall / df_wall, 2) if df_wall else None,
+                    "rows_equal": n_df == n_list,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
