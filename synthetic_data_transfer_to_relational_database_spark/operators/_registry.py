@@ -20,6 +20,16 @@ order-insensitive value-hash matches DuckDB exactly):
   identical in both engines.
 - **Row-wise double arithmetic is fine** (same IEEE ops on identical
   inputs ⇒ bit-identical).
+- **``CAST(decimal AS DOUBLE)`` is NOT engine-identical** (r13 sf1
+  find): Spark converts via Java BigDecimal (correctly rounded), DuckDB
+  via two roundings that can land one ulp off — it bit the Q1 shape's
+  sum_charge at the 6M-row spot-check scale and is LATENT in every
+  direct decimal→double cast at untested magnitudes. The safe route is
+  scaled-int64: ``CAST(CAST(dec * 10^s AS BIGINT) AS DOUBLE) / 10^s.0``
+  (int64→double is a correctly-rounded hardware conversion everywhere,
+  then one IEEE division) — see relational3._dbl_exact. Existing direct
+  casts are green at every checked scale; new money outputs should use
+  the scaled route from the start.
 - Every ORDER-dependent op (limit, top-k, lag) carries a total-order
   tiebreaker key.
 - Computed columns are aliased identically in Spark and SQL (driver

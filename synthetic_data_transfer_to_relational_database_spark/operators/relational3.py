@@ -35,19 +35,40 @@ def _dec(c, p: int = 18, s: int = 2):
     return F.col(c).cast(f"decimal({p},{s})")
 
 
+def _dbl_exact(sum_col, scale: int):
+    """Cross-engine-exact decimal→double: scale the EXACT decimal sum to
+    its integer representation, convert int64→double (a correctly-rounded
+    hardware conversion in every engine), then ONE IEEE division by the
+    exact power of ten. The direct ``CAST(decimal AS DOUBLE)`` is NOT
+    engine-identical: DuckDB converts via two roundings and lands one ulp
+    off Java BigDecimal's correctly-rounded conversion for some values —
+    caught by the r13 sf1 spot-check on sum_charge (35591213907.498270 →
+    Spark ...49827, DuckDB ...498276). Headroom: int64 caps the scaled
+    sum at ~9.2e18, i.e. sums to ~9.2e12 at scale 6 — far above every
+    checked scale; at true warehouse scale the exact decimal itself is
+    the contract and this cast is presentation."""
+    p = 10**scale
+    return (sum_col * F.lit(p)).cast("bigint").cast("double") / F.lit(float(p))
+
+
+def _sql_dbl_exact(sum_expr: str, scale: int) -> str:
+    p = 10**scale
+    return f"CAST(CAST(({sum_expr}) * {p} AS BIGINT) AS DOUBLE) / {p}.0"
+
+
 @q(
     "lineitem_pricing_summary",
-    sql="""
+    sql=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           {_sql_dbl_exact("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 2)} AS sum_qty,
+           {_sql_dbl_exact("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))", 2)} AS sum_base_price,
+           {_sql_dbl_exact('''SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2))))''', 4)} AS sum_disc_price,
+           {_sql_dbl_exact('''SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(8,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                    * (1 + CAST(l_tax AS DECIMAL(8,2))))''', 6)} AS sum_charge,
+           {_sql_dbl_exact("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 2)} / COUNT(*) AS avg_qty,
+           {_sql_dbl_exact("SUM(CAST(l_discount AS DECIMAL(8,2)))", 2)} / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1999-09-02'
@@ -57,8 +78,10 @@ def _dec(c, p: int = 18, s: int = 2):
 def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the full-scan pricing summary — one pass, six
     exact aggregates per (returnflag, linestatus) cell. Sums are exact
-    decimals cast to DOUBLE at the very end; averages divide the exact
-    sum by the exact count (one IEEE division, engine-identical).
+    decimals converted to DOUBLE through the scaled-int64 route
+    (``_dbl_exact`` — correctly-rounded in both engines, unlike the
+    direct decimal cast); averages divide that exact-derived double by
+    the exact count (one IEEE division, engine-identical).
 
     Scale notes: the canonical map-side-combine aggregate — 6 groups
     total, so the shuffle after partial aggregation is 6 rows per task
@@ -71,12 +94,12 @@ def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1999-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_discount", 8, 2)).cast("double") / F.count(F.lit(1))).alias(
+            _dbl_exact(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+            _dbl_exact(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+            _dbl_exact(F.sum(disc_price), 4).alias("sum_disc_price"),
+            _dbl_exact(F.sum(charge), 6).alias("sum_charge"),
+            (_dbl_exact(F.sum(_dec("l_quantity")), 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dbl_exact(F.sum(_dec("l_discount", 8, 2)), 2) / F.count(F.lit(1))).alias(
                 "avg_disc"
             ),
             F.count(F.lit(1)).alias("count_order"),
