@@ -237,6 +237,14 @@ def cmd_index(args) -> int:
             report = verify_vector_index(spark, args.path)
             print(json.dumps(report))
             return 0 if report["ok"] else 1
+        if args.action == "heal":
+            from .operators.vector_index import heal_vector_index
+
+            # crashed-refresh orphans: verify names them, heal deletes
+            # exactly those scope directories and re-verifies
+            report = heal_vector_index(spark, args.path)
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
         if args.action == "search":
             from pyspark.sql import functions as F
 
@@ -248,12 +256,15 @@ def cmd_index(args) -> int:
             if not args.queries_src:
                 raise SystemExit("index search requires --queries-src (parquet of vec_id, embedding)")
             # orderBy BEFORE limit (r11 advice): a bare limit on an
-            # unordered parquet read picks a run-dependent subset
+            # unordered parquet read picks a run-dependent subset;
+            # persist (r13 review): the sort+limit otherwise re-runs for
+            # the count, the serve's own consumers, or the list collect
             qdf = (
                 spark.read.parquet(args.queries_src)
                 .select("vec_id", "embedding")
                 .orderBy("vec_id")
                 .limit(args.max_queries)
+                .persist()
             )
             n_queries = qdf.count()  # bounded by --max-queries
             if n_queries >= args.df_serve_threshold:
@@ -512,9 +523,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "index",
-        help="persisted vector index: build | refresh (day-2 upsert) | verify",
+        help="persisted vector index: build | refresh (day-2 upsert) | "
+        "verify | heal (drop crashed-refresh orphan scopes) | search",
     )
-    p.add_argument("action", choices=["build", "refresh", "verify", "search"])
+    p.add_argument("action", choices=["build", "refresh", "verify", "heal", "search"])
     p.add_argument("--path", default="spark-warehouse/_vector_index")
     p.add_argument("--src", help="embeddings parquet (vec_id, embedding[, label])")
     p.add_argument("--cells", type=int, default=8)

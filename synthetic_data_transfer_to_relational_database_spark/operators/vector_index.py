@@ -61,6 +61,12 @@ _CELLS = "cells"
 # cell counts. Make the assumption an error message (r11 verdict #5).
 _MAX_CELLS = 10_000
 
+# streaming replay ledger bound: per-batch reports kept in the model
+# JSON (foreachBatch commits are sequential, so anything older than the
+# newest N is provably committed via the stream_max_committed high-water
+# mark and can be trimmed without losing replay detection)
+_LEDGER_KEEP = 100
+
 
 def _norm_path(path: str) -> str:
     if "://" in path:
@@ -164,9 +170,15 @@ def _write_cells(
         )
     else:
         df = df.repartition("cell_id")
-    writer = df.write.mode("overwrite").partitionBy("cell_id", "ingest_batch")
-    if not initial_build:
-        writer = writer.option("partitionOverwriteMode", "dynamic")
+    # mode set EXPLICITLY both ways (r13 review): the build must own the
+    # whole tree even in a session whose global default is dynamic —
+    # inheriting the session conf there would leave stale r*/s* scopes
+    # from the previous index generation behind a rebuild
+    writer = (
+        df.write.mode("overwrite")
+        .partitionBy("cell_id", "ingest_batch")
+        .option("partitionOverwriteMode", "static" if initial_build else "dynamic")
+    )
     writer.parquet(_join(path, _CELLS))
 
 
@@ -335,9 +347,13 @@ def build_vector_index(
         # plain-refresh scope counter and the streaming replay ledger —
         # both live IN the model artifact so a refresh's counter fold and
         # its commit mark are ONE atomic meta write (no separate ledger
-        # file whose append could diverge from the model under a crash)
+        # file whose append could diverge from the model under a crash).
+        # committed_scopes is the on-disk truth set: verify flags any
+        # cells scope not in it (a crashed refresh's orphan partition).
         "refresh_seq": 0,
         "stream_batches": {},
+        "stream_max_committed": -1,
+        "committed_scopes": ["build"],
     }
     _write_meta(path, meta, spark)
     return meta
@@ -364,25 +380,49 @@ def refresh_vector_index(
     overwrites exactly what its first attempt wrote), and the counter
     fold commits atomically WITH its ledger mark in the single meta
     rewrite. With ``stream_batch_id`` set (the streaming face — Spark
-    redelivers foreachBatch batch_ids at-least-once after recovery), a
-    batch already in the meta's ``stream_batches`` ledger returns its
-    stored report with ``replayed: True`` and touches nothing. Plain
-    refreshes scope by the meta's ``refresh_seq`` counter, so a crashed
-    attempt (cells written, meta fold lost) is healed by retrying the
-    SAME batch: the retry reuses the crashed scope and overwrites it."""
+    redelivers foreachBatch batch_ids at-least-once after recovery and
+    the scope ``s<batch_id>`` is replay-stable by construction), a batch
+    already committed returns its stored report with ``replayed: True``
+    and touches nothing. Plain refreshes RESERVE their scope first — a
+    burned-sequence meta write before any data lands — so a crashed
+    attempt can never share a scope with the next batch (r13 review:
+    without the reservation, batch B after a crashed batch A would
+    dynamic-overwrite only ITS cells of the shared scope and serve A's
+    orphans uncounted). A crashed plain refresh leaves an orphan scope
+    that ``verify_vector_index`` names in ``uncommitted_scopes``; the
+    heal is deleting that directory (or rebuilding)."""
     path = _norm_path(path)
     meta = read_meta(path, spark)
     if stream_batch_id is not None:
         done = meta.get("stream_batches", {}).get(str(stream_batch_id))
         if done is not None:
             return {**done, "replayed": True}
+        if int(stream_batch_id) <= int(meta.get("stream_max_committed", -1)):
+            # committed but trimmed from the bounded ledger (batches
+            # commit in order — foreachBatch is sequential — so an id at
+            # or under the high-water mark is committed by definition)
+            return {
+                "n_added": 0,
+                "cells": {},
+                "arrival_mean_d2_milli": None,
+                "base_mean_d2_milli": meta.get("base_mean_d2_milli"),
+                "rebuild_recommended": False,
+                "replayed": True,
+                "trimmed": True,
+            }
         scope = f"s{stream_batch_id}"
     else:
-        scope = f"r{int(meta.get('refresh_seq', 0)) + 1}"
+        scope = None  # reserved below, after input validation
     cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
     if not cents:
         raise ValueError(f"index at {path} has no centroids — rebuild it")
     _check_vectors(new_vectors, int(meta.get("dim") or 0))
+    if scope is None:
+        # reservation AFTER validation (bad input must not burn a seq):
+        # one extra small meta write buys scope uniqueness under crashes
+        meta["refresh_seq"] = int(meta.get("refresh_seq", 0)) + 1
+        scope = f"r{meta['refresh_seq']}"
+        _write_meta(path, meta, spark)
     assigned = _assign(spark, new_vectors, cents).persist()
     try:
         _write_cells(assigned, path, scope)
@@ -428,12 +468,28 @@ def refresh_vector_index(
         # JSON round trip note: `added` is keyed by int cell_id here but
         # comes back str-keyed after the meta reload — replay reports
         # normalize to the stored (string-keyed) form.
-        meta.setdefault("stream_batches", {})[str(stream_batch_id)] = {
+        sb = meta.setdefault("stream_batches", {})
+        sb[str(stream_batch_id)] = {
             **report,
             "cells": {str(c): a for c, a in added.items()},
         }
+        meta["stream_max_committed"] = max(
+            int(stream_batch_id), int(meta.get("stream_max_committed", -1))
+        )
+        # bound the driver-held ledger (r13 review: unbounded per-batch
+        # reports would grow the JSON model linearly with stream age);
+        # anything trimmed is still provably committed via the
+        # high-water mark above
+        if len(sb) > _LEDGER_KEEP:
+            for k in sorted(sb, key=int)[: len(sb) - _LEDGER_KEEP]:
+                del sb[k]
     else:
-        meta["refresh_seq"] = int(meta.get("refresh_seq", 0)) + 1
+        # stream scopes are proven committed by the high-water mark;
+        # only plain-refresh scopes need explicit membership (their
+        # sequence can have crashed holes, so no mark shortcut exists)
+        committed = meta.setdefault("committed_scopes", [])
+        if scope not in committed:
+            committed.append(scope)
     _write_meta(path, meta, spark)
     return report
 
@@ -441,14 +497,17 @@ def refresh_vector_index(
 def verify_vector_index(spark: SparkSession, path: str) -> dict:
     """Invariant check (the verify_index recipe for vectors): the model's
     per-cell counters must equal the parquet's actual per-cell counts,
-    every data cell must have a centroid, and the total must add up.
-    Returns {ok, n_meta, n_data, orphan_cells, mismatched_cells}."""
+    every data cell must have a centroid, every on-disk ingest scope
+    must be a committed one (an uncommitted scope is a crashed refresh's
+    orphan partition — the named heal target), and the total must add
+    up. Returns {ok, n_meta, n_data, orphan_cells, mismatched_cells,
+    uncommitted_scopes}."""
     path = _norm_path(path)
     meta = read_meta(path, spark)
+    cells_df = spark.read.parquet(_join(path, _CELLS))
     counts = {
         int(r.cell_id): int(r.n)
-        for r in spark.read.parquet(_join(path, _CELLS))
-        .groupBy("cell_id")
+        for r in cells_df.groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # bounded: one row per cell
     }
@@ -459,13 +518,59 @@ def verify_vector_index(spark: SparkSession, path: str) -> dict:
         for c in set(counts) | {int(k) for k in meta["cells"]}
         if counts.get(c, 0) != meta["cells"].get(str(c), {}).get("n", 0)
     )
+    uncommitted: list[str] = []
+    if "committed_scopes" in meta:
+        # committed = build + successful plain refreshes (explicit list)
+        # + stream batches at or under the high-water mark
+        on_disk = {
+            str(r.ingest_batch)
+            for r in cells_df.select("ingest_batch").distinct().collect()
+        }  # bounded: one row per scope
+        mark = int(meta.get("stream_max_committed", -1))
+        uncommitted = sorted(
+            s
+            for s in on_disk
+            if s not in set(meta["committed_scopes"])
+            and not (s.startswith("s") and s[1:].isdigit() and int(s[1:]) <= mark)
+        )
     n_data = sum(counts.values())
     return {
-        "ok": not orphans and not mismatched and n_data == meta["n_vectors"],
+        "ok": not orphans
+        and not mismatched
+        and not uncommitted
+        and n_data == meta["n_vectors"],
         "n_meta": meta["n_vectors"],
         "n_data": n_data,
         "orphan_cells": orphans,
         "mismatched_cells": mismatched,
+        "uncommitted_scopes": uncommitted,
+    }
+
+
+def heal_vector_index(spark: SparkSession, path: str) -> dict:
+    """Remove crashed-refresh orphans: delete every cells directory whose
+    ingest scope ``verify_vector_index`` reports as uncommitted (scope
+    reserved and data written, counter fold never committed). Deletion
+    rides the Hadoop FileSystem API (glob ``cell_id=*/ingest_batch=<s>``)
+    so it works on the same URI paths the rest of the index does.
+    Committed data is untouchable by construction — the glob only ever
+    matches scopes absent from the commit ledger. Returns
+    {removed_scopes, ok} with ok re-verified after the deletes."""
+    path = _norm_path(path)
+    v = verify_vector_index(spark, path)
+    if not v["uncommitted_scopes"]:
+        return {"removed_scopes": [], "ok": v["ok"]}
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for scope in v["uncommitted_scopes"]:
+        pattern = hpath(_join(path, _CELLS, "cell_id=*", f"ingest_batch={scope}"))
+        fs = pattern.getFileSystem(conf)
+        for st in fs.globStatus(pattern) or []:
+            fs.delete(st.getPath(), True)
+    return {
+        "removed_scopes": v["uncommitted_scopes"],
+        "ok": verify_vector_index(spark, path)["ok"],
     }
 
 
@@ -574,17 +679,6 @@ def search_vector_index_df(
     qv_ok = queries_df.select(
         F.col("query_id").cast("bigint").alias("query_id"), F.col("qv")
     )
-    if dim:
-        bad = qv_ok.filter(
-            F.col("qv").isNull() | (F.size("qv") != dim)
-        ).limit(1).collect()  # bounded probe — the _check_vectors recipe
-        if bad:
-            got = bad[0].qv
-            raise ValueError(
-                "query vector is NULL"
-                if got is None
-                else f"query dim {len(got)} does not match the index's {dim}"
-            )
     cents_row = spark.createDataFrame(
         [([(cid, cv) for cid, cv in cents],)],
         "__cents array<struct<cell_id:int,cv:array<double>>>",
@@ -597,10 +691,30 @@ def search_vector_index_df(
         " cast(0.0 as double), (acc, x) -> acc + x) AS d2,"
         " c.cell_id AS cell_id))), 1, {n}), x -> x.cell_id)".format(n=n_probe)
     )
+    # persist (r13 review): the frame feeds THREE consumers — the dim
+    # check, the probed-set collect, and the serve join. Uncached, each
+    # re-evaluates queries_df from scratch: the O(|q|×k×dim) ranking
+    # fold runs multiple times, and a NONDETERMINISTIC source (sample,
+    # limit without total order) could rank one query set and serve
+    # another, silently dropping candidates outside the pruned cells.
+    # The cached frame is (id, qv, n_probe ints) per query —
+    # memory-and-disk at large |q|.
     probed = (
         qv_ok.crossJoin(F.broadcast(cents_row))
         .select("query_id", "qv", ranked.alias("probed"))
+        .persist()
     )
+    if dim:
+        bad = probed.filter(
+            F.col("qv").isNull() | (F.size("qv") != dim)
+        ).limit(1).collect()  # bounded probe — the _check_vectors recipe
+        if bad:
+            got = bad[0].qv
+            raise ValueError(
+                "query vector is NULL"
+                if got is None
+                else f"query dim {len(got)} does not match the index's {dim}"
+            )
     # one bounded collect (≤ n_cells rows) → isin partition filter
     wanted = sorted(
         int(r.c)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.vector_index import read_meta, refresh_vector_index
+from ..operators.vector_index import refresh_vector_index
 
 
 def stream_vectors(
@@ -65,19 +65,20 @@ def write_stream_vector_refresh(
     spark = vectors.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if str(batch_id) in read_meta(index_path, spark).get("stream_batches", {}):
-            # replay of a committed batch: drain, never re-assign (the
-            # drain_if_committed recipe — Spark 4 validates that
-            # foreachBatch processes every partition)
-            batch_df.write.format("noop").mode("overwrite").save()
-            return
-        refresh_vector_index(
+        # refresh owns the replay check (one meta read, one copy of the
+        # ledger logic — r13 review); a replayed batch returns without
+        # touching batch_df, so drain it through the noop sink (the
+        # drain_if_committed recipe — Spark 4 validates that foreachBatch
+        # processes every partition)
+        report = refresh_vector_index(
             spark,
             batch_df,
             index_path,
             rebuild_factor=rebuild_factor,
             stream_batch_id=batch_id,
         )
+        if report.get("replayed"):
+            batch_df.write.format("noop").mode("overwrite").save()
 
     writer = (
         vectors.writeStream.outputMode("append")

@@ -616,8 +616,12 @@ def test_search_vector_index_df_plan_is_pruned_and_equi_joined(spark, tmp_path):
         "HashJoin [cell_id" in ln or "HashJoin[cell_id" in ln
         for ln in plan.splitlines()
     ), plan
-    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
-    assert all("__cents" in ln for ln in bnlj), bnlj
+    # any BNLJ must be the conditionless 1-row model attach (the line
+    # ends at "Cross" — a condition-bearing or Inner nested loop would
+    # mean the query→cells attach degenerated)
+    bnlj = [ln.strip() for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all(ln.endswith("BuildRight, Cross") for ln in bnlj), bnlj
+    assert "Scan ExistingRDD[__cents" in plan
     # the probe-ranking stage alone: broadcast model, zero shuffles/window
     probe_only = (
         qdf.crossJoin(F.broadcast(spark.createDataFrame(

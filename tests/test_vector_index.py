@@ -346,3 +346,70 @@ def test_null_embeddings_and_empty_corpus_fail_loudly(spark, sf_dir, tmp_path):
         build_vector_index(spark, poisoned, str(tmp_path / "vidx2"), centroids="by_label")
     # the failed refresh wrote nothing: the index still verifies
     assert verify_vector_index(spark, idx)["ok"]
+
+
+def test_crashed_plain_refresh_never_shares_a_scope(spark, sf_dir, tmp_path, monkeypatch):
+    """r13 review: plain refreshes RESERVE their ingest scope in a meta
+    write before any data lands. A crashed attempt (scope reserved,
+    cells written, counter fold lost) must therefore never share a
+    partition with the NEXT batch — the next refresh takes a fresh
+    scope, the orphan is named by verify (the heal target), and
+    deleting it restores ok."""
+    import glob
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    meta = read_meta(idx)
+    cents = [(int(c["cell_id"]), c["cv"]) for c in meta["centroids"]]
+    # simulate the crash window: reservation + data write, no fold
+    meta["refresh_seq"] = 1
+    vi._write_meta(idx, meta, spark)
+    vi._write_cells(vi._assign(spark, new.limit(30), cents), idx, "r1")
+    v = verify_vector_index(spark, idx)
+    assert not v["ok"] and v["uncommitted_scopes"] == ["r1"]
+    # the NEXT batch (different data) lands in r2 — no mixing with r1
+    report = refresh_vector_index(spark, new.limit(10), idx)
+    assert report["n_added"] == 10
+    assert glob.glob(f"{idx}/cells/cell_id=*/ingest_batch=r2")
+    v2 = verify_vector_index(spark, idx)
+    assert not v2["ok"] and v2["uncommitted_scopes"] == ["r1"]
+    # heal = delete exactly the named orphan scopes, nothing else
+    healed = vi.heal_vector_index(spark, idx)
+    assert healed == {"removed_scopes": ["r1"], "ok": True}
+    assert not glob.glob(f"{idx}/cells/cell_id=*/ingest_batch=r1")
+    assert glob.glob(f"{idx}/cells/cell_id=*/ingest_batch=r2")
+    assert verify_vector_index(spark, idx)["ok"]
+
+
+def test_stream_ledger_is_bounded_and_trimmed_batches_stay_committed(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 review: the per-batch reports in the model JSON are trimmed
+    to the newest _LEDGER_KEEP; a trimmed batch is still provably
+    committed via the stream_max_committed high-water mark, so its
+    replay is a no-op (never a double-append)."""
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    monkeypatch.setattr(vi, "_LEDGER_KEEP", 2)
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    slices = [new.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i, s in enumerate(slices):
+        refresh_vector_index(spark, s, idx, stream_batch_id=i)
+    meta = read_meta(idx)
+    assert sorted(meta["stream_batches"]) == ["1", "2"]  # batch 0 trimmed
+    assert meta["stream_max_committed"] == 2
+    n = meta["n_vectors"]
+    # replay of the TRIMMED batch: no-op by the high-water mark
+    rep = refresh_vector_index(spark, slices[0], idx, stream_batch_id=0)
+    assert rep["replayed"] and rep.get("trimmed") and rep["n_added"] == 0
+    assert read_meta(idx)["n_vectors"] == n
+    assert verify_vector_index(spark, idx)["ok"]
