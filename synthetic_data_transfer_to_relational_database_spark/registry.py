@@ -40,85 +40,74 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-13 window:
-#   1) the r12 spill (the only keys at r9 evidence — the documented r12
-#      trade): scalar_null, pivot_wide, unpivot_long. They lead, per the
-#      r12 verdict.
-#   2) 47 of the 50 keys whose newest driver evidence is r10 — the
-#      oldest tier after r12 closed the r9 basket. Three r10-evidence
-#      keys spill one round to r14 (same documented trade as r7/r12):
-#      orders_shipping_priority, orders_big_volume, orders_late_priority
-#      — chosen because they are single-statement TPC-H-style
-#      filter+agg queries over orders/lineitem, untouched since they
-#      were registered, each re-verified strict-green locally via
-#      driver_sim this round (r13) before the window landed.
-# No NEW oracle-paired keys register in r13: the window is over-full
-# with owed evidence (53 candidates for 50 slots), and the r7 corollary
+# new/changed queries first, then oldest-evidence first. Round-14 window:
+#   1) the r13 spill (the only keys at r10 evidence — the documented r13
+#      trade): orders_shipping_priority, orders_late_priority,
+#      orders_big_volume. They lead, per the r13 verdict.
+#   2) 47 of the 49 keys whose newest driver evidence is r11 — the
+#      oldest tier after r13 closed the r10 basket. Two r11-evidence
+#      keys spill one round to r15 (same documented trade as r7/r12/r13):
+#      scan_project, filter_pred — chosen because they are the two
+#      simplest single-statement scan/filter queries in the tier,
+#      untouched since they were registered, each re-verified
+#      strict-green locally via driver_sim this round (r14) before the
+#      window landed.
+# No NEW oracle-paired keys register in r14: the window is over-full
+# with owed evidence (52 candidates for 50 slots), and the r7 corollary
 # says new keys must enter the window the round they register.
-# Out-of-window change notes (the r7 documentation rule) — r13 touched
-# three r12-evidence keys, each re-verified strict hash-green locally
-# via driver_sim after the change:
-#   sim_search_index — reuses one per-process index scratch dir instead
-#     of a fresh mkdtemp per invocation (r12 advice), and rides the
-#     vector_index build-path write sharding; serve math untouched.
-#   text_ngram_lm_score — the exploded bigram frame is cache()d so its
-#     three consumers share one tokenize pass (r12 advice); plan values
-#     and the shuffle_hash hints unchanged (plan test re-ran green).
-#   embedding_index_refresh — untouched code, re-swept alongside the
-#     two above as shared-machinery assurance.
 _SWEEP_FIRST = [
-    # -- 1) the r12 spill (r9 evidence) ---------------------------------
-    "scalar_null",
-    "pivot_wide",
-    "unpivot_long",
-    # -- 2) the r10-evidence tier (47 of 50 keys; spill documented above)
-    "above_order_avg",
-    "agg_cube",
-    "agg_gsets",
-    "agg_median",
-    "agg_string",
-    "basket_rules",
-    "corpus_curation_pipeline",
-    "corpus_mixture",
-    "corpus_quality_resample",
-    "customer_idle_rich",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "events_ab_test",
-    "graph_pagerank",
-    "graph_triangles",
-    "join_full_outer",
-    "join_salted",
-    "lineitem_pricing_summary",
-    "lineitem_priority_mix",
-    "multimodal_frame_sample",
-    "part_promo_revenue_share",
-    "sample_stratified",
-    "scalar_date",
-    "scalar_math",
-    "scalar_string",
-    "sim_centroid_by_label",
-    "sim_centroid_scalable",
-    "sim_classifier_udf",
-    "sim_search_ivf_lloyd",
-    "stream_dedup",
-    "stream_jdbc_exactly_once",
-    "stream_session",
-    "stream_sliding",
-    "stream_user_profile",
-    "text_bpe_train",
-    "text_lang_id",
-    "text_oov_rate",
-    "text_quality",
-    "text_repetition",
-    "text_stats",
-    "text_term_freq",
-    "text_token_bpe",
-    "udf_surface",
-    "user_erasure_audit",
-    "window_frame",
+    # -- 1) the r13 spill (r10 evidence) --------------------------------
+    "orders_shipping_priority",
+    "orders_late_priority",
+    "orders_big_volume",
+    # -- 2) the r11-evidence tier (47 of 49 keys; spill documented above)
+    "agg_approx_distinct",
+    "agg_distinct",
+    "agg_hash",
+    "agg_rollup",
+    "corpus_pack_sequences",
+    "corpus_token_budget_scalable",
+    "customer_distribution",
+    "dedup_incremental",
+    "dedup_key_norm",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_funnel",
+    "events_session",
+    "events_sliding",
+    "events_tumbling",
+    "fk_sample_join",
+    "gen_synthetic_orders",
+    "join_anti",
+    "join_broadcast",
+    "join_inner",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "market_share",
+    "multimodal_bytes",
+    "multimodal_features",
+    "nation_volume_shipping",
+    "rag_retrieve",
+    "revenue_by_nation",
+    "scalar_array",
+    "scalar_json",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_centroid_pandas",
+    "sim_search",
+    "sim_search_lsh",
+    "small_qty_revenue",
+    "sort_limit",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_tfidf_top",
+    "topk_per_group",
+    "vector_norms",
+    "window_lag",
+    "window_ntile",
 ]
 
 
