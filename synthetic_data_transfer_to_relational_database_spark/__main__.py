@@ -245,6 +245,14 @@ def cmd_index(args) -> int:
             report = heal_vector_index(spark, args.path)
             print(json.dumps(report))
             return 0 if report["ok"] else 1
+        if args.action == "compact":
+            from .operators.vector_index import compact_vector_index
+
+            # small-files maintenance: merge committed refresh scopes
+            # into one compaction generation (run with no active writers)
+            report = compact_vector_index(spark, args.path, min_scopes=args.min_scopes)
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
         if args.action == "search":
             from pyspark.sql import functions as F
 
@@ -280,6 +288,11 @@ def cmd_index(args) -> int:
                     ),
                     top_k=args.top_k,
                     n_probe=args.n_probe,
+                    # Arrow rescorer: measured 1.8x over the HOF fold at
+                    # 5k queries (tools/serve_scale_probe.py, r14) with
+                    # full neighbor parity; the CLI serve is not
+                    # oracle-pinned, so it takes the fast path
+                    rescorer=args.rescorer,
                 )
             else:
                 queries = [(int(r.vec_id), list(r.embedding)) for r in qdf.collect()]
@@ -292,6 +305,11 @@ def cmd_index(args) -> int:
             else:
                 for r in res.collect():
                     print(json.dumps({"query_id": r.query_id, "vec_id": r.vec_id, "cosine": r.cosine, "rn": r.rn}))
+            # release the serve caches (r13 advice): qdf here, and the
+            # df-serve path's eagerly-materialized result — repeated
+            # searches in one embedding session must not accumulate
+            qdf.unpersist()
+            res.unpersist()
             return 0
         if not args.src:
             raise SystemExit(f"index {args.action} requires --src (embeddings parquet)")
@@ -524,9 +542,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser(
         "index",
         help="persisted vector index: build | refresh (day-2 upsert) | "
-        "verify | heal (drop crashed-refresh orphan scopes) | search",
+        "verify | heal (drop crashed-refresh orphan scopes) | compact "
+        "(merge committed refresh scopes — small-files maintenance) | search",
     )
-    p.add_argument("action", choices=["build", "refresh", "verify", "heal", "search"])
+    p.add_argument(
+        "action", choices=["build", "refresh", "verify", "heal", "compact", "search"]
+    )
     p.add_argument("--path", default="spark-warehouse/_vector_index")
     p.add_argument("--src", help="embeddings parquet (vec_id, embedding[, label])")
     p.add_argument("--cells", type=int, default=8)
@@ -559,6 +580,22 @@ def main(argv: list[str] | None = None) -> int:
         type=float,
         default=2.0,
         help="recommend re-cluster when arrival mean d2 exceeds this × build-time mean",
+    )
+    p.add_argument(
+        "--min-scopes",
+        type=int,
+        default=2,
+        help="compact only when at least this many committed refresh scopes "
+        "exist on disk (below it the merge would not reduce files)",
+    )
+    p.add_argument(
+        "--rescorer",
+        choices=["arrow", "hof"],
+        default="arrow",
+        help="cosine rescorer for the DataFrame serve: 'arrow' (vectorized "
+        "pandas_udf — measured 1.8x faster at 5k queries, cosines may differ "
+        "from the HOF fold in the last ulp) or 'hof' (the sequential fold, "
+        "bit-identical to the list path)",
     )
     p.set_defaults(fn=cmd_index)
 

@@ -396,15 +396,40 @@ def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
     ]) == 0
     res = spark.read.parquet(res_out)
     assert res.count() == 15 and res.filter("rn > 3").count() == 0
-    # same search forced onto the DataFrame-native serve (threshold 1):
-    # row-identical to the list path through the same CLI surface
+    # same search forced onto the DataFrame-native serve (threshold 1)
+    # with the HOF rescorer: row-identical to the list path through the
+    # same CLI surface
     res_out_df = str(tmp_path / "res_df")
     assert main([
         "index", "search", "--path", idx, "--queries-src", str(qsrc),
         "--top-k", "3", "--n-probe", "8", "--out", res_out_df,
-        "--df-serve-threshold", "1",
+        "--df-serve-threshold", "1", "--rescorer", "hof",
     ]) == 0
     got = sorted(map(tuple, spark.read.parquet(res_out_df).collect()))
     assert got == sorted(map(tuple, res.collect()))
+    # the DEFAULT df-serve rescorer is the measured-1.8x Arrow path:
+    # same neighbors, cosines within an ulp of the fold (not pinned)
+    res_out_ar = str(tmp_path / "res_arrow")
+    assert main([
+        "index", "search", "--path", idx, "--queries-src", str(qsrc),
+        "--top-k", "3", "--n-probe", "8", "--out", res_out_ar,
+        "--df-serve-threshold", "1",
+    ]) == 0
+    ar = {(r.query_id, r.rn): (r.vec_id, r.cosine)
+          for r in spark.read.parquet(res_out_ar).collect()}
+    want = {(r.query_id, r.rn): (r.vec_id, r.cosine) for r in res.collect()}
+    assert set(ar) == set(want)
+    assert all(
+        ar[k][0] == want[k][0] and abs(ar[k][1] - want[k][1]) < 1e-9 for k in ar
+    )
+    # compact: two committed scopes (r1 + a second refresh) fold into c1
+    assert main(["index", "refresh", "--path", idx, "--src", str(qsrc)]) == 0
+    capsys.readouterr()
+    assert main(["index", "compact", "--path", idx]) == 0
+    comp = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["ok"] and sorted(comp["merged_scopes"]) == ["r1", "r2"]
+    assert main(["index", "verify", "--path", idx]) == 0
+    v2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v2["ok"] and v2["n_data"] == 505
     with _pytest.raises(SystemExit, match="requires --queries-src"):
         main(["index", "search", "--path", idx])

@@ -596,7 +596,10 @@ def test_search_vector_index_df_plan_is_pruned_and_equi_joined(spark, tmp_path):
     qdf = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    res = search_vector_index_df(spark, idx, qdf, top_k=3, n_probe=2)
+    # eager=False: the plan lock inspects the lazy serve plan itself —
+    # the default eager mode wraps it in an InMemoryRelation whose
+    # printed cached plan would double-count every operator line
+    res = search_vector_index_df(spark, idx, qdf, top_k=3, n_probe=2, eager=False)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # the final top-k window is the one Window operator; probe ranking

@@ -64,13 +64,36 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return round(best, 3)
 
-        # warm-up (codegen/JIT), discarded
+        # warm-up (codegen/JIT/Arrow), discarded
         timed(lambda: search_vector_index_df(spark, idx, qdf.limit(64), top_k=5, n_probe=2))
+        timed(
+            lambda: search_vector_index_df(
+                spark, idx, qdf.limit(64), top_k=5, n_probe=2, rescorer="arrow"
+            )
+        )
         df_wall = timed(lambda: search_vector_index_df(spark, idx, qdf, top_k=5, n_probe=2))
+        # r13 verdict #5: the HOF folds are CodegenFallback and the
+        # measured serve dominator — A/B them against the Arrow
+        # (pandas_udf einsum) rescorer at the same probe scale
+        arrow_wall = timed(
+            lambda: search_vector_index_df(
+                spark, idx, qdf, top_k=5, n_probe=2, rescorer="arrow"
+            )
+        )
         list_wall = timed(
             lambda: search_vector_index(spark, idx, queries, top_k=5, n_probe=2)
         )
-        n_df = search_vector_index_df(spark, idx, qdf, top_k=5, n_probe=2).count()
+        res_hof = search_vector_index_df(spark, idx, qdf, top_k=5, n_probe=2)
+        res_arrow = search_vector_index_df(
+            spark, idx, qdf, top_k=5, n_probe=2, rescorer="arrow"
+        )
+        n_df, n_arrow = res_hof.count(), res_arrow.count()
+        # neighbor-set parity (the honest check for the arrow path: the
+        # fold ORDER differs, so cosines may differ in the last ulp and
+        # rows are not pinned bit-identical — the returned NEIGHBORS
+        # must still agree except on genuine ties)
+        pairs_hof = {(r.query_id, r.vec_id) for r in res_hof.collect()}
+        pairs_arrow = {(r.query_id, r.vec_id) for r in res_arrow.collect()}
         n_list = search_vector_index(spark, idx, queries, top_k=5, n_probe=2).count()
         print(
             json.dumps(
@@ -78,9 +101,19 @@ def main() -> None:
                     "n_queries": n_queries,
                     "n_cells": n_cells,
                     "corpus": 100_000,
-                    "walls": {"df_path": df_wall, "list_path": list_wall},
+                    "walls": {
+                        "df_path": df_wall,
+                        "df_path_arrow": arrow_wall,
+                        "list_path": list_wall,
+                    },
                     "speedup": round(list_wall / df_wall, 2) if df_wall else None,
+                    "arrow_speedup_vs_hof": round(df_wall / arrow_wall, 2)
+                    if arrow_wall
+                    else None,
                     "rows_equal": n_df == n_list,
+                    "arrow_neighbor_parity": round(
+                        len(pairs_hof & pairs_arrow) / max(1, len(pairs_hof)), 6
+                    ),
                 }
             )
         )
