@@ -16,6 +16,14 @@ Usage:
 Special name: ``window_rank_scalable_forced`` runs window_rank with
 ``spark.sdt.rank.smallInputBytes=0`` (same forcing as bench.py).
 
+``gen_full_schema`` / ``gen_full_schema_skew`` are adjudicable too
+(r13 verdict asked for exactly this): they are SINGLE-PASS series in
+the official bench, so here they are timed once per JVM (after the
+same flagship warm-up) instead of best-of-2 — the per-JVM values are
+what the official single-pass figures are comparable to. The min
+across JVMs is still reported for the headline, with method
+"single_pass" marked per entry.
+
 Appends one ``{"kind": "adjudication", ...}`` line to
 BENCH_samples_history.jsonl so the datapoint is citable next to the
 official series, and prints the merged JSON to stdout.
@@ -32,6 +40,10 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
+# gen pipeline entries: single-pass by official method (bench.py times
+# them once per run); value = the fk_skew bench.py passes
+_PIPELINE_GEN = {"gen_full_schema": 0.0, "gen_full_schema_skew": 1.0}
+
 
 def run_sample(sf_dir: str, names: list[str]) -> dict:
     import bench  # _materialize reused so the sink/method can't drift
@@ -47,9 +59,13 @@ def run_sample(sf_dir: str, names: list[str]) -> dict:
     timings: dict[str, float] = {}
     for name in names:
         forced = name == "window_rank_scalable_forced"
+        single_pass = name in _PIPELINE_GEN
         if name == "gen_1m_rows":
             # best-of-2 in the official bench too (bench.py run_best_of_2)
             run = lambda: bench._gen_1m(spark)  # noqa: E731
+        elif single_pass:
+            skew = _PIPELINE_GEN[name]
+            run = lambda skew=skew: bench._gen_full_schema(spark, fk_skew=skew)  # noqa: E731
         else:
             fn = queries["window_rank" if forced else name]
             run = lambda fn=fn: _materialize(fn(spark, sf_dir))  # noqa: E731
@@ -57,7 +73,10 @@ def run_sample(sf_dir: str, names: list[str]) -> dict:
             spark.conf.set("spark.sdt.rank.smallInputBytes", "0")
         try:
             best = float("inf")
-            for _ in range(2):
+            # the official bench times the gen pipeline entries ONCE per
+            # run (a warmed JVM, no best-of) — mirror that here so the
+            # scoped figure is comparable to the official series
+            for _ in range(1 if single_pass else 2):
                 t0 = time.perf_counter()
                 run()
                 best = min(best, time.perf_counter() - t0)
@@ -74,21 +93,24 @@ def main() -> None:
     names = sys.argv[1:]
     if not names:
         sys.exit("usage: bench_adjudicate.py <query> [query ...]")
-    # Validate BEFORE spawning JVMs: only best-of-2 bench entries —
-    # registry queries, the forced-scalable alias, and gen_1m_rows
-    # (bench.py times it via run_best_of_2 too) — can be adjudicated
-    # here. The _PIPELINE_KEYS entries (gen_full_schema*,
-    # ingest_corpus_4batches, maintain_full_after_4batches) are
-    # SINGLE-PASS series by method, so best-of-2 would misstate them;
-    # re-run `python bench.py` for those instead.
+    # Validate BEFORE spawning JVMs: registry queries, the
+    # forced-scalable alias, gen_1m_rows (best-of-2 like bench.py) and
+    # the single-pass gen pipeline entries (timed once per JVM, the
+    # official method). The ingest/maintain pipeline entries remain
+    # non-adjudicable here (they build streaming fixtures bench.py owns);
+    # re-run `python bench.py` for those.
     from synthetic_data_transfer_to_relational_database_spark import registry
 
-    known = set(registry.all_queries()) | {"window_rank_scalable_forced", "gen_1m_rows"}
+    known = (
+        set(registry.all_queries())
+        | {"window_rank_scalable_forced", "gen_1m_rows"}
+        | set(_PIPELINE_GEN)
+    )
     bad = [n for n in names if n not in known]
     if bad:
         sys.exit(
-            f"not adjudicable (not registry queries): {bad} — pipeline "
-            "bench entries are single-pass series; use `python bench.py`."
+            f"not adjudicable: {bad} — ingest/maintain pipeline entries "
+            "are bench.py-owned fixtures; use `python bench.py`."
         )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
