@@ -50,6 +50,7 @@ def write_stream_vector_refresh(
     checkpoint_dir: str,
     rebuild_factor: float = 2.0,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Drain an embeddings stream through incremental index refresh.
 
@@ -61,7 +62,16 @@ def write_stream_vector_refresh(
     must exist (``build_vector_index`` first); drift accounting keeps
     accumulating across batches, so ``rebuild_recommended`` fires on the
     stream exactly when it would have on the same data arriving in
-    batch."""
+    batch.
+
+    ``compact_every=N`` folds scope compaction into the stream (the
+    ``write_stream_dedup_ingest`` pattern): every Nth committed batch,
+    merge the accumulated refresh scopes into one compaction generation
+    (``compact_vector_index``) so a long-running stream never re-grows
+    the small-files curve. Safe inside foreachBatch — it is sequential,
+    so the index's single-writer contract holds by construction, and a
+    crash mid-compaction is healed by the next verify/heal (or simply
+    retried N batches later)."""
     spark = vectors.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -79,6 +89,11 @@ def write_stream_vector_refresh(
         )
         if report.get("replayed"):
             batch_df.write.format("noop").mode("overwrite").save()
+        elif compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # after a COMMITTED refresh only (a replay must stay a no-op)
+            from ..operators.vector_index import compact_vector_index
+
+            compact_vector_index(spark, index_path)
 
     writer = (
         vectors.writeStream.outputMode("append")

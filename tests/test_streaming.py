@@ -1171,3 +1171,68 @@ def test_stream_vector_refresh_restart_and_replay_heal(spark, tmp_path):
     assert not rep.get("replayed") and rep["n_added"] == 20
     v = verify_vector_index(spark, idx)
     assert v["ok"] and v["n_data"] == meta2["n_vectors"] + 20
+
+
+def test_stream_vector_refresh_compact_every(spark, tmp_path):
+    """``compact_every=N`` on the vector stream face: every Nth
+    committed batch folds the accumulated refresh scopes into one
+    compaction generation inside the (sequential, hence single-writer)
+    foreachBatch — so a long-running stream never re-grows the
+    small-files curve. Counters must equal the plain batch twin, replay
+    of a merged batch must still drain on the ledger, and the on-disk
+    scopes must be exactly {build, generation, post-compaction
+    batches}."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from synthetic_data_transfer_to_relational_database_spark.operators.vector_index import (
+        build_vector_index,
+        read_meta,
+        refresh_vector_index,
+        verify_vector_index,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.streaming.vector_ingest import (
+        stream_vectors,
+        write_stream_vector_refresh,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter("vec_id < 300")
+    batches = [
+        e.filter(f"vec_id >= {300 + 50 * i} and vec_id < {350 + 50 * i}")
+        for i in range(4)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        stage = tmp_path / f"_stage_{i}"
+        b.coalesce(1).write.parquet(str(stage))
+        _shutil.copy(
+            _glob.glob(f"{stage}/part-*.parquet")[0], str(src / f"b{i}.parquet")
+        )
+
+    twin = str(tmp_path / "vidx_twin")
+    build_vector_index(spark, base, twin, centroids="by_label")
+    for b in batches:
+        refresh_vector_index(spark, b, twin)
+
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    write_stream_vector_refresh(
+        stream_vectors(spark, str(src)), idx, str(tmp_path / "ckpt"), compact_every=2
+    ).awaitTermination()
+
+    meta, tmeta = read_meta(idx), read_meta(twin)
+    for k in ("n_vectors", "refresh_n", "refresh_d2_milli", "cells"):
+        assert meta[k] == tmeta[k], k
+    # compaction fired at batch 2: s0/s1/s2 merged into c1, s3 landed after
+    assert meta["compact_seq"] == 1 and meta["compacted_through_mark"] == 2
+    scopes = {
+        p.rsplit("=", 1)[1]
+        for p in _glob.glob(f"{idx}/cells/cell_id=*/ingest_batch=*")
+    }
+    assert scopes == {"build", "c1", "s3"}, scopes
+    assert verify_vector_index(spark, idx)["ok"]
+    # replay of a merged batch still drains on the untouched ledger
+    rep = refresh_vector_index(spark, batches[1], idx, stream_batch_id=1)
+    assert rep["replayed"] and read_meta(idx)["n_vectors"] == meta["n_vectors"]
