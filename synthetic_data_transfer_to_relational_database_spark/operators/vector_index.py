@@ -144,16 +144,24 @@ def _require_layout(meta: dict, path: str) -> None:
     """Refuse models whose cells layout this code did not write (advice
     r13): mixing partition depths under one parquet root fails at read
     time with a directory-structure error far from the cause — make it
-    an upfront, actionable refusal instead."""
+    an upfront, actionable refusal instead.
+
+    Unversioned metas that carry ``committed_scopes`` are GRANDFATHERED:
+    that field shipped in the same release as the two-level
+    cell_id/ingest_batch layout, so its presence proves the on-disk
+    layout is already this one — refusing those would force an O(index)
+    rebuild of a perfectly compatible index (r14 review). The stamp is
+    migrated forward on the next meta write (refresh/compact set it)."""
     got = meta.get("layout")
-    if got != _LAYOUT:
-        raise ValueError(
-            f"index at {path} has cells layout {got!r}, this code writes "
-            f"layout {_LAYOUT} (batch-scoped cell_id/ingest_batch "
-            "partitions). Refreshing or compacting across layouts would "
-            "corrupt the cells tree — rebuild the index with "
-            "build_vector_index"
-        )
+    if got == _LAYOUT or (got is None and "committed_scopes" in meta):
+        return
+    raise ValueError(
+        f"index at {path} has cells layout {got!r}, this code writes "
+        f"layout {_LAYOUT} (batch-scoped cell_id/ingest_batch "
+        "partitions). Refreshing or compacting across layouts would "
+        "corrupt the cells tree — rebuild the index with "
+        "build_vector_index"
+    )
 
 
 def _scope_live(meta: dict, scope: str) -> bool:
@@ -501,6 +509,7 @@ def refresh_vector_index(
     path = _norm_path(path)
     meta = read_meta(path, spark)
     _require_layout(meta, path)
+    meta["layout"] = _LAYOUT  # migrate grandfathered metas forward
     if stream_batch_id is not None:
         done = meta.get("stream_batches", {}).get(str(stream_batch_id))
         if done is not None:
@@ -749,6 +758,7 @@ def compact_vector_index(
     path = _norm_path(path)
     meta = read_meta(path, spark)
     _require_layout(meta, path)
+    meta["layout"] = _LAYOUT  # migrate grandfathered metas forward
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -985,6 +995,10 @@ def search_vector_index_df(
     it); the caller owns the cache lifetime then. Caveat shared by both
     modes on a real cluster: a lost executor recomputes lost cached
     partitions from lineage, which re-evaluates the query source."""
+    if rescorer not in ("hof", "arrow"):
+        # validate BEFORE any distributed work: a typo must not pay the
+        # full ranking fold + collects first (r14 review)
+        raise ValueError(f"unknown rescorer {rescorer!r} (hof | arrow)")
     path = _norm_path(path)
     meta = read_meta(path, spark)
     _require_layout(meta, path)  # the live-scope filter needs ingest_batch
@@ -1021,6 +1035,7 @@ def search_vector_index_df(
         .select("query_id", "qv", ranked.alias("probed"))
         .persist()
     )
+    returned = False
     try:
         if dim:
             bad = probed.filter(
@@ -1044,15 +1059,13 @@ def search_vector_index_df(
         pq = probed.select("query_id", "qv", F.explode("probed").alias("cell_id"))
         if rescorer == "arrow":
             cosine = _arrow_cosine()(F.col("qv"), F.col("cv")).alias("cosine")
-        elif rescorer == "hof":
+        else:
             # the sequential IEEE fold — bit-identical to the list path
             # and the oracle-pinned sim_search expressions
             dot = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
             nq = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
             nc = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
             cosine = (F.expr(dot) / (F.sqrt(F.expr(nq)) * F.sqrt(F.expr(nc)))).alias("cosine")
-        else:
-            raise ValueError(f"unknown rescorer {rescorer!r} (hof | arrow)")
         scored = (
             pq.join(cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")), "cell_id")
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -1068,8 +1081,17 @@ def search_vector_index_df(
             # the returned frame read the cached result, never re-walk
             # the lineage into the released frame
             out = out.persist()
-            out.count()
+            try:
+                out.count()
+            except Exception:
+                out.unpersist()  # nothing returned — release the mark
+                raise
+        returned = True
         return out
     finally:
-        if eager:
+        # release the internal frame when the result no longer needs it:
+        # always in eager mode (the result is materialized), and on EVERY
+        # exception path regardless of mode — an error returns no handle,
+        # so an eager=False leak here would be unreleasable (r14 review)
+        if eager or not returned:
             probed.unpersist()

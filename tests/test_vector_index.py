@@ -607,7 +607,12 @@ def test_layout_guard_refuses_unversioned_models(spark, sf_dir, tmp_path):
     """r13 advice (medium): an index whose model predates the
     batch-scoped layout must be refused with an actionable rebuild
     message — refreshing across layouts writes two-level directories
-    under a one-level tree and bricks the next cells read."""
+    under a one-level tree and bricks the next cells read.
+
+    Unversioned metas that carry ``committed_scopes`` are GRANDFATHERED
+    (r14 review): that field shipped with the two-level layout, so the
+    index is compatible — it must keep working, and the next meta write
+    migrates the stamp forward."""
     import pytest
 
     from synthetic_data_transfer_to_relational_database_spark.operators import (
@@ -617,8 +622,19 @@ def test_layout_guard_refuses_unversioned_models(spark, sf_dir, tmp_path):
     base, new = _splits(spark, sf_dir)
     idx = str(tmp_path / "vidx")
     build_vector_index(spark, base, idx, centroids="by_label")
+    # grandfather: unversioned but committed_scopes present → accepted,
+    # and the next refresh re-stamps the layout into the model
     meta = read_meta(idx)
     del meta["layout"]
+    vi._write_meta(idx, meta, spark)
+    assert verify_vector_index(spark, idx)["ok"]
+    refresh_vector_index(spark, new.limit(5), idx)
+    assert read_meta(idx)["layout"] == vi._LAYOUT  # migrated forward
+    # a genuinely pre-batch-scoped meta (no version, no scope ledger):
+    # every layout-dependent op refuses with the rebuild message
+    meta = read_meta(idx)
+    del meta["layout"]
+    del meta["committed_scopes"]
     vi._write_meta(idx, meta, spark)
     for op in (
         lambda: refresh_vector_index(spark, new.limit(5), idx),

@@ -18,11 +18,17 @@ Special name: ``window_rank_scalable_forced`` runs window_rank with
 
 ``gen_full_schema`` / ``gen_full_schema_skew`` are adjudicable too
 (r13 verdict asked for exactly this): they are SINGLE-PASS series in
-the official bench, so here they are timed once per JVM (after the
-same flagship warm-up) instead of best-of-2 — the per-JVM values are
-what the official single-pass figures are comparable to. The min
-across JVMs is still reported for the headline, with method
-"single_pass" marked per entry.
+the official bench, so here they are timed once per JVM instead of
+best-of-2, and the output marks those entries ``single_pass`` in
+``methods``. COMPARABILITY CAVEAT (recorded honestly): the official
+bench times the gen entries at the END of the full suite — a JVM
+deeply JIT/codegen-warmed by ~30 prior entries — while this scoped
+run warms with one flagship query, so scoped gen values read
+systematically HIGH vs the official series (the ~10 s warm
+plan-construction fixed cost is the most warm-up-sensitive thing in
+the bench). Treat a scoped gen figure as an UPPER BOUND: it can clear
+a suspected regression (scoped ≥ official on untouched code ⇒
+machine-state), but never condemn one on its own.
 
 Appends one ``{"kind": "adjudication", ...}`` line to
 BENCH_samples_history.jsonl so the datapoint is citable next to the
@@ -144,17 +150,26 @@ def main() -> None:
         n: min(s["queries"][n] for s in samples if n in s["queries"])
         for n in samples[0]["queries"]
     }
+    methods = {
+        n: (
+            f"single_pass_x{len(samples)}jvm"
+            if n in _PIPELINE_GEN
+            else f"best_of_2_x{len(samples)}jvm"
+        )
+        for n in queries
+    }
     record = {
         "ts": int(time.time()),
         "sf": sf,
         "kind": "adjudication",
+        "methods": methods,
         "samples": samples,
     }
     with open(os.path.join(_REPO, "BENCH_samples_history.jsonl"), "a") as f:
         f.write(json.dumps(record) + "\n")
     print(
         json.dumps(
-            {"kind": "adjudication", "queries": queries, "method": f"best_of_2_x{len(samples)}jvm", "sf": sf}
+            {"kind": "adjudication", "queries": queries, "methods": methods, "sf": sf}
         )
     )
 
