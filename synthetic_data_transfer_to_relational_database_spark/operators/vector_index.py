@@ -50,15 +50,22 @@ Scale shape:
   that committed but crashed before removing the merged directories
   leaves them flagged uncommitted, and ``heal`` finishes the job).
 
-WRITER CONTRACT (single writer): ``refresh_vector_index``,
+WRITER CONTRACT (single writer, enforced loudly): ``refresh_vector_index``,
 ``compact_vector_index`` and ``heal_vector_index`` read-modify-write
-the one JSON model artifact — there is no lock, so CONCURRENT writers
-are not supported: two simultaneous refreshes can reserve the same
-scope and the later meta write silently drops the earlier one's
-counters. The streaming face satisfies the contract by construction
-(foreachBatch is sequential); plain refreshes, heal and compaction are
-the caller's to serialize (run compaction/heal in a maintenance window
-with the stream stopped, like the LSH index's ``compact_corpus``).
+the one JSON model artifact, so CONCURRENT writers are not supported —
+but the failure mode is no longer silent. Every plain-refresh and
+compaction scope is guarded by a create-exclusive lock marker
+(``.lock_<scope>`` at the index root, acquired BEFORE the reservation
+meta write): two racers that both read ``refresh_seq=N`` contend on the
+same marker and exactly one proceeds; the loser gets
+``ConcurrentWriterError`` before it can touch the meta or the data. The
+marker is released only after the writer's commit meta write — a
+crashed attempt leaves it for ``heal`` (releasing earlier would let a
+stale-meta racer re-acquire the scope and alias the partial data). The
+streaming face needs no marker: foreachBatch is sequential by
+construction and replays must legitimately rewrite their own scope.
+Heal remains offline-only — run it (and compaction) in a maintenance
+window with the stream stopped, like the LSH index's ``compact_corpus``.
 
 ATOMICITY SCOPE: the crash-safety story above relies on (a) atomic
 rename-over for the model JSON and (b) directory-scoped dynamic
@@ -190,6 +197,83 @@ def _join(path: str, *parts: str) -> str:
     if "://" in path:
         return "/".join([path.rstrip("/"), *parts])
     return os.path.join(path, *parts)
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to reserve a scope another writer holds
+    (or a crashed reservation left its marker behind). Loud failure is
+    the point: without it, two concurrent plain refreshes that both read
+    ``refresh_seq=N`` would dynamic-overwrite the same ``r<N+1>`` scope
+    and the later meta write would silently drop the earlier one's rows
+    and counters (r13 advice)."""
+
+
+def _marker_path(path: str, scope: str) -> str:
+    # lives at the index ROOT (next to the model JSON, which always
+    # exists by reservation time) — dot-prefixed so no parquet listing
+    # ever sees it
+    return _join(path, f".lock_{scope}")
+
+
+def _acquire_scope_marker(path: str, scope: str, spark: SparkSession | None) -> None:
+    """Create-exclusive lock file for a writer scope — the atomic
+    arbiter two racing writers cannot both win. Local paths use
+    O_CREAT|O_EXCL (atomic on POSIX); URI paths use
+    ``FileSystem.createNewFile`` (atomic create-if-absent on HDFS
+    semantics; on object stores it weakens with the rest of the
+    ATOMICITY SCOPE). The marker is released only after the writer's
+    COMMIT meta write — a failed attempt leaves it for ``heal``, because
+    releasing early would let a racer with a stale meta read re-acquire
+    the same scope and alias the crashed attempt's partial data."""
+    marker = _marker_path(path, scope)
+    if "://" not in path:
+        try:
+            os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return
+        except FileExistsError:
+            pass
+    else:
+        spark = _require_session(path, spark)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(marker)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.createNewFile(jpath):
+            return
+    raise ConcurrentWriterError(
+        f"scope {scope!r} at {path} is already reserved (marker "
+        f"{marker}): either a concurrent writer holds it — the index is "
+        "single-writer per attempt — or a crashed reservation left its "
+        "marker; with no writer active, run `index heal` to clear it"
+    )
+
+
+def _release_scope_marker(path: str, scope: str, spark: SparkSession | None) -> None:
+    marker = _marker_path(path, scope)
+    if "://" not in path:
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
+        return
+    spark = _require_session(path, spark)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(marker)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, False)
+
+
+def _list_scope_markers(path: str, spark: SparkSession | None) -> list[str]:
+    """Scopes with a lock marker on disk. Under the offline contract for
+    verify/heal, ANY marker present is a crashed writer's leftover."""
+    if "://" not in path:
+        try:
+            names = os.listdir(path)
+        except FileNotFoundError:
+            return []
+    else:
+        spark = _require_session(path, spark)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        names = [st.getPath().getName() for st in fs.listStatus(jpath)]
+    return sorted(n[len(".lock_"):] for n in names if n.startswith(".lock_"))
 
 
 def _label_centroids(vectors: DataFrame) -> list[tuple[int, list[float]]]:
@@ -534,12 +618,26 @@ def refresh_vector_index(
     if not cents:
         raise ValueError(f"index at {path} has no centroids — rebuild it")
     _check_vectors(new_vectors, int(meta.get("dim") or 0))
+    marker_held = False
     if scope is None:
-        # reservation AFTER validation (bad input must not burn a seq):
-        # one extra small meta write buys scope uniqueness under crashes
-        meta["refresh_seq"] = int(meta.get("refresh_seq", 0)) + 1
-        scope = f"r{meta['refresh_seq']}"
-        _write_meta(path, meta, spark)
+        # reservation AFTER validation (bad input must not burn a seq).
+        # Two steps, in THIS order (r13 advice, collision-safe upgrade):
+        # (1) the create-exclusive marker is the atomic arbiter — a racer
+        # that read the same refresh_seq fails HERE, before it can touch
+        # the meta and clobber this writer's counters; (2) the meta write
+        # burns the sequence so a crash after this point can never share
+        # a scope with the next batch.
+        seq = int(meta.get("refresh_seq", 0)) + 1
+        scope = f"r{seq}"
+        _acquire_scope_marker(path, scope, spark)
+        marker_held = True
+        try:
+            meta["refresh_seq"] = seq
+            _write_meta(path, meta, spark)
+        except BaseException:
+            # no data written yet — safe to free the scope for a retry
+            _release_scope_marker(path, scope, spark)
+            raise
     assigned = _assign(spark, new_vectors, cents).persist()
     try:
         _write_cells(assigned, path, scope)
@@ -608,6 +706,12 @@ def refresh_vector_index(
         if scope not in committed:
             committed.append(scope)
     _write_meta(path, meta, spark)
+    # marker released ONLY after the commit write above — a failure
+    # anywhere between reservation and commit leaves the marker for
+    # `heal` (releasing early would let a stale-meta racer re-acquire
+    # the scope and alias this attempt's partial data)
+    if marker_held:
+        _release_scope_marker(path, scope, spark)
     return report
 
 
@@ -621,12 +725,16 @@ def verify_vector_index(spark: SparkSession, path: str) -> dict:
     (``_scope_live``): a compaction that committed but crashed before
     removing the merged directories leaves the same rows on disk twice,
     and double-counting them would report a counter mismatch where the
-    real (heal-able) problem is the garbage directories. Returns {ok,
-    n_meta, n_data, orphan_cells, mismatched_cells,
-    uncommitted_scopes}."""
+    real (heal-able) problem is the garbage directories. Scope lock
+    markers present on disk are reported as ``stale_markers`` — verify
+    runs under the offline contract, so any marker is a crashed writer's
+    leftover (a pre-meta-write crash leaves ONLY the marker, which would
+    block the next writer of that scope). Returns {ok, n_meta, n_data,
+    orphan_cells, mismatched_cells, uncommitted_scopes, stale_markers}."""
     path = _norm_path(path)
     meta = read_meta(path, spark)
     _require_layout(meta, path)
+    stale_markers = _list_scope_markers(path, spark)
     cells_df = spark.read.parquet(_join(path, _CELLS))
     on_disk = {
         str(r.ingest_batch)
@@ -656,12 +764,14 @@ def verify_vector_index(spark: SparkSession, path: str) -> dict:
         "ok": not orphans
         and not mismatched
         and not uncommitted
+        and not stale_markers
         and n_data == meta["n_vectors"],
         "n_meta": meta["n_vectors"],
         "n_data": n_data,
         "orphan_cells": orphans,
         "mismatched_cells": mismatched,
         "uncommitted_scopes": uncommitted,
+        "stale_markers": stale_markers,
     }
 
 
@@ -681,12 +791,21 @@ def heal_vector_index(spark: SparkSession, path: str) -> dict:
     the delete would lose just-committed data and leave a permanent
     counter mismatch). That narrows the race to the meta-read/delete
     gap; the module's WRITER CONTRACT still applies — run heal without
-    active writers. Returns {removed_scopes, skipped_scopes, ok} with
-    ok re-verified after the deletes."""
+    active writers. Scope lock markers are cleared too: under the
+    offline contract every marker on disk is a crashed writer's leftover
+    (a pre-meta-write crash leaves ONLY the marker, which would block
+    the next writer of that scope with ConcurrentWriterError). Returns
+    {removed_scopes, skipped_scopes, removed_markers, ok} with ok
+    re-verified after the deletes."""
     path = _norm_path(path)
     v = verify_vector_index(spark, path)
-    if not v["uncommitted_scopes"]:
-        return {"removed_scopes": [], "skipped_scopes": [], "ok": v["ok"]}
+    if not v["uncommitted_scopes"] and not v["stale_markers"]:
+        return {
+            "removed_scopes": [],
+            "skipped_scopes": [],
+            "removed_markers": [],
+            "ok": v["ok"],
+        }
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -701,9 +820,12 @@ def heal_vector_index(spark: SparkSession, path: str) -> dict:
         fs = pattern.getFileSystem(conf)
         for st in fs.globStatus(pattern) or []:
             fs.delete(st.getPath(), True)
+    for scope in v["stale_markers"]:
+        _release_scope_marker(path, scope, spark)
     return {
         "removed_scopes": removed,
         "skipped_scopes": skipped,
+        "removed_markers": v["stale_markers"],
         "ok": verify_vector_index(spark, path)["ok"],
     }
 
@@ -789,11 +911,20 @@ def compact_vector_index(
         if f.getPath().getName().endswith(".parquet")
     )
     # reserve the compaction generation BEFORE any data lands (the
-    # plain-refresh reservation discipline): a crashed attempt's scope
-    # can never be shared by a retry, and heal knows it by name
-    meta["compact_seq"] = int(meta.get("compact_seq", 0)) + 1
-    scope = f"c{meta['compact_seq']}"
-    _write_meta(path, meta, spark)
+    # plain-refresh reservation discipline): the create-exclusive marker
+    # is the atomic arbiter against a concurrent writer, then the meta
+    # write burns the sequence so a crashed attempt's scope can never be
+    # shared by a retry, and heal knows it by name
+    seq = int(meta.get("compact_seq", 0)) + 1
+    scope = f"c{seq}"
+    _acquire_scope_marker(path, scope, spark)
+    try:
+        meta["compact_seq"] = seq
+        _write_meta(path, meta, spark)
+    except BaseException:
+        # no data written yet — safe to free the scope for a retry
+        _release_scope_marker(path, scope, spark)
+        raise
     # read exactly the merged scopes (directory-scoped, never the build
     # partition); basePath recovers cell_id — the write below re-scopes
     merged = (
@@ -813,6 +944,9 @@ def compact_vector_index(
     meta["committed_scopes"] = ["build", scope]
     meta["compacted_through_mark"] = int(meta.get("stream_max_committed", -1))
     _write_meta(path, meta, spark)
+    # committed — release the scope lock (post-commit directory removals
+    # below are idempotent garbage collection heal can finish)
+    _release_scope_marker(path, scope, spark)
     for s in merge:
         for d in scope_dirs[s]:
             fs.delete(d, True)

@@ -409,7 +409,12 @@ def test_crashed_plain_refresh_never_shares_a_scope(spark, sf_dir, tmp_path, mon
     assert not v2["ok"] and v2["uncommitted_scopes"] == ["r1"]
     # heal = delete exactly the named orphan scopes, nothing else
     healed = vi.heal_vector_index(spark, idx)
-    assert healed == {"removed_scopes": ["r1"], "skipped_scopes": [], "ok": True}
+    assert healed == {
+        "removed_scopes": ["r1"],
+        "skipped_scopes": [],
+        "removed_markers": [],
+        "ok": True,
+    }
     assert not glob.glob(f"{idx}/cells/cell_id=*/ingest_batch=r1")
     assert glob.glob(f"{idx}/cells/cell_id=*/ingest_batch=r2")
     assert verify_vector_index(spark, idx)["ok"]
@@ -679,6 +684,131 @@ def test_heal_skips_scopes_committed_after_the_verify_snapshot(
     assert h["skipped_scopes"] == ["r1"] and h["removed_scopes"] == []
     assert h["ok"]
     assert glob.glob(f"{idx}/cells/cell_id=*/ingest_batch=r1")  # data intact
+
+
+def test_scope_marker_blocks_concurrent_writer_and_heal_clears(spark, sf_dir, tmp_path):
+    """r13 advice upgrade (collision-safe reservation): the
+    create-exclusive scope marker is acquired BEFORE any meta write, so
+    a racer that read the same refresh_seq fails loudly with
+    ConcurrentWriterError — before it can clobber the winner's counters
+    or alias its scope — while a successful writer leaves no marker
+    behind. A marker with no writer (pre-meta-write crash) is
+    verify-visible (``stale_markers``) and heal-cleared."""
+    import glob
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    # a successful refresh acquires and releases its marker
+    refresh_vector_index(spark, new.limit(10), idx)
+    assert not glob.glob(f"{idx}/.lock_*")
+    # writer A holds the NEXT scope (r2): B must fail loudly, pre-meta
+    vi._acquire_scope_marker(idx, "r2", spark)
+    with pytest.raises(vi.ConcurrentWriterError, match="'r2'"):
+        refresh_vector_index(spark, new.limit(10), idx)
+    meta = read_meta(idx)
+    assert meta["refresh_seq"] == 1  # the loser burned nothing
+    v = verify_vector_index(spark, idx)
+    assert not v["ok"]
+    assert v["stale_markers"] == ["r2"] and v["uncommitted_scopes"] == []
+    # offline heal clears the crashed-reservation marker; writes resume
+    h = heal_vector_index(spark, idx)
+    assert h["removed_markers"] == ["r2"] and h["removed_scopes"] == [] and h["ok"]
+    rep = refresh_vector_index(spark, new.limit(5), idx)
+    assert rep["n_added"] == 5
+    assert verify_vector_index(spark, idx)["ok"]
+    assert not glob.glob(f"{idx}/.lock_*")
+
+
+def test_crashed_refresh_retains_marker_until_heal(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A refresh that dies between reservation and commit KEEPS its
+    marker (releasing early would let a stale-meta racer re-acquire the
+    scope and alias the partial data). The next refresh takes a fresh
+    sequence anyway — no collision — and one heal removes the orphan
+    scope and its marker together. Stream batches use no marker:
+    foreachBatch is sequential and replays must rewrite their scope."""
+    import glob
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    real_write_cells = vi._write_cells
+
+    def crash_write(*a, **kw):
+        raise RuntimeError("simulated crash mid data write")
+
+    monkeypatch.setattr(vi, "_write_cells", crash_write)
+    with pytest.raises(RuntimeError, match="mid data write"):
+        refresh_vector_index(spark, new.limit(10), idx)
+    monkeypatch.setattr(vi, "_write_cells", real_write_cells)
+    assert glob.glob(f"{idx}/.lock_r1")  # retained for heal
+    assert read_meta(idx)["refresh_seq"] == 1  # sequence burned
+    # the next writer is NOT blocked — fresh sequence, fresh marker
+    rep = refresh_vector_index(spark, new.limit(5), idx)
+    assert rep["n_added"] == 5
+    v = verify_vector_index(spark, idx)
+    assert not v["ok"] and v["stale_markers"] == ["r1"]
+    h = heal_vector_index(spark, idx)
+    assert h["removed_markers"] == ["r1"] and h["ok"]
+    # stream face: no marker at any point, even across a replay
+    refresh_vector_index(spark, new.limit(3), idx, stream_batch_id=0)
+    refresh_vector_index(spark, new.limit(3), idx, stream_batch_id=0)
+    assert not glob.glob(f"{idx}/.lock_*")
+    assert verify_vector_index(spark, idx)["ok"]
+
+
+def test_compact_releases_marker_on_commit_and_uri_markers_round_trip(
+    spark, sf_dir, tmp_path
+):
+    """Compaction rides the same lock: marker held from reservation to
+    commit, gone after success. The marker helpers round-trip through
+    the Hadoop FileSystem API on URI paths (create-exclusive semantics
+    included)."""
+    import glob
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    for i in range(2):
+        refresh_vector_index(spark, new.filter(F.col("vec_id") % 2 == i), idx)
+    rep = compact_vector_index(spark, idx)
+    assert rep["scope"] == "c1" and rep["ok"]
+    assert not glob.glob(f"{idx}/.lock_*")
+    # a held marker blocks the next compaction generation loudly
+    vi._acquire_scope_marker(idx, "c2", spark)
+    with pytest.raises(vi.ConcurrentWriterError, match="'c2'"):
+        compact_vector_index(spark, idx, min_scopes=1)
+    assert read_meta(idx)["compact_seq"] == 1  # loser burned nothing
+    vi._release_scope_marker(idx, "c2", spark)
+    # URI path variant of the helpers themselves
+    uidx = f"file://{tmp_path}/uvidx"
+    (tmp_path / "uvidx").mkdir()
+    vi._acquire_scope_marker(uidx, "r9", spark)
+    assert vi._list_scope_markers(uidx, spark) == ["r9"]
+    with pytest.raises(vi.ConcurrentWriterError, match="'r9'"):
+        vi._acquire_scope_marker(uidx, "r9", spark)
+    vi._release_scope_marker(uidx, "r9", spark)
+    assert vi._list_scope_markers(uidx, spark) == []
 
 
 def test_repeated_df_serves_leave_no_cached_rdds_behind(spark, sf_dir, tmp_path):
