@@ -288,6 +288,34 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Staged oracle SQL for corpus_decontaminate (registration deferred to
+# r15: the r14 sweep window is over-full with owed evidence and the r7
+# corollary requires new keys to enter the window the round they
+# register — r13 verdict #7). r15 turns this into
+# ``@q("corpus_decontaminate", sql=_DECON_SQL)`` and gives it a window
+# slot; the implementation and its tests land now.
+_DECON_SQL = f"""
+    SELECT doc_id, lang, source, length(text) AS text_len
+    FROM documents
+    WHERE len(list_filter({_BENCH_SQL}, p -> contains(lower(text), p))) = 0
+    """
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: the corpus with every benchmark-overlapping
+    document REMOVED — ``text_contamination``'s hit predicate composed
+    into a filtered corpus (the step training pipelines run between the
+    contamination scan and tokenization, so eval benchmarks are not in
+    the training set). Same broadcast-literal phrase model, map-only:
+    the anti-predicate evaluates at the scan, no shuffle, no second pass
+    over the corpus — scales linearly with corpus bytes."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.size(F.filter(F.lit(_BENCH_PHRASES), lambda p: F.contains(F.lower(F.col("text")), p)))
+    return d.filter(hits == 0).select(
+        "doc_id", "lang", "source", F.length("text").cast("long").alias("text_len")
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+[0-9][0-9 ()-]{7,}[0-9]"
 

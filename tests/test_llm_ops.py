@@ -707,3 +707,56 @@ def test_embedding_index_refresh_python_reference(spark, sf_dir):
         )
         assert r.sum_d2_milli == sum(half_away(d2) for d2 in assigned[lbl])
     assert sum(r.n_added for r in out.values()) == len(new)
+
+
+def test_corpus_decontaminate_composes_contamination_and_matches_staged_oracle(
+    spark, sf_dir, tmp_path
+):
+    """corpus_decontaminate (implementation lands r14; registration is
+    staged for an r15 window slot — r13 verdict #7) must equal documents
+    minus text_contamination's contaminated set, and its staged oracle
+    SQL must already row-match the Spark side in DuckDB, so r15's
+    registration is a decorator flip, not new semantics. The shipped
+    fixture has zero bench-phrase hits, so a mixed corpus (real docs +
+    planted contaminated ones) is written to exercise the removal."""
+    import duckdb
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import text as T
+
+    planted = [
+        (100001, "The quick brown fox jumps over the lazy dog.", "en", "plant"),
+        (100002, "lorem ipsum dolor sit amet, consectetur", "la", "plant"),
+        (100003, "To be or not to be, that is the question", "en", "plant"),
+        (100004, "clean document about spark partitioning", "en", "plant"),
+    ]
+    mixed = spark.read.parquet(f"{sf_dir}/documents.parquet").unionByName(
+        spark.createDataFrame(
+            [(i, t, lg, s, len(t)) for i, t, lg, s in planted],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+    )
+    mdir = str(tmp_path / "mixed")
+    mixed.coalesce(1).write.parquet(f"{mdir}/documents.parquet")
+    got = T.corpus_decontaminate(spark, mdir)
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    contaminated = {
+        r.doc_id
+        for r in T.QUERIES["text_contamination"](spark, mdir)
+        .filter("contaminated")
+        .collect()
+    }
+    assert contaminated == {100001, 100002, 100003}  # the filter is exercised
+    all_ids = {r.doc_id for r in mixed.select("doc_id").collect()}
+    assert got_ids == all_ids - contaminated and 100004 in got_ids
+    # the staged oracle SQL is already row-identical cross-engine
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{mdir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(T._DECON_SQL).fetchall())
+    have = sorted(
+        (r.doc_id, r.lang, r.source, r.text_len)
+        for r in got.select("doc_id", "lang", "source", "text_len").collect()
+    )
+    assert have == want
