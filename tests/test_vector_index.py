@@ -864,3 +864,82 @@ def test_arrow_rescorer_matches_hof_neighbors(spark, sf_dir, tmp_path):
     }
     assert set(hof) == set(arrow)
     assert all(abs(hof[k] - arrow[k]) < 1e-9 for k in hof)
+
+
+def test_lifecycle_random_walk_invariants(spark, sf_dir, tmp_path, monkeypatch):
+    """Seeded operation-sequence drill over the WHOLE writer surface:
+    a fixed random walk of plain refreshes, stream batches, replays,
+    mid-write and mid-commit crashes, compactions and heals. After every
+    step, verify's live row count must equal the sum of committed adds
+    (crash garbage never leaks into the served set), and at the end one
+    heal must return the index to ok with counters intact — whatever
+    order the walk visited the crash windows in."""
+    import random
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    rng = random.Random(1404)
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    meta = build_vector_index(spark, base, idx, centroids="by_label")
+    expected = meta["n_vectors"]
+    slices = [new.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    sizes = [s.count() for s in slices]
+    real_cells, real_meta = vi._write_cells, vi._write_meta
+    next_stream, committed_stream = 0, []
+    for step in range(14):
+        op = rng.choice(
+            ["refresh", "stream", "replay", "crash_write", "crash_commit",
+             "compact", "heal"]
+        )
+        i = rng.randrange(4)
+        if op == "refresh":
+            refresh_vector_index(spark, slices[i], idx)
+            expected += sizes[i]
+        elif op == "stream":
+            refresh_vector_index(spark, slices[i], idx, stream_batch_id=next_stream)
+            committed_stream.append(next_stream)
+            expected += sizes[i]
+            next_stream += 1
+        elif op == "replay" and committed_stream:
+            b = rng.choice(committed_stream)
+            rep = refresh_vector_index(spark, slices[i], idx, stream_batch_id=b)
+            assert rep["replayed"]
+        elif op == "crash_write":
+
+            def boom(*a, **kw):
+                raise RuntimeError("walk: crash mid data write")
+
+            monkeypatch.setattr(vi, "_write_cells", boom)
+            with pytest.raises(RuntimeError, match="mid data write"):
+                refresh_vector_index(spark, slices[i], idx)
+            monkeypatch.setattr(vi, "_write_cells", real_cells)
+        elif op == "crash_commit":
+            calls = {"n": 0}
+
+            def crash_second(path, m, spark_=None):
+                calls["n"] += 1
+                if calls["n"] == 2:
+                    raise RuntimeError("walk: crash before commit")
+                return real_meta(path, m, spark_)
+
+            monkeypatch.setattr(vi, "_write_meta", crash_second)
+            with pytest.raises(RuntimeError, match="before commit"):
+                refresh_vector_index(spark, slices[i], idx)
+            monkeypatch.setattr(vi, "_write_meta", real_meta)
+        elif op == "compact":
+            heal_vector_index(spark, idx)  # writer contract: no stale state
+            compact_vector_index(spark, idx)
+        elif op == "heal":
+            heal_vector_index(spark, idx)
+        v = verify_vector_index(spark, idx)
+        assert v["n_meta"] == expected, f"step {step} ({op}): counter drift"
+        assert v["n_data"] == expected, f"step {step} ({op}): crash rows served"
+    h = heal_vector_index(spark, idx)
+    assert h["ok"]
+    final = verify_vector_index(spark, idx)
+    assert final["ok"] and final["n_meta"] == expected == final["n_data"]
