@@ -1395,6 +1395,33 @@ def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) bigram instances, CACHED: the frame feeds
+    multiple consumers grouping on different keys, so no exchange reuse
+    applies — uncached, the corpus would be scanned + tokenized +
+    exploded once per consumer (r12 advice; the corpus_dup_ngrams
+    precedent). The cached frame is id+token sized, far under the
+    document text it replaces, memory-and-disk at scale. Extraction is
+    a map-side array transform + explode (``sequence(1, size-1)``
+    guarded by size >= 2 — Spark's sequence DESCENDS for start > stop,
+    so unguarded 1-token docs would fabricate a null bigram)."""
+    return (
+        d.select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .cache()
+    )
+
+
 @q(
     "text_ngram_lm_score",
     sql=r"""
@@ -1458,28 +1485,7 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew-split handles hot prefixes; the count side even reuses its
     own groupBy partitioning on the pair join. The final per-doc agg
     carries only (doc_id, int64). Document text never shuffles."""
-    d = table(spark, sf_dir, "documents")
-    # big feeds THREE consumers (bc, uc, the scored join) grouping on
-    # different keys, so no exchange reuse applies — uncached the corpus
-    # is scanned + tokenized + exploded three times per run (r12 advice;
-    # the corpus_dup_ngrams precedent). cache() collapses that to one
-    # pass; the cached frame is (doc_id, w1, w2) — id+token sized, far
-    # under the document text it replaces, memory-and-disk at scale.
-    big = (
-        d.select("doc_id", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "bg.w1", "bg.w2")
-        .cache()
-    )
+    big = _bigram_frame(table(spark, sf_dir, "documents"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
@@ -1490,6 +1496,91 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(1000000.0) * (F.col("c2").cast("double") / F.col("c1").cast("double"))
             )
+            .cast("bigint")
+            .alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_micro").alias("lm_sum_micro"),
+        (F.sum("p_micro").cast("double") / F.count(F.lit(1))).alias("lm_avg_micro"),
+    )
+
+
+# Staged oracle SQL for text_ngram_lm_backoff (registration deferred to
+# the next sweep window, same trade as corpus_decontaminate above).
+# Interpolation weight is a fixed 0.5/0.5 split so both engines compute
+# the identical IEEE expression tree.
+_LM_BACKOFF_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ), big AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), wc AS (
+      SELECT w2, COUNT(*) AS cw2 FROM big GROUP BY w2
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM big
+    ), scored AS (
+      SELECT big.doc_id,
+             CAST(ROUND(1000000.0 *
+                  (0.5 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) +
+                   0.5 * (CAST(cw2 AS DOUBLE) / CAST(n AS DOUBLE))))
+                  AS BIGINT) AS p_micro
+      FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+               JOIN wc USING (w2) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p_micro) AS BIGINT) AS lm_sum_micro,
+           CAST(CAST(SUM(p_micro) AS BIGINT) AS DOUBLE) / COUNT(*) AS lm_avg_micro
+    FROM scored GROUP BY doc_id
+    """
+
+
+def text_ngram_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-interpolated bigram-LM scoring — ``text_ngram_lm_score``
+    with backoff: P(w2|w1) alone assigns every UNSEEN-context transition
+    nothing and every singleton context certainty 1.0, so rare-word
+    boilerplate scores as fluent. The interpolated score
+    0.5·P(w2|w1) + 0.5·P_uni(w2) smooths both failure modes (Jelinek-
+    Mercer with a fixed λ; P_uni is the unigram MLE over the bigram
+    instance stream, so the whole model reuses the one cached bigram
+    frame). Micro-quantization discipline unchanged: exact integer
+    counts, a fixed IEEE expression tree (two divisions, two
+    multiplies, one add) identical in both engines, half-up rounding to
+    an exact BIGINT, order-independent integer sums.
+
+    Scale shape is the lm_score's: one cached (doc_id, w1, w2) frame
+    feeds four consumers; the three count tables are vocabulary-sized
+    partial aggregations; their joins back onto instances are HINTED
+    shuffle_hash (the corpus-scaled build-side disease, SCALE.md §2);
+    the bigram-instance total is one broadcast scalar row, never a
+    driver round trip. Document text never shuffles."""
+    big = _bigram_frame(table(spark, sf_dir, "documents"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    wc = big.groupBy("w2").agg(F.count(F.lit(1)).alias("cw2"))
+    tot = big.agg(F.count(F.lit(1)).alias("n"))
+    p_bg = F.col("c2").cast("double") / F.col("c1").cast("double")
+    p_uni = F.col("cw2").cast("double") / F.col("n").cast("double")
+    scored = (
+        big.join(bc.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uc.hint("shuffle_hash"), ["w1"])
+        .join(wc.hint("shuffle_hash"), ["w2"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.lit(1000000.0) * (F.lit(0.5) * p_bg + F.lit(0.5) * p_uni))
             .cast("bigint")
             .alias("p_micro"),
         )

@@ -760,3 +760,52 @@ def test_corpus_decontaminate_composes_contamination_and_matches_staged_oracle(
         for r in got.select("doc_id", "lang", "source", "text_len").collect()
     )
     assert have == want
+
+
+def test_text_ngram_lm_backoff_smooths_and_matches_staged_oracle(
+    spark, sf_dir, tmp_path
+):
+    """text_ngram_lm_backoff (implementation lands r14; registration
+    staged for a later window slot, like corpus_decontaminate): the
+    0.5/0.5 Jelinek-Mercer interpolation must (a) keep n_bigrams
+    identical to the pure bigram score, (b) pull a singleton-context
+    doc's certainty-1.0 transitions DOWN (the smoothing point), and
+    (c) already row-match its staged oracle SQL in DuckDB bit-for-bit
+    on a corpus with planted rare bigrams."""
+    import duckdb
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import text as T
+
+    planted = [
+        # every bigram unique: pure LM scores all transitions 1.0
+        (200001, "zyxwv qponm lkjih gfedc baazz", "en", "plant"),
+        (200002, "common words appear again and again and again", "en", "plant"),
+    ]
+    mixed = spark.read.parquet(f"{sf_dir}/documents.parquet").unionByName(
+        spark.createDataFrame(
+            [(i, t, lg, s, len(t)) for i, t, lg, s in planted],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+    )
+    mdir = str(tmp_path / "mixed")
+    mixed.coalesce(1).write.parquet(f"{mdir}/documents.parquet")
+    pure = {r.doc_id: r for r in T.QUERIES["text_ngram_lm_score"](spark, mdir).collect()}
+    back = {r.doc_id: r for r in T.text_ngram_lm_backoff(spark, mdir).collect()}
+    assert set(pure) == set(back)
+    assert all(pure[d].n_bigrams == back[d].n_bigrams for d in pure)
+    # the all-singleton doc: pure certainty 1.0 per transition...
+    assert pure[200001].lm_sum_micro == 1000000 * pure[200001].n_bigrams
+    # ...smoothed strictly down by the unigram interpolation
+    assert back[200001].lm_sum_micro < pure[200001].lm_sum_micro
+    # staged oracle SQL already bit-matches cross-engine
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{mdir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(T._LM_BACKOFF_SQL).fetchall())
+    have = sorted(
+        (r.doc_id, r.n_bigrams, r.lm_sum_micro, r.lm_avg_micro)
+        for r in back.values()
+    )
+    assert have == want
