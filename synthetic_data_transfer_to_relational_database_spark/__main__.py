@@ -253,6 +253,28 @@ def cmd_index(args) -> int:
             report = compact_vector_index(spark, args.path, min_scopes=args.min_scopes)
             print(json.dumps(report))
             return 0 if report["ok"] else 1
+        if args.action == "maintain":
+            from .operators.vector_index import (
+                compact_vector_index,
+                heal_vector_index,
+            )
+
+            # the maintenance-window one-shot (the corpus `maintain full`
+            # twin): heal crash leftovers first — markers and orphan
+            # scopes would otherwise survive into the compaction — then
+            # compact, then re-verify. One JSON report, exit 0 iff ok.
+            report = {
+                "heal": heal_vector_index(spark, args.path),
+                "compact": compact_vector_index(
+                    spark, args.path, min_scopes=args.min_scopes
+                ),
+            }
+            report["ok"] = bool(
+                report["heal"]["ok"] and report["compact"]["ok"]
+                and verify_vector_index(spark, args.path)["ok"]
+            )
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
         if args.action == "search":
             from pyspark.sql import functions as F
 
@@ -543,10 +565,13 @@ def main(argv: list[str] | None = None) -> int:
         "index",
         help="persisted vector index: build | refresh (day-2 upsert) | "
         "verify | heal (drop crashed-refresh orphan scopes) | compact "
-        "(merge committed refresh scopes — small-files maintenance) | search",
+        "(merge committed refresh scopes — small-files maintenance) | "
+        "maintain (heal + compact + verify, one report, exit 0 iff ok) | "
+        "search",
     )
     p.add_argument(
-        "action", choices=["build", "refresh", "verify", "heal", "compact", "search"]
+        "action",
+        choices=["build", "refresh", "verify", "heal", "compact", "maintain", "search"],
     )
     p.add_argument("--path", default="spark-warehouse/_vector_index")
     p.add_argument("--src", help="embeddings parquet (vec_id, embedding[, label])")

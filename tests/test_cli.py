@@ -433,3 +433,25 @@ def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
     assert v2["ok"] and v2["n_data"] == 505
     with _pytest.raises(SystemExit, match="requires --queries-src"):
         main(["index", "search", "--path", idx])
+    # maintain = heal + compact + verify in one shot: plant both crash
+    # leftovers (a stale scope-lock marker and a rogue uncommitted
+    # scope), and one invocation must clear them and exit 0
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as _vi,
+    )
+
+    _vi._acquire_scope_marker(idx, "r9", spark)
+    e.filter("vec_id < 3").selectExpr(
+        "99 as cell_id", "vec_id", "label", "embedding", "0.0d as d2",
+        "'rogue' as ingest_batch",
+    ).write.mode("append").partitionBy("cell_id", "ingest_batch").parquet(
+        f"{idx}/cells"
+    )
+    assert main(["index", "verify", "--path", idx]) == 1  # red before
+    capsys.readouterr()
+    assert main(["index", "maintain", "--path", idx]) == 0
+    m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["ok"]
+    assert m["heal"]["removed_markers"] == ["r9"]
+    assert m["heal"]["removed_scopes"] == ["rogue"]
+    assert main(["index", "verify", "--path", idx]) == 0  # green after
