@@ -310,10 +310,14 @@ def cmd_index(args) -> int:
                     ),
                     top_k=args.top_k,
                     n_probe=args.n_probe,
-                    # Arrow rescorer: measured 1.8x over the HOF fold at
-                    # 5k queries (tools/serve_scale_probe.py, r14) with
-                    # full neighbor parity; the CLI serve is not
-                    # oracle-pinned, so it takes the fast path
+                    # rescorer default is the PREDICTABLE in-JVM fold:
+                    # the Arrow pandas_udf path wins ~2x at median
+                    # (16-59 s vs 28-137 s across 10k-50k queries) but
+                    # its tail is heavy — a 5x degradation (305 s at
+                    # 50k) and one indefinite pipe stall were both
+                    # observed on the same code (SCALE.md, r14) — the
+                    # wrong trade for an unattended CLI default;
+                    # --rescorer arrow opts into the median win
                     rescorer=args.rescorer,
                 )
             else:
@@ -616,11 +620,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--rescorer",
         choices=["arrow", "hof"],
-        default="arrow",
-        help="cosine rescorer for the DataFrame serve: 'arrow' (vectorized "
-        "pandas_udf — measured 1.8x faster at 5k queries, cosines may differ "
-        "from the HOF fold in the last ulp) or 'hof' (the sequential fold, "
-        "bit-identical to the list path)",
+        default="hof",
+        help="cosine rescorer for the DataFrame serve: 'hof' (the sequential "
+        "in-JVM fold, bit-identical to the list path, predictable-linear in "
+        "query count) or 'arrow' (vectorized pandas_udf — ~2x faster at "
+        "median across 10k-50k queries but with a measured heavy tail: "
+        "occasional 5x degradation and one observed pipe stall; cosines may "
+        "differ from the fold in the last ulp)",
     )
     p.set_defaults(fn=cmd_index)
 

@@ -397,23 +397,24 @@ def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
     res = spark.read.parquet(res_out)
     assert res.count() == 15 and res.filter("rn > 3").count() == 0
     # same search forced onto the DataFrame-native serve (threshold 1)
-    # with the HOF rescorer: row-identical to the list path through the
-    # same CLI surface
+    # with the DEFAULT rescorer — which is the predictable in-JVM HOF
+    # fold (r14: the Arrow path's measured heavy tail makes it opt-in),
+    # so the result is row-identical to the list path, bit for bit
     res_out_df = str(tmp_path / "res_df")
     assert main([
         "index", "search", "--path", idx, "--queries-src", str(qsrc),
         "--top-k", "3", "--n-probe", "8", "--out", res_out_df,
-        "--df-serve-threshold", "1", "--rescorer", "hof",
+        "--df-serve-threshold", "1",
     ]) == 0
     got = sorted(map(tuple, spark.read.parquet(res_out_df).collect()))
     assert got == sorted(map(tuple, res.collect()))
-    # the DEFAULT df-serve rescorer is the measured-1.8x Arrow path:
-    # same neighbors, cosines within an ulp of the fold (not pinned)
+    # the OPT-IN Arrow rescorer (median ~2x, not pinned bit-identical):
+    # same neighbors, cosines within an ulp of the fold
     res_out_ar = str(tmp_path / "res_arrow")
     assert main([
         "index", "search", "--path", idx, "--queries-src", str(qsrc),
         "--top-k", "3", "--n-probe", "8", "--out", res_out_ar,
-        "--df-serve-threshold", "1",
+        "--df-serve-threshold", "1", "--rescorer", "arrow",
     ]) == 0
     ar = {(r.query_id, r.rn): (r.vec_id, r.cosine)
           for r in spark.read.parquet(res_out_ar).collect()}
