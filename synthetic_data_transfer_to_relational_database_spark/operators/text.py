@@ -288,12 +288,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Staged oracle SQL for corpus_decontaminate (registration deferred to
-# r15: the r14 sweep window is over-full with owed evidence and the r7
-# corollary requires new keys to enter the window the round they
-# register — r13 verdict #7). r15 turns this into
-# ``@q("corpus_decontaminate", sql=_DECON_SQL)`` and gives it a window
-# slot; the implementation and its tests land now.
+# Oracle SQL for corpus_decontaminate. Implemented + tested in r14 with
+# registration STAGED (the r14 window was over-full with owed evidence
+# and the r7 corollary requires new keys to enter the window the round
+# they register); registered in r15 with a leading window slot.
 _DECON_SQL = f"""
     SELECT doc_id, lang, source, length(text) AS text_len
     FROM documents
@@ -301,6 +299,7 @@ _DECON_SQL = f"""
     """
 
 
+@q("corpus_decontaminate", sql=_DECON_SQL)
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination pass: the corpus with every benchmark-overlapping
     document REMOVED — ``text_contamination``'s hit predicate composed
@@ -1507,8 +1506,8 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Staged oracle SQL for text_ngram_lm_backoff (registration deferred to
-# the next sweep window, same trade as corpus_decontaminate above).
+# Oracle SQL for text_ngram_lm_backoff (implemented + staged in r14,
+# registered in r15 alongside corpus_decontaminate — same window trade).
 # Interpolation weight is a fixed 0.5/0.5 split so both engines compute
 # the identical IEEE expression tree.
 _LM_BACKOFF_SQL = r"""
@@ -1547,6 +1546,7 @@ _LM_BACKOFF_SQL = r"""
     """
 
 
+@q("text_ngram_lm_backoff", sql=_LM_BACKOFF_SQL)
 def text_ngram_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-interpolated bigram-LM scoring — ``text_ngram_lm_score``
     with backoff: P(w2|w1) alone assigns every UNSEEN-context transition

@@ -40,74 +40,79 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-14 window:
-#   1) the r13 spill (the only keys at r10 evidence — the documented r13
-#      trade): orders_shipping_priority, orders_late_priority,
-#      orders_big_volume. They lead, per the r13 verdict.
-#   2) 47 of the 49 keys whose newest driver evidence is r11 — the
-#      oldest tier after r13 closed the r10 basket. Two r11-evidence
-#      keys spill one round to r15 (same documented trade as r7/r12/r13):
-#      scan_project, filter_pred — chosen because they are the two
-#      simplest single-statement scan/filter queries in the tier,
-#      untouched since they were registered, each re-verified
-#      strict-green locally via driver_sim this round (r14) before the
-#      window landed.
-# No NEW oracle-paired keys register in r14: the window is over-full
-# with owed evidence (52 candidates for 50 slots), and the r7 corollary
-# says new keys must enter the window the round they register.
+# new/changed queries first, then oldest-evidence first. Round-15 window
+# (54 candidates for 50 slots — the r14-verdict window math):
+#   1) the r14 spill (the only keys at r11 evidence — the documented r14
+#      trade): scan_project, filter_pred. They lead, per the r14 verdict.
+#   2) the two keys newly REGISTERED this round (implemented + tested +
+#      oracle-staged in r14): corpus_decontaminate, text_ngram_lm_backoff
+#      — the r7 corollary puts new keys in the window the round they
+#      register, and these were the only operators with zero driver
+#      evidence.
+#   3) 46 of the 50 keys whose newest driver evidence is r12 — the
+#      oldest tier after r14 closed the r11 basket. The three keys whose
+#      machinery changed in r14 (sim_search_index, text_ngram_lm_score,
+#      embedding_index_refresh) lead this tier. Four r12-evidence keys
+#      spill one round to r16 (same documented trade as r7/r12/r13/r14):
+#      sample_hash, corpus_split, window_first_last, agg_mode — chosen
+#      because they are the simplest deterministic-filter / single-
+#      window / single-aggregation keys in the tier, untouched since
+#      registration, each re-verified strict-green locally via
+#      driver_sim this round (r15) before the window landed.
 _SWEEP_FIRST = [
-    # -- 1) the r13 spill (r10 evidence) --------------------------------
-    "orders_shipping_priority",
-    "orders_late_priority",
-    "orders_big_volume",
-    # -- 2) the r11-evidence tier (47 of 49 keys; spill documented above)
-    "agg_approx_distinct",
-    "agg_distinct",
-    "agg_hash",
-    "agg_rollup",
-    "corpus_pack_sequences",
-    "corpus_token_budget_scalable",
-    "customer_distribution",
-    "dedup_incremental",
-    "dedup_key_norm",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_funnel",
-    "events_session",
-    "events_sliding",
-    "events_tumbling",
-    "fk_sample_join",
-    "gen_synthetic_orders",
-    "join_anti",
-    "join_broadcast",
-    "join_inner",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "market_share",
-    "multimodal_bytes",
-    "multimodal_features",
-    "nation_volume_shipping",
-    "rag_retrieve",
-    "revenue_by_nation",
-    "scalar_array",
-    "scalar_json",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_centroid_pandas",
-    "sim_search",
-    "sim_search_lsh",
-    "small_qty_revenue",
-    "sort_limit",
-    "stream_tumbling",
-    "text_fingerprint",
-    "text_tfidf_top",
-    "topk_per_group",
-    "vector_norms",
-    "window_lag",
-    "window_ntile",
+    # -- 1) the r14 spill (r11 evidence) --------------------------------
+    "scan_project",
+    "filter_pred",
+    # -- 2) newly registered this round ---------------------------------
+    "corpus_decontaminate",
+    "text_ngram_lm_backoff",
+    # -- 3) the r12-evidence tier (46 of 50 keys; spill documented above)
+    "sim_search_index",
+    "text_ngram_lm_score",
+    "embedding_index_refresh",
+    "agg_approx_percentile",
+    "agg_sketch_union",
+    "basket_pairs",
+    "bracket_revenue",
+    "corpus_diff",
+    "corpus_dup_ngrams",
+    "corpus_length_histogram",
+    "corpus_quantile_filter",
+    "data_quality_profile",
+    "dedup_cluster",
+    "dedup_embedding",
+    "dedup_semantic",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_forecast_baseline",
+    "events_gap_islands",
+    "events_gapfill",
+    "events_retention_cohorts",
+    "events_rolling_active",
+    "events_rollup_hierarchy",
+    "events_user_paths",
+    "join_asof",
+    "lineitem_discount_revenue",
+    "lineitem_yoy_growth",
+    "multimodal_dyn_batch",
+    "multimodal_phash_dedup",
+    "orders_cohort_ltv",
+    "orders_rfm",
+    "returned_item_report",
+    "sim_knn_graph",
+    "sim_search_ivfpq",
+    "sim_search_pq",
+    "skew_profile",
+    "snapshot_merge_upsert",
+    "stream_interval_join",
+    "text_containment",
+    "text_contamination",
+    "text_doc_pairs_jaccard",
+    "text_pii_scan",
+    "top_supplier_revenue",
+    "waiting_suppliers",
+    "window_rank",
+    "window_ranks_pct",
 ]
 
 
