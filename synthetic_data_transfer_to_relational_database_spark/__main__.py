@@ -263,15 +263,21 @@ def cmd_index(args) -> int:
             # twin): heal crash leftovers first — markers and orphan
             # scopes would otherwise survive into the compaction — then
             # compact, then re-verify. One JSON report, exit 0 iff ok.
+            # The final verify's report is INCLUDED (r14 advice): an
+            # exit 1 caused solely by that last check (heal ok, compact
+            # ok) must name the failing invariant in the printed JSON,
+            # not leave the operator diagnosing a bare exit code.
             report = {
                 "heal": heal_vector_index(spark, args.path),
                 "compact": compact_vector_index(
                     spark, args.path, min_scopes=args.min_scopes
                 ),
             }
+            report["verify"] = verify_vector_index(spark, args.path)
             report["ok"] = bool(
-                report["heal"]["ok"] and report["compact"]["ok"]
-                and verify_vector_index(spark, args.path)["ok"]
+                report["heal"]["ok"]
+                and report["compact"]["ok"]
+                and report["verify"]["ok"]
             )
             print(json.dumps(report))
             return 0 if report["ok"] else 1

@@ -58,10 +58,18 @@ compaction scope is guarded by a create-exclusive lock marker
 (``.lock_<scope>`` at the index root, acquired BEFORE the reservation
 meta write): two racers that both read ``refresh_seq=N`` contend on the
 same marker and exactly one proceeds; the loser gets
-``ConcurrentWriterError`` before it can touch the meta or the data. The
-marker is released only after the writer's commit meta write — a
-crashed attempt leaves it for ``heal`` (releasing earlier would let a
-stale-meta racer re-acquire the scope and alias the partial data). The
+``ConcurrentWriterError`` before it can touch the meta or the data.
+Non-overlapping windows are fenced too (r14 advice): a racer that read
+the meta BEFORE a competing writer's full acquire→commit→release cycle
+would re-acquire the now-free marker for the same scope and overwrite
+the winner's committed counters from its stale copy — so immediately
+after acquiring the marker the meta is RE-READ and the attempt fails
+with ``ConcurrentWriterError`` unless every writer-commit counter
+(``refresh_seq``, ``compact_seq``, ``stream_max_committed``) still
+matches the copy the scope was derived from. The marker is released
+only after the writer's commit meta write — a crashed attempt leaves
+it for ``heal`` (releasing earlier would let a stale-meta racer
+re-acquire the scope and alias the partial data). The
 streaming face needs no marker: foreachBatch is sequential by
 construction and replays must legitimately rewrite their own scope.
 Heal remains offline-only — run it (and compaction) in a maintenance
@@ -85,6 +93,7 @@ from __future__ import annotations
 import json
 import os
 import warnings
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,6 +267,61 @@ def _release_scope_marker(path: str, scope: str, spark: SparkSession | None) -> 
     jpath = spark._jvm.org.apache.hadoop.fs.Path(marker)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(jpath, False)
+
+
+def _fence_held_meta(
+    path: str, held: dict, spark: SparkSession | None, scope: str
+) -> dict:
+    """ABA fence, called immediately AFTER ``_acquire_scope_marker``
+    (r14 advice): the create-exclusive marker only arbitrates writers
+    whose held windows overlap. A racer that read the meta before a
+    competing writer's full acquire→commit→release cycle re-acquires
+    the now-free marker for the same derived scope, and its reservation
+    meta write would overwrite the winner's committed counters from the
+    stale copy — the exact silent row drop the marker exists to prevent.
+    So: re-read the meta under the held marker and require every
+    writer-commit counter to match the held copy. ``refresh_seq`` moves
+    on plain-refresh commits, ``compact_seq`` on compaction commits,
+    ``stream_max_committed`` on stream-batch commits — together they
+    cover every writer path that can commit a meta between this
+    writer's read and its acquisition. On mismatch the marker is
+    released (nothing was written; the scope is free for the retry,
+    which will re-read and derive the next sequence) and
+    ``ConcurrentWriterError`` raised. On match the FRESH copy is
+    returned and used from here on, so the subsequent reservation write
+    can never resurrect stale content."""
+    fresh = read_meta(path, spark)
+    fenced = ("refresh_seq", "compact_seq", "stream_max_committed")
+    if any(int(fresh.get(k, -1)) != int(held.get(k, -1)) for k in fenced):
+        _release_scope_marker(path, scope, spark)
+        raise ConcurrentWriterError(
+            f"scope {scope!r} at {path} was derived from a meta another "
+            "writer has since committed past (writer-commit counters "
+            f"moved: held {[held.get(k) for k in fenced]}, on disk "
+            f"{[fresh.get(k) for k in fenced]}). The index is "
+            "single-writer per attempt — retry to re-read the meta and "
+            "reserve the next sequence"
+        )
+    return fresh
+
+
+def _release_marker_post_commit(
+    path: str, scope: str, spark: SparkSession | None
+) -> None:
+    """Post-COMMIT marker release (r14 advice): by this point the
+    refresh/compaction has durably succeeded, so a transient filesystem
+    error deleting the marker must not surface as failure of an
+    operation that succeeded. Warn and leave the marker — verify
+    reports it as stale and ``heal`` owns leftover-marker cleanup."""
+    try:
+        _release_scope_marker(path, scope, spark)
+    except Exception as e:  # noqa: BLE001 - commit already durable
+        warnings.warn(
+            f"committed scope {scope!r} at {path} could not release its "
+            f"lock marker ({type(e).__name__}: {e}); the commit itself "
+            "succeeded — run `index heal` to clear the stale marker",
+            stacklevel=2,
+        )
 
 
 def _list_scope_markers(path: str, spark: SparkSession | None) -> list[str]:
@@ -632,8 +696,16 @@ def refresh_vector_index(
         _acquire_scope_marker(path, scope, spark)
         marker_held = True
         try:
+            # ABA fence (r14 advice): the marker was free, but a full
+            # competing cycle may have committed since OUR meta read —
+            # re-read under the marker and fail loudly on counter drift
+            # (the fence releases the marker itself before raising)
+            meta = _fence_held_meta(path, meta, spark, scope)
+            meta["layout"] = _LAYOUT  # re-apply migration to the fresh copy
             meta["refresh_seq"] = seq
             _write_meta(path, meta, spark)
+        except ConcurrentWriterError:
+            raise
         except BaseException:
             # no data written yet — safe to free the scope for a retry
             _release_scope_marker(path, scope, spark)
@@ -709,9 +781,11 @@ def refresh_vector_index(
     # marker released ONLY after the commit write above — a failure
     # anywhere between reservation and commit leaves the marker for
     # `heal` (releasing early would let a stale-meta racer re-acquire
-    # the scope and alias this attempt's partial data)
+    # the scope and alias this attempt's partial data); a release
+    # failure AFTER the commit warns instead of raising (the guarded
+    # helper) because the operation itself durably succeeded
     if marker_held:
-        _release_scope_marker(path, scope, spark)
+        _release_marker_post_commit(path, scope, spark)
     return report
 
 
@@ -919,8 +993,16 @@ def compact_vector_index(
     scope = f"c{seq}"
     _acquire_scope_marker(path, scope, spark)
     try:
+        # ABA fence (r14 advice): fail loudly if any writer committed
+        # between our meta read and the marker acquisition — the merge
+        # set above was derived from that read (the fence releases the
+        # marker itself before raising)
+        meta = _fence_held_meta(path, meta, spark, scope)
+        meta["layout"] = _LAYOUT  # re-apply migration to the fresh copy
         meta["compact_seq"] = seq
         _write_meta(path, meta, spark)
+    except ConcurrentWriterError:
+        raise
     except BaseException:
         # no data written yet — safe to free the scope for a retry
         _release_scope_marker(path, scope, spark)
@@ -945,11 +1027,22 @@ def compact_vector_index(
     meta["compacted_through_mark"] = int(meta.get("stream_max_committed", -1))
     _write_meta(path, meta, spark)
     # committed — release the scope lock (post-commit directory removals
-    # below are idempotent garbage collection heal can finish)
-    _release_scope_marker(path, scope, spark)
-    for s in merge:
-        for d in scope_dirs[s]:
-            fs.delete(d, True)
+    # below are idempotent garbage collection heal can finish); a
+    # release failure here warns instead of raising (commit is durable)
+    _release_marker_post_commit(path, scope, spark)
+    # Post-commit garbage collection of the merged directories. One
+    # fs.delete per cell-dir is unavoidable under the cell_id-major
+    # layout, but issuing them SEQUENTIALLY from the driver makes the
+    # maintenance window O(scopes×cells × per-call latency) on object
+    # stores (r14 verdict #5) — so the calls go through a small driver
+    # thread pool (Hadoop FileSystem instances are thread-safe; py4j
+    # serves concurrent threads over per-thread connections). Crash or
+    # partial failure mid-delete is already healed: the merged scopes
+    # flipped to uncommitted at the commit above, so verify names any
+    # survivor and heal deletes it.
+    gc_dirs = [d for s in merge for d in scope_dirs[s]]
+    with ThreadPoolExecutor(max_workers=min(16, len(gc_dirs))) as pool:
+        list(pool.map(lambda d: fs.delete(d, True), gc_dirs))
     files_after = sum(
         1
         for st in fs.globStatus(

@@ -455,4 +455,7 @@ def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
     assert m["ok"]
     assert m["heal"]["removed_markers"] == ["r9"]
     assert m["heal"]["removed_scopes"] == ["rogue"]
+    # the final verify's full report is in the JSON (r14 advice): an
+    # exit-1 caused solely by it must name the failing invariant
+    assert m["verify"]["ok"] and m["verify"]["stale_markers"] == []
     assert main(["index", "verify", "--path", idx]) == 0  # green after

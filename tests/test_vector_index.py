@@ -943,3 +943,139 @@ def test_lifecycle_random_walk_invariants(spark, sf_dir, tmp_path, monkeypatch):
     assert h["ok"]
     final = verify_vector_index(spark, idx)
     assert final["ok"] and final["n_meta"] == expected == final["n_data"]
+
+
+def test_aba_fence_refresh_rejects_stale_meta_after_full_competing_cycle(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r14 advice (the non-overlapping-window race): the create-exclusive
+    marker alone only arbitrates writers whose held windows OVERLAP. A
+    racer that read the meta at refresh_seq=N, then lost the CPU while a
+    competitor ran its entire acquire(r_{N+1}) → commit → release cycle,
+    re-acquires the now-free marker for the SAME scope — and its
+    reservation write would overwrite the winner's committed counters
+    from the stale copy (silent row drop). The fence re-reads the meta
+    under the held marker and fails loudly instead; nothing of the
+    winner's commit is lost and the retry proceeds on a fresh sequence."""
+    import glob
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    n_base = base.count()
+    orig_acquire = vi._acquire_scope_marker
+    raced = {"done": False}
+
+    def acquire_after_competitor_wins(path, scope, spark_):
+        # simulate the lost-CPU window: the competitor runs a FULL
+        # refresh cycle (same derived scope r1) before we acquire
+        if not raced["done"]:
+            raced["done"] = True
+            rep = refresh_vector_index(spark, new.limit(7), idx)
+            assert rep["n_added"] == 7
+        orig_acquire(path, scope, spark_)
+
+    monkeypatch.setattr(vi, "_acquire_scope_marker", acquire_after_competitor_wins)
+    with pytest.raises(vi.ConcurrentWriterError, match="counters moved"):
+        refresh_vector_index(spark, new.limit(10), idx)
+    monkeypatch.setattr(vi, "_acquire_scope_marker", orig_acquire)
+    # the winner's commit is intact, the loser burned nothing and left
+    # no marker (the fence releases before raising — the scope is free)
+    meta = read_meta(idx)
+    assert meta["refresh_seq"] == 1 and meta["n_vectors"] == n_base + 7
+    assert not glob.glob(f"{idx}/.lock_*")
+    v = verify_vector_index(spark, idx)
+    assert v["ok"], v
+    # the retry re-reads and takes the NEXT sequence
+    rep = refresh_vector_index(spark, new.limit(5), idx)
+    assert rep["n_added"] == 5 and read_meta(idx)["refresh_seq"] == 2
+    assert verify_vector_index(spark, idx)["ok"]
+
+
+def test_aba_fence_compact_rejects_intervening_refresh_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Compaction rides the same fence: its merge set is derived from the
+    meta read at entry, so a refresh that commits between that read and
+    the marker acquisition must abort the compaction (its stale meta
+    would drop the refresh's counters at the reservation write). The
+    aborted compaction harms nothing; the retry merges all scopes."""
+    import glob
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    refresh_vector_index(spark, new.limit(6), idx)
+    refresh_vector_index(spark, new.limit(12), idx)
+    orig_acquire = vi._acquire_scope_marker
+    raced = {"done": False}
+
+    def acquire_after_refresh_commits(path, scope, spark_):
+        if not raced["done"]:
+            raced["done"] = True
+            rep = refresh_vector_index(spark, new.limit(4), idx)
+            assert rep["n_added"] == 4
+        orig_acquire(path, scope, spark_)
+
+    monkeypatch.setattr(vi, "_acquire_scope_marker", acquire_after_refresh_commits)
+    with pytest.raises(vi.ConcurrentWriterError, match="counters moved"):
+        compact_vector_index(spark, idx)
+    monkeypatch.setattr(vi, "_acquire_scope_marker", orig_acquire)
+    meta = read_meta(idx)
+    assert meta["refresh_seq"] == 3  # the intervening commit survived
+    assert meta.get("compact_seq", 0) == 0  # the loser burned nothing
+    assert not glob.glob(f"{idx}/.lock_*")
+    assert verify_vector_index(spark, idx)["ok"]
+    # retry merges ALL committed refresh scopes, including the racer's
+    rep = compact_vector_index(spark, idx)
+    assert rep["merged_scopes"] == ["r1", "r2", "r3"] and rep["ok"]
+    assert read_meta(idx)["committed_scopes"] == ["build", "c1"]
+
+
+def test_post_commit_marker_release_failure_warns_not_raises(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r14 advice: once the commit meta write has landed, a transient
+    filesystem error releasing the marker must NOT surface as failure of
+    an operation that durably succeeded — the refresh warns (pointing at
+    `index heal`), returns its report, and leaves the stale marker for
+    verify to name and heal to clear."""
+    import glob
+    import warnings as w
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+
+    def flaky_release(path, scope, spark_):
+        raise OSError("simulated transient fs error")
+
+    monkeypatch.setattr(vi, "_release_scope_marker", flaky_release)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        rep = refresh_vector_index(spark, new.limit(9), idx)
+    monkeypatch.undo()
+    assert rep["n_added"] == 9  # the commit's report came back intact
+    assert any("index heal" in str(c.message) for c in caught)
+    assert glob.glob(f"{idx}/.lock_r1")  # marker left for heal
+    v = verify_vector_index(spark, idx)
+    assert not v["ok"] and v["stale_markers"] == ["r1"]
+    assert v["uncommitted_scopes"] == []  # ...and the data IS committed
+    h = heal_vector_index(spark, idx)
+    assert h["removed_markers"] == ["r1"] and h["ok"]
