@@ -303,45 +303,71 @@ def cmd_index(args) -> int:
                 .persist()
             )
             n_queries = qdf.count()  # bounded by --max-queries
-            if n_queries >= args.df_serve_threshold:
-                # big query batches ride the DataFrame-native serve: the
-                # probe ranking stays distributed instead of a driver
-                # loop; row-identical to the list path (test-pinned)
-                res = search_vector_index_df(
-                    spark,
-                    args.path,
-                    qdf.select(
-                        F.col("vec_id").alias("query_id"),
-                        F.col("embedding").alias("qv"),
-                    ),
-                    top_k=args.top_k,
-                    n_probe=args.n_probe,
-                    # rescorer default is the PREDICTABLE in-JVM fold:
-                    # the Arrow pandas_udf path wins ~2x at median
-                    # (16-59 s vs 28-137 s across 10k-50k queries) but
-                    # its tail is heavy — a 5x degradation (305 s at
-                    # 50k) and one indefinite pipe stall were both
-                    # observed on the same code (SCALE.md, r14) — the
-                    # wrong trade for an unattended CLI default;
-                    # --rescorer arrow opts into the median win
-                    rescorer=args.rescorer,
-                )
-            else:
-                queries = [(int(r.vec_id), list(r.embedding)) for r in qdf.collect()]
-                res = search_vector_index(
-                    spark, args.path, queries, top_k=args.top_k, n_probe=args.n_probe
-                )
-            if args.out:
-                res.write.mode("overwrite").parquet(args.out)
-                print(json.dumps({"queries": n_queries, "out": args.out}))
-            else:
-                for r in res.collect():
-                    print(json.dumps({"query_id": r.query_id, "vec_id": r.vec_id, "cosine": r.cosine, "rn": r.rn}))
-            # release the serve caches (r13 advice): qdf here, and the
-            # df-serve path's eagerly-materialized result — repeated
-            # searches in one embedding session must not accumulate
-            qdf.unpersist()
-            res.unpersist()
+            huge_key = "spark.sql.codegen.hugeMethodLimit"
+            prev_huge = None
+            if args.rescorer == "unrolled":
+                # the explicit opt-in must actually deliver: the
+                # unrolled tree is only fast when Spark rejects the
+                # un-JIT-able fused whole-stage method and falls back
+                # per-stage (measured 5.6 s vs 17.0 s at 5k queries —
+                # operators/vector_index.py _JIT_METHOD_LIMIT). The CLI
+                # owns its session and materializes within this
+                # invocation, so scoping the conf here (restored below
+                # for in-process callers like the tests) is safe;
+                # 'auto' deliberately leaves the session conf untouched
+                # and resolves from it instead.
+                prev_huge = spark.conf.get(huge_key, "65535")
+                spark.conf.set(huge_key, "8000")
+            try:
+                if n_queries >= args.df_serve_threshold:
+                    # big query batches ride the DataFrame-native serve:
+                    # the probe ranking stays distributed instead of a
+                    # driver loop; row-identical to the list path
+                    # (test-pinned)
+                    res = search_vector_index_df(
+                        spark,
+                        args.path,
+                        qdf.select(
+                            F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qv"),
+                        ),
+                        top_k=args.top_k,
+                        n_probe=args.n_probe,
+                        # rescorer default 'auto' stays PREDICTABLE and
+                        # in-JVM: under a vanilla session it resolves to
+                        # the proven fold; with hugeMethodLimit <= 8000
+                        # it takes the unrolled tree (bit-identical,
+                        # 3.1x faster — SCALE.md r15). The Arrow
+                        # pandas_udf path wins ~2x at median (16-59 s
+                        # vs 28-137 s across 10k-50k queries) but its
+                        # tail is heavy — a 5x degradation (305 s at
+                        # 50k) and one indefinite pipe stall were both
+                        # observed on the same code (SCALE.md, r14) —
+                        # the wrong trade for an unattended CLI
+                        # default; --rescorer unrolled is the fast
+                        # SAFE opt-in, --rescorer arrow the legacy one
+                        rescorer=args.rescorer,
+                    )
+                else:
+                    queries = [(int(r.vec_id), list(r.embedding)) for r in qdf.collect()]
+                    res = search_vector_index(
+                        spark, args.path, queries, top_k=args.top_k, n_probe=args.n_probe
+                    )
+                if args.out:
+                    res.write.mode("overwrite").parquet(args.out)
+                    print(json.dumps({"queries": n_queries, "out": args.out}))
+                else:
+                    for r in res.collect():
+                        print(json.dumps({"query_id": r.query_id, "vec_id": r.vec_id, "cosine": r.cosine, "rn": r.rn}))
+                # release the serve caches (r13 advice): qdf here, and
+                # the df-serve path's eagerly-materialized result —
+                # repeated searches in one embedding session must not
+                # accumulate
+                qdf.unpersist()
+                res.unpersist()
+            finally:
+                if prev_huge is not None:
+                    spark.conf.set(huge_key, prev_huge)
             return 0
         if not args.src:
             raise SystemExit(f"index {args.action} requires --src (embeddings parquet)")
@@ -625,13 +651,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--rescorer",
-        choices=["arrow", "hof"],
-        default="hof",
-        help="cosine rescorer for the DataFrame serve: 'hof' (the sequential "
-        "in-JVM fold, bit-identical to the list path, predictable-linear in "
-        "query count) or 'arrow' (vectorized pandas_udf — ~2x faster at "
-        "median across 10k-50k queries but with a measured heavy tail: "
-        "occasional 5x degradation and one observed pipe stall; cosines may "
+        choices=["auto", "unrolled", "arrow", "hof"],
+        default="auto",
+        help="cosine rescorer for the DataFrame serve: 'auto' (default — the "
+        "in-JVM fold under a vanilla session; resolves to the unrolled "
+        "dot-product tree when the index dim is known <= 256 AND the session "
+        "sets spark.sql.codegen.hugeMethodLimit <= 8000), 'unrolled' (the "
+        "fast SAFE opt-in: scopes that conf for this invocation and serves "
+        "~3x faster than the fold, bit-identical, no Python pipe), 'hof' "
+        "(force the fold), or 'arrow' (vectorized pandas_udf — ~2x "
+        "faster at median across 10k-50k queries but with a measured heavy "
+        "tail: occasional 5x degradation and one observed pipe stall; cosines may "
         "differ from the fold in the last ulp)",
     )
     p.set_defaults(fn=cmd_index)

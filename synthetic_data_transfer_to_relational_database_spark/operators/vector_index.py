@@ -1123,9 +1123,6 @@ def search_vector_index(
         [(qid, qv, probe[qid]) for qid, qv in queries],
         "query_id bigint, qv array<float>, probed array<int>",
     )
-    dot = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
-    nq = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
-    nc = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
     scored = (
         F.broadcast(qdf)
         .join(
@@ -1135,13 +1132,117 @@ def search_vector_index(
         .select(
             "query_id",
             "vec_id",
-            (F.expr(dot) / (F.sqrt(F.expr(nq)) * F.sqrt(F.expr(nc)))).alias("cosine"),
+            # auto: the codegen-able unrolled tree at known small dims,
+            # the HOF fold otherwise — bit-identical either way
+            _cosine_col(dim, "auto"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return scored.select(
         "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= top_k)
+
+
+# Above this dimension the unrolled cosine's expression tree (3×dim
+# GetArrayItem·Cast·Multiply·Add nodes) stops being obviously cheap to
+# analyze/compile, and codegen method-splitting territory begins — the
+# fold is the proven fallback there. 256 covers every common embedding
+# width this engine targets (the testdata is 64-dim) with wide margin.
+_UNROLL_MAX_DIM = 256
+
+
+def _unrolled_dot(x: str, y: str, dim: int):
+    """The serve fold, unrolled: ``((0.0 + x[0]*y[0]) + x[1]*y[1]) + …``
+    — the IDENTICAL left-associated IEEE tree as ``_fold_sum`` over
+    ``zip_with`` (same initial 0.0 accumulator, same operand order), so
+    results are bit-identical (test-pinned, and probed over 2.5M real
+    pairs: zero bitwise differences). The difference is execution:
+    ``aggregate``/``zip_with`` lambda trees are CodegenFallback —
+    interpreted per row, the measured dominator of both serve paths
+    (SCALE.md r13/r14) — while this tree is plain
+    GetArrayItem/Cast/Multiply/Add with no Python pipe at all (no
+    Arrow heavy-tail/stall exposure, the r14 un-adoption's
+    motivation). Speed is CONF-DEPENDENT, measured both ways at the
+    5k-query serve probe (SCALE.md r15): under default whole-stage
+    codegen the fused stage emits one method past the JIT's ~8 KB
+    bytecode limit and runs in the bytecode interpreter — 2.4× SLOWER
+    than the fold — while with
+    ``spark.sql.codegen.hugeMethodLimit=8000`` Spark rejects that
+    method, falls back per-stage, per-expression codegen splits this
+    tree into JIT-able submethods, and the serve reads 5.6 s vs the
+    fold's 17.0 s (3.1×). Hence the ``auto`` gate in ``_cosine_col``."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.col(x)[i].cast("double") * F.col(y)[i].cast("double")
+    return acc
+
+
+# The JVM JIT refuses to compile methods over ~8000 bytecode bytes
+# (HotSpot -XX:HugeMethodLimit), so a whole-stage-codegen method past it
+# runs in the BYTECODE INTERPRETER — measured 2.4× SLOWER than the HOF
+# fold at the fused serve shape. Spark's own escape hatch is
+# ``spark.sql.codegen.hugeMethodLimit``: at ≤ 8000 it rejects such a
+# compiled method and falls back to non-whole-stage execution for that
+# one stage, where per-expression codegen splits the unrolled tree into
+# JIT-able submethods — measured 5.6 s vs the fold's 17.0 s (3.1×) at
+# the 5k-query serve probe. ``auto`` therefore picks the unrolled tree
+# only when the ACTIVE session's hugeMethodLimit makes it fast.
+_JIT_METHOD_LIMIT = 8000
+
+
+def _session_huge_method_limit() -> int:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return 65535
+    try:
+        return int(spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535"))
+    except Exception:  # noqa: BLE001 - conf read best-effort, default wins
+        return 65535
+
+
+def _cosine_col(dim: int, rescorer: str):
+    """The serve paths' cosine column over joined (qv, cv) pairs.
+    ``auto`` (the default everywhere) resolves to the unrolled in-JVM
+    tree when (a) the model knows a dim within ``_UNROLL_MAX_DIM`` AND
+    (b) the active session's ``spark.sql.codegen.hugeMethodLimit`` is
+    at or under the JIT's method-size limit — the conf that makes the
+    unrolled tree fast (3.1× over the fold, measured; see
+    ``_JIT_METHOD_LIMIT`` above for the mechanism) is the same one
+    gating its selection, so a vanilla session keeps the proven fold
+    and never regresses. Both are bit-identical, so the dispatch is an
+    execution-strategy choice, never a semantics one. ``arrow`` stays
+    the explicit opt-in (median ~2× at 10k+ queries, heavy tail —
+    SCALE.md r14)."""
+    mode = rescorer
+    if mode == "auto":
+        mode = (
+            "unrolled"
+            if 0 < dim <= _UNROLL_MAX_DIM
+            and _session_huge_method_limit() <= _JIT_METHOD_LIMIT
+            else "hof"
+        )
+    if mode == "arrow":
+        return _arrow_cosine()(F.col("qv"), F.col("cv")).alias("cosine")
+    if mode == "unrolled":
+        if not 0 < dim <= _UNROLL_MAX_DIM:
+            raise ValueError(
+                f"rescorer 'unrolled' needs a known dim in (0, "
+                f"{_UNROLL_MAX_DIM}], the index model has dim={dim!r} — "
+                "use 'auto' (falls back to the fold) or 'hof'"
+            )
+        return (
+            _unrolled_dot("qv", "cv", dim)
+            / (
+                F.sqrt(_unrolled_dot("qv", "qv", dim))
+                * F.sqrt(_unrolled_dot("cv", "cv", dim))
+            )
+        ).alias("cosine")
+    # the sequential IEEE fold — bit-identical to the unrolled tree and
+    # the oracle-pinned sim_search expressions
+    dot = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
+    nq = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
+    nc = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
+    return (F.expr(dot) / (F.sqrt(F.expr(nq)) * F.sqrt(F.expr(nc)))).alias("cosine")
 
 
 def _arrow_cosine():
@@ -1180,7 +1281,7 @@ def search_vector_index_df(
     top_k: int = 5,
     n_probe: int = 2,
     eager: bool = True,
-    rescorer: str = "hof",
+    rescorer: str = "auto",
 ) -> DataFrame:
     """DataFrame-native serve (r12 verdict #4): same answer as
     ``search_vector_index`` — row-identical, test-pinned — but the
@@ -1222,10 +1323,12 @@ def search_vector_index_df(
     it); the caller owns the cache lifetime then. Caveat shared by both
     modes on a real cluster: a lost executor recomputes lost cached
     partitions from lineage, which re-evaluates the query source."""
-    if rescorer not in ("hof", "arrow"):
+    if rescorer not in ("auto", "unrolled", "hof", "arrow"):
         # validate BEFORE any distributed work: a typo must not pay the
         # full ranking fold + collects first (r14 review)
-        raise ValueError(f"unknown rescorer {rescorer!r} (hof | arrow)")
+        raise ValueError(
+            f"unknown rescorer {rescorer!r} (auto | unrolled | hof | arrow)"
+        )
     path = _norm_path(path)
     meta = read_meta(path, spark)
     _require_layout(meta, path)  # the live-scope filter needs ingest_batch
@@ -1284,15 +1387,7 @@ def search_vector_index_df(
             F.col("cell_id").isin(wanted) & _live_scope_filter(meta)
         )
         pq = probed.select("query_id", "qv", F.explode("probed").alias("cell_id"))
-        if rescorer == "arrow":
-            cosine = _arrow_cosine()(F.col("qv"), F.col("cv")).alias("cosine")
-        else:
-            # the sequential IEEE fold — bit-identical to the list path
-            # and the oracle-pinned sim_search expressions
-            dot = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
-            nq = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
-            nc = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
-            cosine = (F.expr(dot) / (F.sqrt(F.expr(nq)) * F.sqrt(F.expr(nc)))).alias("cosine")
+        cosine = _cosine_col(dim, rescorer)
         scored = (
             pq.join(cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")), "cell_id")
             .filter(F.col("vec_id") != F.col("query_id"))

@@ -30,6 +30,7 @@ _BNLJ_OK = {
     "text_doc_pairs_jaccard",
     "embedding_index_refresh",  # labels×64-double centroid table broadcast to the new batch
     "text_containment",  # same 1-row n_docs crossJoin via _doc_pair_commons
+    "text_ngram_lm_backoff",  # 1-row bigram-total crossJoin (broadcast scalar)
     "orders_rfm",
     "skew_profile",  # 1-row stats frame broadcast onto the top-10 keys
     "basket_rules",  # 1-row n_baskets crossJoin (the tfidf recipe)

@@ -1079,3 +1079,52 @@ def test_post_commit_marker_release_failure_warns_not_raises(
     assert v["uncommitted_scopes"] == []  # ...and the data IS committed
     h = heal_vector_index(spark, idx)
     assert h["removed_markers"] == ["r1"] and h["ok"]
+
+
+def test_unrolled_rescorer_bit_identical_and_auto_dispatch(spark, sf_dir, tmp_path):
+    """r15 serve-path upgrade: the default rescorer is now 'auto' — the
+    UNROLLED dot-product tree (plain GetArrayItem/Cast/Multiply/Add,
+    whole-stage-codegen-able, no Python pipe) when the model knows a dim
+    within _UNROLL_MAX_DIM, the HOF fold otherwise. The unrolled tree is
+    the same left-associated IEEE expression as the fold (same 0.0
+    accumulator, same operand order), so this is an execution-strategy
+    dispatch, never a semantics one: pinned here as EXACT equality over
+    every (query, vec_id, cosine, rn) row on real embeddings."""
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, _ = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    qdf = base.limit(30).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    rows = {}
+    for mode in ("unrolled", "hof", "auto"):
+        out = vi.search_vector_index_df(
+            spark, idx, qdf, top_k=5, n_probe=3, rescorer=mode
+        )
+        rows[mode] = sorted(map(tuple, out.collect()))
+        out.unpersist()
+    assert rows["unrolled"] == rows["hof"] == rows["auto"]  # bit-exact
+    # auto dispatch is CONF-GATED: the unrolled tree is only fast when
+    # the session's hugeMethodLimit makes Spark reject the un-JIT-able
+    # fused whole-stage method (measured 2.4x SLOWER without it), so a
+    # vanilla session must resolve to the proven fold and an opted-in
+    # session (hugeMethodLimit <= 8000) to the unrolled tree
+    huge = "spark.sql.codegen.hugeMethodLimit"
+    prev = spark.conf.get(huge, "65535")
+    try:
+        spark.conf.set(huge, "65535")
+        assert "aggregate(" in str(vi._cosine_col(64, "auto"))  # vanilla
+        spark.conf.set(huge, "8000")
+        assert "aggregate(" not in str(vi._cosine_col(64, "auto"))  # opted in
+        assert "aggregate(" in str(vi._cosine_col(vi._UNROLL_MAX_DIM + 1, "auto"))
+        assert "aggregate(" in str(vi._cosine_col(0, "auto"))  # unknown dim
+    finally:
+        spark.conf.set(huge, prev)
+    with pytest.raises(ValueError, match="unrolled"):
+        vi._cosine_col(0, "unrolled")  # forced without a known dim
+    with pytest.raises(ValueError, match="unknown rescorer"):
+        vi.search_vector_index_df(spark, idx, qdf, rescorer="typo")
