@@ -661,8 +661,13 @@ def main(argv: list[str] | None = None) -> int:
         "~3x faster than the fold, bit-identical, no Python pipe), 'hof' "
         "(force the fold), or 'arrow' (vectorized pandas_udf — ~2x "
         "faster at median across 10k-50k queries but with a measured heavy "
-        "tail: occasional 5x degradation and one observed pipe stall; cosines may "
-        "differ from the fold in the last ulp)",
+        "tail: occasional 5x degradation and one observed INDEFINITE pipe "
+        "stall, executor blocked in PythonRunner.ReaderInputStream.read "
+        "with idle workers; prefer 'unrolled', and if you must run arrow "
+        "unattended, set a wall-clock timeout of ~4x the expected median "
+        "and enable spark.python.worker.faulthandler.enabled plus "
+        "spark.speculation so a stalled task is visible and retried; "
+        "cosines may differ from the fold in the last ulp)",
     )
     p.set_defaults(fn=cmd_index)
 
