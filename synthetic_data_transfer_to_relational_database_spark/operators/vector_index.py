@@ -1337,6 +1337,10 @@ def search_vector_index_df(
         raise ValueError(f"index at {path} has no centroids — rebuild it")
     dim = int(meta.get("dim") or 0)
     n_probe = max(1, min(n_probe, len(cents)))
+    # built HERE so a forced-unrolled serve without a usable dim fails
+    # before paying the ranking fold and the probed-set collect; 'auto'
+    # also resolves against the session conf once, at call time
+    cosine = _cosine_col(dim, rescorer)
     qv_ok = queries_df.select(
         F.col("query_id").cast("bigint").alias("query_id"), F.col("qv")
     )
@@ -1387,7 +1391,6 @@ def search_vector_index_df(
             F.col("cell_id").isin(wanted) & _live_scope_filter(meta)
         )
         pq = probed.select("query_id", "qv", F.explode("probed").alias("cell_id"))
-        cosine = _cosine_col(dim, rescorer)
         scored = (
             pq.join(cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")), "cell_id")
             .filter(F.col("vec_id") != F.col("query_id"))

@@ -1128,3 +1128,53 @@ def test_unrolled_rescorer_bit_identical_and_auto_dispatch(spark, sf_dir, tmp_pa
         vi._cosine_col(0, "unrolled")  # forced without a known dim
     with pytest.raises(ValueError, match="unknown rescorer"):
         vi.search_vector_index_df(spark, idx, qdf, rescorer="typo")
+
+
+def test_unrolled_rescorer_at_the_dim_cap(spark, tmp_path):
+    """_UNROLL_MAX_DIM is a shipped constant, so the boundary must be
+    proven, not asserted: at dim = 256 the unrolled cosine is a
+    3×256-term tree — this builds a synthetic 256-dim index and serves
+    it with the forced unrolled rescorer under the conf that makes it
+    fast (hugeMethodLimit=8000, per-stage fallback + per-expression
+    codegen), pinning that the tree compiles and stays bit-identical to
+    the fold at the cap. One past the cap, auto falls back to the fold
+    (covered in the dispatch test)."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    dim = vi._UNROLL_MAX_DIM
+    n = 400
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        F.expr(
+            f"transform(sequence(1, {dim}), i -> "
+            "cast(sin(id * 37 + i) as double))"
+        ).alias("embedding"),
+    )
+    idx = str(tmp_path / "vidx256")
+    build_vector_index(spark, vecs, idx, centroids="by_label")
+    assert vi.read_meta(idx)["dim"] == dim
+    qdf = vecs.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    huge = "spark.sql.codegen.hugeMethodLimit"
+    prev = spark.conf.get(huge, "65535")
+    try:
+        spark.conf.set(huge, "8000")
+        got_u = vi.search_vector_index_df(
+            spark, idx, qdf, top_k=5, n_probe=4, rescorer="unrolled"
+        )
+        rows_u = sorted(map(tuple, got_u.collect()))
+        got_u.unpersist()
+    finally:
+        spark.conf.set(huge, prev)
+    got_h = vi.search_vector_index_df(
+        spark, idx, qdf, top_k=5, n_probe=4, rescorer="hof"
+    )
+    rows_h = sorted(map(tuple, got_h.collect()))
+    got_h.unpersist()
+    assert rows_u == rows_h and len(rows_u) == 8 * 5  # bit-exact at the cap
