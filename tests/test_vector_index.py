@@ -869,11 +869,13 @@ def test_arrow_rescorer_matches_hof_neighbors(spark, sf_dir, tmp_path):
 def test_lifecycle_random_walk_invariants(spark, sf_dir, tmp_path, monkeypatch):
     """Seeded operation-sequence drill over the WHOLE writer surface:
     a fixed random walk of plain refreshes, stream batches, replays,
-    mid-write and mid-commit crashes, compactions and heals. After every
-    step, verify's live row count must equal the sum of committed adds
-    (crash garbage never leaks into the served set), and at the end one
-    heal must return the index to ok with counters intact — whatever
-    order the walk visited the crash windows in."""
+    mid-write and mid-commit crashes, ABA writer races (r15: a
+    competitor commits a full cycle inside the loser's read→acquire
+    window), compactions and heals. After every step, verify's live row
+    count must equal the sum of committed adds (crash garbage never
+    leaks into the served set, race losers burn nothing, race winners
+    count), and at the end one heal must return the index to ok with
+    counters intact — whatever order the walk visited the windows in."""
     import random
 
     import pytest
@@ -894,7 +896,7 @@ def test_lifecycle_random_walk_invariants(spark, sf_dir, tmp_path, monkeypatch):
     for step in range(14):
         op = rng.choice(
             ["refresh", "stream", "replay", "crash_write", "crash_commit",
-             "compact", "heal"]
+             "race", "compact", "heal"]
         )
         i = rng.randrange(4)
         if op == "refresh":
@@ -931,6 +933,25 @@ def test_lifecycle_random_walk_invariants(spark, sf_dir, tmp_path, monkeypatch):
             with pytest.raises(RuntimeError, match="before commit"):
                 refresh_vector_index(spark, slices[i], idx)
             monkeypatch.setattr(vi, "_write_meta", real_meta)
+        elif op == "race":
+            # ABA interleaving (the r15 fence): a competitor runs a
+            # FULL acquire→commit→release cycle inside this writer's
+            # read→acquire window. The stale writer must fail loudly
+            # having burned nothing; the competitor's adds count.
+            raced = {"done": False}
+            real_acquire = vi._acquire_scope_marker
+
+            def acquire_after_win(path, scope, spark_):
+                if not raced["done"]:
+                    raced["done"] = True
+                    refresh_vector_index(spark, slices[(i + 1) % 4], idx)
+                real_acquire(path, scope, spark_)
+
+            monkeypatch.setattr(vi, "_acquire_scope_marker", acquire_after_win)
+            with pytest.raises(vi.ConcurrentWriterError, match="counters moved"):
+                refresh_vector_index(spark, slices[i], idx)
+            monkeypatch.setattr(vi, "_acquire_scope_marker", real_acquire)
+            expected += sizes[(i + 1) % 4]
         elif op == "compact":
             heal_vector_index(spark, idx)  # writer contract: no stale state
             compact_vector_index(spark, idx)

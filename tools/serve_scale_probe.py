@@ -84,6 +84,19 @@ def main() -> None:
         # measured serve dominator — A/B them against the Arrow
         # (pandas_udf einsum) rescorer at the same probe scale
         arrow_wall = timed(lambda: df_serve(qdf, "arrow"))
+        # r15: the unrolled in-JVM tree, timed under the conf that
+        # makes it fast (hugeMethodLimit <= JIT limit → per-stage
+        # fallback + per-expression codegen; see vector_index.py
+        # _JIT_METHOD_LIMIT). Scoped + restored so the other walls in
+        # this probe keep their r13/r14-comparable method.
+        huge = "spark.sql.codegen.hugeMethodLimit"
+        prev_huge = spark.conf.get(huge, "65535")
+        try:
+            spark.conf.set(huge, "8000")
+            timed(lambda: df_serve(qdf.limit(64), "unrolled"))  # warm
+            unrolled_wall = timed(lambda: df_serve(qdf, "unrolled"))
+        finally:
+            spark.conf.set(huge, prev_huge)
         list_wall = timed(
             lambda: search_vector_index(spark, idx, queries, top_k=5, n_probe=2)
         )
@@ -110,11 +123,15 @@ def main() -> None:
                     "walls": {
                         "df_path": df_wall,
                         "df_path_arrow": arrow_wall,
+                        "df_path_unrolled_huge8000": unrolled_wall,
                         "list_path": list_wall,
                     },
                     "speedup": round(list_wall / df_wall, 2) if df_wall else None,
                     "arrow_speedup_vs_hof": round(df_wall / arrow_wall, 2)
                     if arrow_wall
+                    else None,
+                    "unrolled_speedup_vs_hof": round(df_wall / unrolled_wall, 2)
+                    if unrolled_wall
                     else None,
                     "rows_equal": n_df == n_list,
                     "arrow_neighbor_parity": round(
