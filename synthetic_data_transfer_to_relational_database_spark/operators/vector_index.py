@@ -324,6 +324,23 @@ def _release_marker_post_commit(
         )
 
 
+def _delete_dirs(fs, dirs: list) -> None:
+    """Recursive directory deletes through a small driver thread pool.
+    One ``fs.delete`` per cell-dir is unavoidable under the
+    cell_id-major layout, but sequential driver calls make a
+    maintenance window O(dirs × per-call latency) on object stores
+    (r14 verdict #5) — Hadoop FileSystem instances are thread-safe and
+    py4j serves concurrent threads over per-thread connections, so the
+    calls overlap instead. Callers (heal's orphan removal, compaction's
+    post-commit GC) are idempotent: a crash or partial failure
+    mid-delete leaves uncommitted directories verify names and heal
+    finishes."""
+    if not dirs:
+        return
+    with ThreadPoolExecutor(max_workers=min(16, len(dirs))) as pool:
+        list(pool.map(lambda d: fs.delete(d, True), dirs))
+
+
 def _list_scope_markers(path: str, spark: SparkSession | None) -> list[str]:
     """Scopes with a lock marker on disk. Under the offline contract for
     verify/heal, ANY marker present is a crashed writer's leftover."""
@@ -892,8 +909,7 @@ def heal_vector_index(spark: SparkSession, path: str) -> dict:
         removed.append(scope)
         pattern = hpath(_join(path, _CELLS, "cell_id=*", f"ingest_batch={scope}"))
         fs = pattern.getFileSystem(conf)
-        for st in fs.globStatus(pattern) or []:
-            fs.delete(st.getPath(), True)
+        _delete_dirs(fs, [st.getPath() for st in fs.globStatus(pattern) or []])
     for scope in v["stale_markers"]:
         _release_scope_marker(path, scope, spark)
     return {
@@ -1030,19 +1046,11 @@ def compact_vector_index(
     # below are idempotent garbage collection heal can finish); a
     # release failure here warns instead of raising (commit is durable)
     _release_marker_post_commit(path, scope, spark)
-    # Post-commit garbage collection of the merged directories. One
-    # fs.delete per cell-dir is unavoidable under the cell_id-major
-    # layout, but issuing them SEQUENTIALLY from the driver makes the
-    # maintenance window O(scopes×cells × per-call latency) on object
-    # stores (r14 verdict #5) — so the calls go through a small driver
-    # thread pool (Hadoop FileSystem instances are thread-safe; py4j
-    # serves concurrent threads over per-thread connections). Crash or
-    # partial failure mid-delete is already healed: the merged scopes
-    # flipped to uncommitted at the commit above, so verify names any
-    # survivor and heal deletes it.
-    gc_dirs = [d for s in merge for d in scope_dirs[s]]
-    with ThreadPoolExecutor(max_workers=min(16, len(gc_dirs))) as pool:
-        list(pool.map(lambda d: fs.delete(d, True), gc_dirs))
+    # Post-commit garbage collection of the merged directories, through
+    # the shared driver thread pool (_delete_dirs — the merged scopes
+    # flipped to uncommitted at the commit above, so a crash or partial
+    # failure mid-delete is verify-visible and heal finishes the job).
+    _delete_dirs(fs, [d for s in merge for d in scope_dirs[s]])
     files_after = sum(
         1
         for st in fs.globStatus(
