@@ -1198,8 +1198,8 @@ def _unrolled_dot(x: str, y: str, dim: int):
 _JIT_METHOD_LIMIT = 8000
 
 
-def _session_huge_method_limit() -> int:
-    spark = SparkSession.getActiveSession()
+def _session_huge_method_limit(spark: SparkSession | None = None) -> int:
+    spark = spark or SparkSession.getActiveSession()
     if spark is None:
         return 65535
     try:
@@ -1412,13 +1412,30 @@ def search_vector_index_df(
             # materialize the (small) serve result BEFORE the finally
             # block releases the ranked-queries cache: later actions on
             # the returned frame read the cached result, never re-walk
-            # the lineage into the released frame
+            # the lineage into the released frame. An EXPLICITLY forced
+            # unrolled rescorer also gets its enabling conf scoped
+            # around this one materialization (the CLI's courtesy, here
+            # for library callers): without hugeMethodLimit at or under
+            # the JIT limit the unrolled tree measures 2.4× SLOWER than
+            # the fold — a silent foot-gun for an eager caller who
+            # asked for the fast path. 'auto' never lands here with an
+            # unset conf (it resolves against the conf), and
+            # eager=False can't be helped (the caller owns execution
+            # time), so this covers exactly the surprising case.
+            huge_key = "spark.sql.codegen.hugeMethodLimit"
+            prev_huge = None
+            if rescorer == "unrolled" and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT:
+                prev_huge = spark.conf.get(huge_key, "65535")
+                spark.conf.set(huge_key, str(_JIT_METHOD_LIMIT))
             out = out.persist()
             try:
                 out.count()
             except Exception:
                 out.unpersist()  # nothing returned — release the mark
                 raise
+            finally:
+                if prev_huge is not None:
+                    spark.conf.set(huge_key, prev_huge)
         returned = True
         return out
     finally:

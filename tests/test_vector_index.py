@@ -1121,6 +1121,7 @@ def test_unrolled_rescorer_bit_identical_and_auto_dispatch(spark, sf_dir, tmp_pa
     idx = str(tmp_path / "vidx")
     build_vector_index(spark, base, idx, centroids="by_label")
     qdf = base.limit(30).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    conf_before = spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535")
     rows = {}
     for mode in ("unrolled", "hof", "auto"):
         out = vi.search_vector_index_df(
@@ -1129,6 +1130,9 @@ def test_unrolled_rescorer_bit_identical_and_auto_dispatch(spark, sf_dir, tmp_pa
         rows[mode] = sorted(map(tuple, out.collect()))
         out.unpersist()
     assert rows["unrolled"] == rows["hof"] == rows["auto"]  # bit-exact
+    # the eager forced-unrolled serve scopes its enabling conf around
+    # its own materialization and RESTORES it (library foot-gun guard)
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == conf_before
     # auto dispatch is CONF-GATED: the unrolled tree is only fast when
     # the session's hugeMethodLimit makes Spark reject the un-JIT-able
     # fused whole-stage method (measured 2.4x SLOWER without it), so a
