@@ -92,6 +92,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import warnings
 from concurrent.futures import ThreadPoolExecutor
 
@@ -281,19 +282,37 @@ def _fence_held_meta(
     stale copy — the exact silent row drop the marker exists to prevent.
     So: re-read the meta under the held marker and require every
     writer-commit counter to match the held copy. ``refresh_seq`` moves
-    on plain-refresh commits, ``compact_seq`` on compaction commits,
-    ``stream_max_committed`` on stream-batch commits — together they
-    cover every writer path that can commit a meta between this
-    writer's read and its acquisition. On mismatch the marker is
-    released (nothing was written; the scope is free for the retry,
-    which will re-read and derive the next sequence) and
-    ``ConcurrentWriterError`` raised. On match the FRESH copy is
+    at plain-refresh RESERVATION, ``compact_seq`` at compaction
+    reservation, ``stream_max_committed`` at stream-batch commit — but
+    the sequences alone leave a window (r15 advice): a reader whose
+    meta read lands INSIDE a competitor's reservation-to-commit window
+    already holds the bumped sequence, so when the competitor commits
+    (sequences unchanged, counters folded) and releases, the stale
+    reader passes a sequence-only fence and its reservation write
+    clobbers the committed counter folds. ``commit_epoch`` closes that
+    window: it is bumped by every COMMIT meta write (refresh, stream
+    batch, compaction — reservation writes never touch it), so any
+    commit landing between this writer's read and its acquisition
+    moves it. On mismatch the marker is released (nothing was written;
+    the scope is free for the retry, which will re-read and derive the
+    next sequence) and ``ConcurrentWriterError`` raised — the release
+    is guarded so a transient filesystem error cannot mask the
+    retryable signal (r15 advice; the marker then leaks until ``heal``,
+    which owns leftover markers anyway). On match the FRESH copy is
     returned and used from here on, so the subsequent reservation write
     can never resurrect stale content."""
     fresh = read_meta(path, spark)
-    fenced = ("refresh_seq", "compact_seq", "stream_max_committed")
+    fenced = ("refresh_seq", "compact_seq", "stream_max_committed", "commit_epoch")
     if any(int(fresh.get(k, -1)) != int(held.get(k, -1)) for k in fenced):
-        _release_scope_marker(path, scope, spark)
+        try:
+            _release_scope_marker(path, scope, spark)
+        except Exception as e:  # noqa: BLE001 - the fence signal must win
+            warnings.warn(
+                f"fence mismatch for scope {scope!r} at {path} could not "
+                f"release its lock marker ({type(e).__name__}: {e}); "
+                "run `index heal` to clear it",
+                stacklevel=2,
+            )
         raise ConcurrentWriterError(
             f"scope {scope!r} at {path} was derived from a meta another "
             "writer has since committed past (writer-commit counters "
@@ -631,6 +650,11 @@ def build_vector_index(
         # still on disk — see _scope_live)
         "compact_seq": 0,
         "compacted_through_mark": -1,
+        # monotonic commit counter, bumped by EVERY commit meta write
+        # (refresh, stream batch, compaction) and never by reservation
+        # writes — the ABA-fence term that moves even when the sequences
+        # were already bumped at reservation (r15 advice; _fence_held_meta)
+        "commit_epoch": 0,
     }
     _write_meta(path, meta, spark)
     return meta
@@ -794,6 +818,9 @@ def refresh_vector_index(
         committed = meta.setdefault("committed_scopes", [])
         if scope not in committed:
             committed.append(scope)
+    # commit epoch: the fence term that moves on every COMMIT write
+    # (grandfathered metas start at -1 → first new-code commit is 0)
+    meta["commit_epoch"] = int(meta.get("commit_epoch", -1)) + 1
     _write_meta(path, meta, spark)
     # marker released ONLY after the commit write above — a failure
     # anywhere between reservation and commit leaves the marker for
@@ -1041,6 +1068,7 @@ def compact_vector_index(
     # Counters/ledger/high-water untouched — the data is identical.
     meta["committed_scopes"] = ["build", scope]
     meta["compacted_through_mark"] = int(meta.get("stream_max_committed", -1))
+    meta["commit_epoch"] = int(meta.get("commit_epoch", -1)) + 1
     _write_meta(path, meta, spark)
     # committed — release the scope lock (post-commit directory removals
     # below are idempotent garbage collection heal can finish); a
@@ -1157,6 +1185,12 @@ def search_vector_index(
 # fold is the proven fallback there. 256 covers every common embedding
 # width this engine targets (the testdata is 64-dim) with wide margin.
 _UNROLL_MAX_DIM = 256
+
+# Serializes the eager forced-unrolled serve's session-global
+# hugeMethodLimit set/restore (r15 advice): without it, two concurrent
+# forced-unrolled serves can interleave set and restore and leave the
+# lowered limit applied for the rest of the session.
+_HUGE_LIMIT_LOCK = threading.Lock()
 
 
 def _unrolled_dot(x: str, y: str, dim: int):
@@ -1422,9 +1456,26 @@ def search_vector_index_df(
             # unset conf (it resolves against the conf), and
             # eager=False can't be helped (the caller owns execution
             # time), so this covers exactly the surprising case.
+            # THREAD-SAFETY (r15 advice): the conf is session-global —
+            # the lock serializes concurrent forced-unrolled eager
+            # serves so a set/restore race cannot leave the lowered
+            # limit permanently applied. Two caveats remain, both
+            # perf-only and documented rather than fixed: an UNRELATED
+            # query on another thread of the same session that runs
+            # inside this window sees the lowered limit (stage
+            # fallback for 8000–65535-byte generated methods — never
+            # wrong results); and if the persisted result is later
+            # evicted and recomputed, the recompute runs under the
+            # restored conf (interpreted fold speed, identical bits).
             huge_key = "spark.sql.codegen.hugeMethodLimit"
-            prev_huge = None
-            if rescorer == "unrolled" and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT:
+            scope_conf = (
+                rescorer == "unrolled"
+                and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT
+            )
+            if scope_conf:
+                _HUGE_LIMIT_LOCK.acquire()
+                # re-read under the lock: a just-finished holder restored
+                # the true previous value only after releasing
                 prev_huge = spark.conf.get(huge_key, "65535")
                 spark.conf.set(huge_key, str(_JIT_METHOD_LIMIT))
             out = out.persist()
@@ -1434,8 +1485,9 @@ def search_vector_index_df(
                 out.unpersist()  # nothing returned — release the mark
                 raise
             finally:
-                if prev_huge is not None:
+                if scope_conf:
                     spark.conf.set(huge_key, prev_huge)
+                    _HUGE_LIMIT_LOCK.release()
         returned = True
         return out
     finally:

@@ -40,79 +40,81 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-15 window
-# (54 candidates for 50 slots — the r14-verdict window math):
-#   1) the r14 spill (the only keys at r11 evidence — the documented r14
-#      trade): scan_project, filter_pred. They lead, per the r14 verdict.
-#   2) the two keys newly REGISTERED this round (implemented + tested +
-#      oracle-staged in r14): corpus_decontaminate, text_ngram_lm_backoff
-#      — the r7 corollary puts new keys in the window the round they
-#      register, and these were the only operators with zero driver
-#      evidence.
-#   3) 46 of the 50 keys whose newest driver evidence is r12 — the
-#      oldest tier after r14 closed the r11 basket. The three keys whose
-#      machinery changed in r14 (sim_search_index, text_ngram_lm_score,
-#      embedding_index_refresh) lead this tier. Four r12-evidence keys
-#      spill one round to r16 (same documented trade as r7/r12/r13/r14):
-#      sample_hash, corpus_split, window_first_last, agg_mode — chosen
-#      because they are the simplest deterministic-filter / single-
-#      window / single-aggregation keys in the tier, untouched since
-#      registration, each re-verified strict-green locally via
-#      driver_sim this round (r15) before the window landed.
+# new/changed queries first, then oldest-evidence first. Round-16 window
+# (56 candidates for 50 slots — the r15-verdict window math plus the two
+# keys whose machinery changed this round):
+#   1) the two keys riding operators/vector_index.py, which r16 changed
+#      (commit_epoch ABA-fence term, guarded mismatch release, locked
+#      eager-serve conf scope): sim_search_index,
+#      embedding_index_refresh. Changed machinery leads the window even
+#      on fresh (r15) evidence — the r7 corollary.
+#   2) the four r12-evidence spills owed from the r15 trade:
+#      sample_hash, corpus_split, window_first_last, agg_mode (each
+#      pre-verified strict-green twice in r15, builder + judge).
+#   3) 44 of the 50 keys whose newest driver evidence is r13 — the
+#      oldest tier after r15 closed the r12 basket (bar the spills
+#      above). Six r13-evidence keys spill one round to r17 (same
+#      documented trade as r7/r12/r13/r14/r15): scalar_math,
+#      scalar_string, scalar_date, scalar_null, pivot_wide,
+#      unpivot_long — chosen because they are the simplest
+#      deterministic scalar-function / single-reshape keys in the
+#      tier, untouched since registration, each re-verified
+#      strict-green locally via driver_sim this round (r16) before
+#      the window landed.
 _SWEEP_FIRST = [
-    # -- 1) the r14 spill (r11 evidence) --------------------------------
-    "scan_project",
-    "filter_pred",
-    # -- 2) newly registered this round ---------------------------------
-    "corpus_decontaminate",
-    "text_ngram_lm_backoff",
-    # -- 3) the r12-evidence tier (46 of 50 keys; spill documented above)
+    # -- 1) machinery changed this round (vector_index.py) --------------
     "sim_search_index",
-    "text_ngram_lm_score",
     "embedding_index_refresh",
-    "agg_approx_percentile",
-    "agg_sketch_union",
-    "basket_pairs",
-    "bracket_revenue",
-    "corpus_diff",
-    "corpus_dup_ngrams",
-    "corpus_length_histogram",
-    "corpus_quantile_filter",
-    "data_quality_profile",
-    "dedup_cluster",
-    "dedup_embedding",
-    "dedup_semantic",
-    "events_anomaly_mad",
-    "events_attribution",
-    "events_forecast_baseline",
-    "events_gap_islands",
-    "events_gapfill",
-    "events_retention_cohorts",
-    "events_rolling_active",
-    "events_rollup_hierarchy",
-    "events_user_paths",
-    "join_asof",
-    "lineitem_discount_revenue",
-    "lineitem_yoy_growth",
-    "multimodal_dyn_batch",
-    "multimodal_phash_dedup",
-    "orders_cohort_ltv",
-    "orders_rfm",
-    "returned_item_report",
-    "sim_knn_graph",
-    "sim_search_ivfpq",
-    "sim_search_pq",
-    "skew_profile",
-    "snapshot_merge_upsert",
-    "stream_interval_join",
-    "text_containment",
-    "text_contamination",
-    "text_doc_pairs_jaccard",
-    "text_pii_scan",
-    "top_supplier_revenue",
-    "waiting_suppliers",
-    "window_rank",
-    "window_ranks_pct",
+    # -- 2) the r15 spill (r12 evidence) ---------------------------------
+    "sample_hash",
+    "corpus_split",
+    "window_first_last",
+    "agg_mode",
+    # -- 3) the r13-evidence tier (44 of 50 keys; spill documented above)
+    "above_order_avg",
+    "agg_cube",
+    "agg_gsets",
+    "agg_median",
+    "agg_string",
+    "basket_rules",
+    "corpus_curation_pipeline",
+    "corpus_mixture",
+    "corpus_quality_resample",
+    "customer_idle_rich",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "events_ab_test",
+    "graph_pagerank",
+    "graph_triangles",
+    "join_full_outer",
+    "join_salted",
+    "lineitem_pricing_summary",
+    "lineitem_priority_mix",
+    "multimodal_frame_sample",
+    "part_promo_revenue_share",
+    "sample_stratified",
+    "sim_centroid_by_label",
+    "sim_centroid_scalable",
+    "sim_classifier_udf",
+    "sim_search_ivf_lloyd",
+    "stream_dedup",
+    "stream_jdbc_exactly_once",
+    "stream_session",
+    "stream_sliding",
+    "stream_user_profile",
+    "text_bpe_train",
+    "text_lang_id",
+    "text_oov_rate",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "text_term_freq",
+    "text_token_bpe",
+    "udf_surface",
+    "user_erasure_audit",
+    "window_frame",
 ]
 
 

@@ -1203,3 +1203,250 @@ def test_unrolled_rescorer_at_the_dim_cap(spark, tmp_path):
     rows_h = sorted(map(tuple, got_h.collect()))
     got_h.unpersist()
     assert rows_u == rows_h and len(rows_u) == 8 * 5  # bit-exact at the cap
+
+
+def test_aba_fence_commit_epoch_catches_reservation_window_read(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r15 advice (the reservation-to-commit window): the sequence-only
+    fence has a hole — a reader whose meta read lands AFTER a
+    competitor's reservation write (refresh_seq already bumped) but
+    BEFORE its commit holds the final sequence values, so when the
+    competitor commits (sequences unchanged, counters folded) and
+    releases, the stale reader passes a (refresh_seq, compact_seq,
+    stream_max_committed) fence and its reservation write clobbers the
+    committed counter folds. ``commit_epoch`` moves on every COMMIT
+    write and never at reservation, so exactly this window trips it."""
+    import glob
+    import json as _json
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    n_base = base.count()
+
+    # competitor's full cycle, capturing the exact on-disk meta a stale
+    # reader would see mid-window: the RESERVATION write (first write of
+    # the cycle — r1 burned, counters not yet folded)
+    snapshots = []
+    real_write = vi._write_meta
+
+    def capture_reservation(path, meta, spark_=None):
+        real_write(path, meta, spark_)
+        if not snapshots:
+            snapshots.append(_json.loads(_json.dumps(meta)))
+
+    monkeypatch.setattr(vi, "_write_meta", capture_reservation)
+    rep = refresh_vector_index(spark, new.limit(7), idx)
+    monkeypatch.setattr(vi, "_write_meta", real_write)
+    assert rep["n_added"] == 7 and len(snapshots) == 1
+    held = snapshots[0]
+    fresh = read_meta(idx)
+    # the window is real: every sequence the r14 fence checks is already
+    # final in the mid-window snapshot — only commit_epoch (and the
+    # counter folds it guards) distinguish it from the committed meta
+    assert held["refresh_seq"] == fresh["refresh_seq"] == 1
+    assert held["compact_seq"] == fresh["compact_seq"]
+    assert held["stream_max_committed"] == fresh["stream_max_committed"]
+    assert held["n_vectors"] == n_base and fresh["n_vectors"] == n_base + 7
+    assert held["commit_epoch"] == 0 and fresh["commit_epoch"] == 1
+
+    # the stale reader: its entry meta read returns the mid-window copy
+    real_read = vi.read_meta
+    calls = {"n": 0}
+
+    def stale_first_read(path, spark_=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return _json.loads(_json.dumps(held))
+        return real_read(path, spark_)
+
+    monkeypatch.setattr(vi, "read_meta", stale_first_read)
+    with pytest.raises(vi.ConcurrentWriterError, match="counters moved"):
+        refresh_vector_index(spark, new.limit(10), idx)
+    monkeypatch.setattr(vi, "read_meta", real_read)
+    # the competitor's commit is intact; the loser burned nothing and
+    # left no marker; the retry takes the next sequence cleanly
+    meta = read_meta(idx)
+    assert meta["n_vectors"] == n_base + 7 and meta["refresh_seq"] == 1
+    assert meta["commit_epoch"] == 1
+    assert not glob.glob(f"{idx}/.lock_*")
+    rep2 = refresh_vector_index(spark, new.limit(5), idx)
+    assert rep2["n_added"] == 5
+    meta = read_meta(idx)
+    assert meta["refresh_seq"] == 2 and meta["commit_epoch"] == 2
+    assert verify_vector_index(spark, idx)["ok"]
+
+
+def test_aba_fence_commit_epoch_catches_compaction_window_read(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The compaction face of the reservation-window hole: a compactor
+    whose entry read lands inside a refresh's reservation-to-commit
+    window derives a merge set WITHOUT the about-to-commit scope; its
+    commit would then flip committed_scopes to [build, c1] and drop the
+    refresh's rows from the live set. commit_epoch aborts it at the
+    fence instead."""
+    import glob
+    import json as _json
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    # two committed scopes so the stale merge set clears min_scopes=2
+    # (below it, compaction early-returns before ever reaching the fence)
+    refresh_vector_index(spark, new.limit(6), idx)
+    refresh_vector_index(spark, new.limit(5), idx)
+
+    snapshots = []
+    real_write = vi._write_meta
+
+    def capture_reservation(path, meta, spark_=None):
+        real_write(path, meta, spark_)
+        if not snapshots:
+            snapshots.append(_json.loads(_json.dumps(meta)))
+
+    monkeypatch.setattr(vi, "_write_meta", capture_reservation)
+    refresh_vector_index(spark, new.limit(12), idx)  # r3: captured mid-window
+    monkeypatch.setattr(vi, "_write_meta", real_write)
+    held = snapshots[0]
+    assert "r3" not in held["committed_scopes"]  # the merge set would miss it
+
+    real_read = vi.read_meta
+    calls = {"n": 0}
+
+    def stale_first_read(path, spark_=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return _json.loads(_json.dumps(held))
+        return real_read(path, spark_)
+
+    monkeypatch.setattr(vi, "read_meta", stale_first_read)
+    with pytest.raises(vi.ConcurrentWriterError, match="counters moved"):
+        compact_vector_index(spark, idx)
+    monkeypatch.setattr(vi, "read_meta", real_read)
+    meta = read_meta(idx)
+    assert meta.get("compact_seq", 0) == 0 and "r3" in meta["committed_scopes"]
+    assert not glob.glob(f"{idx}/.lock_*")
+    # the retry merges EVERYTHING, including the once-endangered scope
+    rep = compact_vector_index(spark, idx)
+    assert set(rep["merged_scopes"]) == {"r1", "r2", "r3"} and rep["ok"]
+    v = verify_vector_index(spark, idx)
+    assert v["ok"] and v["n_meta"] == base.count() + 23
+
+
+def test_aba_fence_mismatch_release_failure_keeps_the_retryable_signal(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r15 advice: on fence mismatch the pre-raise marker release is
+    best-effort — a transient filesystem error there must WARN and leak
+    the marker (heal owns leftovers), never replace the retryable
+    ConcurrentWriterError with an opaque IO failure."""
+    import glob
+
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, new = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    n_base = base.count()
+    orig_acquire = vi._acquire_scope_marker
+    orig_release = vi._release_scope_marker
+    raced = {"done": False}
+    fail_release = {"on": False}
+
+    def acquire_after_competitor_wins(path, scope, spark_):
+        if not raced["done"]:
+            raced["done"] = True
+            refresh_vector_index(spark, new.limit(7), idx)
+            # only the LOSER's fence-path release fails — the
+            # competitor's own post-commit release must succeed for the
+            # loser to reach the fence at all
+            fail_release["on"] = True
+        orig_acquire(path, scope, spark_)
+
+    def release_fails(path, scope, spark_):
+        if fail_release["on"]:
+            raise OSError("transient fs error")
+        orig_release(path, scope, spark_)
+
+    monkeypatch.setattr(vi, "_acquire_scope_marker", acquire_after_competitor_wins)
+    monkeypatch.setattr(vi, "_release_scope_marker", release_fails)
+    with pytest.warns(UserWarning, match="could not release"):
+        with pytest.raises(vi.ConcurrentWriterError, match="counters moved"):
+            refresh_vector_index(spark, new.limit(10), idx)
+    monkeypatch.undo()
+    # the marker leaked (release failed) — exactly what heal owns
+    assert glob.glob(f"{idx}/.lock_*")
+    h = heal_vector_index(spark, idx)
+    assert h["removed_markers"] and h["ok"]
+    meta = read_meta(idx)
+    assert meta["n_vectors"] == n_base + 7  # winner intact throughout
+    rep = refresh_vector_index(spark, new.limit(5), idx)
+    assert rep["n_added"] == 5 and verify_vector_index(spark, idx)["ok"]
+
+
+def test_eager_unrolled_conf_scope_is_locked_and_restored_across_threads(
+    spark, sf_dir, tmp_path
+):
+    """r15 advice: the eager forced-unrolled serve's enabling-conf
+    set/restore is session-global state — two concurrent serves must not
+    interleave set and restore and leave hugeMethodLimit=8000 applied.
+    The module lock serializes them; this drills two threaded serves and
+    pins (a) the conf restored to its pre-call value, (b) the lock free,
+    (c) both results bit-identical to the fold."""
+    import threading
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    base, _ = _splits(spark, sf_dir)
+    idx = str(tmp_path / "vidx")
+    build_vector_index(spark, base, idx, centroids="by_label")
+    qdf = base.limit(16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    huge = "spark.sql.codegen.hugeMethodLimit"
+    conf_before = spark.conf.get(huge, "65535")
+    assert int(conf_before) > vi._JIT_METHOD_LIMIT  # the mutating case
+    results, errors = {}, []
+
+    def serve(tag):
+        try:
+            out = vi.search_vector_index_df(
+                spark, idx, qdf, top_k=5, n_probe=3, rescorer="unrolled"
+            )
+            results[tag] = sorted(map(tuple, out.collect()))
+            out.unpersist()
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=serve, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert spark.conf.get(huge, "65535") == conf_before
+    assert not vi._HUGE_LIMIT_LOCK.locked()
+    ref = vi.search_vector_index_df(spark, idx, qdf, top_k=5, n_probe=3, rescorer="hof")
+    ref_rows = sorted(map(tuple, ref.collect()))
+    ref.unpersist()
+    assert results[0] == results[1] == ref_rows
