@@ -659,12 +659,13 @@ def main(argv: list[str] | None = None) -> int:
         "sets spark.sql.codegen.hugeMethodLimit <= 8000), 'unrolled' (the "
         "fast SAFE opt-in: scopes that conf for this invocation and serves "
         "~3x faster than the fold, bit-identical, no Python pipe), 'hof' "
-        "(force the fold), or 'arrow' (vectorized pandas_udf — ~2x "
-        "faster at median across 10k-50k queries but with a measured heavy "
-        "tail: occasional 5x degradation and one observed INDEFINITE pipe "
-        "stall, executor blocked in PythonRunner.ReaderInputStream.read "
-        "with idle workers; prefer 'unrolled', and if you must run arrow "
-        "unattended, set a wall-clock timeout of ~4x the expected median "
+        "(force the fold), or 'arrow' (DEPRECATED since r16 — vectorized "
+        "pandas_udf, strictly dominated by 'unrolled' everywhere measured "
+        "(16.3 s vs 3.9 s at the 5k-query probe) and carrying a measured "
+        "heavy tail: occasional 5x degradation and one observed INDEFINITE "
+        "pipe stall, executor blocked in PythonRunner.ReaderInputStream.read "
+        "with idle workers; kept for comparison runs only — if you must run "
+        "it unattended, set a wall-clock timeout of ~4x the expected median "
         "and enable spark.python.worker.faulthandler.enabled plus "
         "spark.speculation so a stalled task is visible and retried; "
         "cosines may differ from the fold in the last ulp)",

@@ -1295,7 +1295,14 @@ def _arrow_cosine():
     ``einsum`` per Arrow batch instead of an interpreted per-row
     expression tree. NOT bit-identical to the sequential HOF fold
     (numpy uses pairwise summation), so oracle-pinned callers keep the
-    HOF path; the CLI/batch serve opts in via ``rescorer="arrow"``."""
+    HOF path; the CLI/batch serve opts in via ``rescorer="arrow"``.
+
+    DEPRECATED since r16: strictly dominated by the unrolled in-JVM
+    tree everywhere measured (5k-query serve probe: arrow 16.3 s vs
+    unrolled 3.9 s vs fold 14.4 s) while carrying the r14 heavy-tail /
+    one-observation indefinite-stall caveat. Kept for comparison runs
+    and as the only rescorer whose per-pair cost is dim-independent in
+    Python (numpy einsum) — not recommended for anything unattended."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

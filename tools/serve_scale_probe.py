@@ -95,6 +95,12 @@ def main() -> None:
             spark.conf.set(huge, "8000")
             timed(lambda: df_serve(qdf.limit(64), "unrolled"))  # warm
             unrolled_wall = timed(lambda: df_serve(qdf, "unrolled"))
+            # r16: the missing A/B cell — the FOLD under the same conf.
+            # The r15 3.1x read unrolled@8000 against hof@DEFAULT; if
+            # the conf (per-stage fallback ⇒ the join/window stages
+            # become JIT-able) helps the fold too, the tree swap is a
+            # smaller share of the win than r15 credited it with.
+            hof8000_wall = timed(lambda: df_serve(qdf))
         finally:
             spark.conf.set(huge, prev_huge)
         list_wall = timed(
@@ -124,6 +130,7 @@ def main() -> None:
                         "df_path": df_wall,
                         "df_path_arrow": arrow_wall,
                         "df_path_unrolled_huge8000": unrolled_wall,
+                        "df_path_hof_huge8000": hof8000_wall,
                         "list_path": list_wall,
                     },
                     "speedup": round(list_wall / df_wall, 2) if df_wall else None,
