@@ -305,7 +305,7 @@ def cmd_index(args) -> int:
             n_queries = qdf.count()  # bounded by --max-queries
             huge_key = "spark.sql.codegen.hugeMethodLimit"
             prev_huge = None
-            if args.rescorer == "unrolled":
+            if args.rescorer in ("unrolled", "balanced"):
                 # the explicit opt-in must actually deliver: the
                 # unrolled tree is only fast when Spark rejects the
                 # un-JIT-able fused whole-stage method and falls back
@@ -651,14 +651,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--rescorer",
-        choices=["auto", "unrolled", "arrow", "hof"],
+        choices=["auto", "unrolled", "balanced", "arrow", "hof"],
         default="auto",
         help="cosine rescorer for the DataFrame serve: 'auto' (default — the "
         "in-JVM fold under a vanilla session; resolves to the unrolled "
         "dot-product tree when the index dim is known <= 256 AND the session "
         "sets spark.sql.codegen.hugeMethodLimit <= 8000), 'unrolled' (the "
         "fast SAFE opt-in: scopes that conf for this invocation and serves "
-        "~3x faster than the fold, bit-identical, no Python pipe), 'hof' "
+        "~3x faster than the fold, bit-identical, no Python pipe), "
+        "'balanced' (the WIDE-dim opt-in for dims 256-1536 where the "
+        "unrolled tree cannot build: pairwise-tree dot product, in-JVM, "
+        "scopes the same conf; NOT bit-identical to the fold — neighbor "
+        "sets match except on genuine cosine ties, cosines within ulps), "
+        "'hof' "
         "(force the fold), or 'arrow' (DEPRECATED since r16 — vectorized "
         "pandas_udf, strictly dominated by 'unrolled' everywhere measured "
         "(16.3 s vs 3.9 s at the 5k-query probe) and carrying a measured "

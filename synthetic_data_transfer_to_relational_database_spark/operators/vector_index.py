@@ -1219,6 +1219,48 @@ def _unrolled_dot(x: str, y: str, dim: int):
     return acc
 
 
+# The balanced tree's own cap, measured two-sided like the unrolled
+# one: serve-green at 768 (2.0x over the fold) and 1536 (2.0x), while
+# at 3072 JANINO's own recursion dies (StackOverflowError inside
+# buildLocalVariableMap over the ~9k-statement split method — the JVM
+# goes down with it, r16 pair probe). Catalyst is fine at any of these
+# depths (the tree is log2-deep); the binding constraint is janino's
+# per-statement recursion, which is O(statement count) = O(dim).
+_BALANCED_MAX_DIM = 1536
+
+
+def _balanced_dot(x: str, y: str, dim: int):
+    """PAIRWISE (balanced-tree) dot product for WIDE dims: the unrolled
+    left spine's Catalyst recursion is O(dim) and measurably fatal past
+    256 (dim 384 throws ``StackOverflowError`` during analysis, dim 768
+    killed the driver JVM — r16 dim probe), so production embedding
+    widths (768/1536/3072) could not reach the in-JVM fast path at all.
+    A balanced tree keeps the node count (~3×dim per dot) but cuts the
+    recursion depth to ``ceil(log2 dim)`` — depth 12 at 3072 — so wide
+    plans analyze fine and per-expression codegen splits the subtrees
+    into JIT-able methods.
+
+    CONTRACT: NOT bit-identical to the sequential fold (IEEE addition
+    is not associative; pairwise grouping sums in a different order —
+    the same numeric profile as numpy's pairwise summation in the
+    deprecated arrow path, typically CLOSER to the exact sum than the
+    sequential fold). Oracle-pinned callers and ``auto`` therefore
+    never pick it; it is the explicit wide-dim opt-in with the
+    neighbor-parity guarantee (test-pinned: same neighbor sets as the
+    fold except on genuine cosine ties, cosines within ulps)."""
+    terms = [
+        F.col(x)[i].cast("double") * F.col(y)[i].cast("double") for i in range(dim)
+    ]
+    while len(terms) > 1:
+        paired = [
+            terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)
+        ]
+        if len(terms) % 2:
+            paired.append(terms[-1])
+        terms = paired
+    return terms[0]
+
+
 # The JVM JIT refuses to compile methods over ~8000 bytecode bytes
 # (HotSpot -XX:HugeMethodLimit), so a whole-stage-codegen method past it
 # runs in the BYTECODE INTERPRETER — measured 2.4× SLOWER than the HOF
@@ -1270,13 +1312,28 @@ def _cosine_col(dim: int, rescorer: str):
             raise ValueError(
                 f"rescorer 'unrolled' needs a known dim in (0, "
                 f"{_UNROLL_MAX_DIM}], the index model has dim={dim!r} — "
-                "use 'auto' (falls back to the fold) or 'hof'"
+                "use 'auto' (falls back to the fold), 'hof', or "
+                "'balanced' (wide dims, neighbor-parity contract)"
             )
         return (
             _unrolled_dot("qv", "cv", dim)
             / (
                 F.sqrt(_unrolled_dot("qv", "qv", dim))
                 * F.sqrt(_unrolled_dot("cv", "cv", dim))
+            )
+        ).alias("cosine")
+    if mode == "balanced":
+        if not 0 < dim <= _BALANCED_MAX_DIM:
+            raise ValueError(
+                f"rescorer 'balanced' needs a known dim in (0, "
+                f"{_BALANCED_MAX_DIM}], the index model has dim={dim!r} — "
+                "use 'auto' or 'hof'"
+            )
+        return (
+            _balanced_dot("qv", "cv", dim)
+            / (
+                F.sqrt(_balanced_dot("qv", "qv", dim))
+                * F.sqrt(_balanced_dot("cv", "cv", dim))
             )
         ).alias("cosine")
     # the sequential IEEE fold — bit-identical to the unrolled tree and
@@ -1372,11 +1429,11 @@ def search_vector_index_df(
     it); the caller owns the cache lifetime then. Caveat shared by both
     modes on a real cluster: a lost executor recomputes lost cached
     partitions from lineage, which re-evaluates the query source."""
-    if rescorer not in ("auto", "unrolled", "hof", "arrow"):
+    if rescorer not in ("auto", "unrolled", "balanced", "hof", "arrow"):
         # validate BEFORE any distributed work: a typo must not pay the
         # full ranking fold + collects first (r14 review)
         raise ValueError(
-            f"unknown rescorer {rescorer!r} (auto | unrolled | hof | arrow)"
+            f"unknown rescorer {rescorer!r} (auto | unrolled | balanced | hof | arrow)"
         )
     path = _norm_path(path)
     meta = read_meta(path, spark)
@@ -1476,7 +1533,7 @@ def search_vector_index_df(
             # restored conf (interpreted fold speed, identical bits).
             huge_key = "spark.sql.codegen.hugeMethodLimit"
             scope_conf = (
-                rescorer == "unrolled"
+                rescorer in ("unrolled", "balanced")
                 and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT
             )
             if scope_conf:

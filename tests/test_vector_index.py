@@ -1450,3 +1450,67 @@ def test_eager_unrolled_conf_scope_is_locked_and_restored_across_threads(
     ref_rows = sorted(map(tuple, ref.collect()))
     ref.unpersist()
     assert results[0] == results[1] == ref_rows
+
+
+def test_balanced_rescorer_wide_dim_neighbor_parity(spark, tmp_path):
+    """The r16 WIDE-dim rescorer (``rescorer="balanced"``): production
+    embedding widths (768+) cannot build the unrolled left-spine tree
+    (Catalyst recursion is O(dim) — StackOverflowError at 384, measured),
+    so the balanced pairwise tree is the in-JVM fast path there, depth
+    ceil(log2 dim). It sums in a different IEEE order than the
+    sequential fold (the arrow contract, not the unrolled one): pinned
+    here at dim 768 — neighbor sets equal, cosines within 1e-9, and the
+    serve conf restored. Also pins the two caps: 'unrolled' must REFUSE
+    a wide dim rather than risk the measured driver crash, and
+    'balanced' must refuse past _BALANCED_MAX_DIM."""
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    dim = 768
+    dims_sql = ", ".join(
+        f"cast(pmod(xxhash64(id, {d}), 1000) as float) / 1000.0 - 0.5"
+        for d in range(dim)
+    )
+    vecs = spark.range(800).select(
+        F.col("id").alias("vec_id"),
+        F.expr("cast(pmod(xxhash64(id, 'lbl'), 4) as int)").alias("label"),
+        F.expr(f"array({dims_sql})").alias("embedding"),
+    )
+    idx = str(tmp_path / "vidx_wide")
+    build_vector_index(spark, vecs, idx, centroids="by_label")
+    qdf = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    conf_before = spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535")
+    hof = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in vi.search_vector_index_df(
+            spark, idx, qdf, top_k=5, n_probe=4
+        ).collect()
+    }
+    bal = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in vi.search_vector_index_df(
+            spark, idx, qdf, top_k=5, n_probe=4, rescorer="balanced"
+        ).collect()
+    }
+    assert set(hof) == set(bal) and len(hof) == 8 * 5
+    assert all(abs(hof[k] - bal[k]) < 1e-9 for k in hof)
+    # the eager balanced serve scoped+restored its enabling conf
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == conf_before
+    # cap pins: wide dims must be REFUSED by 'unrolled' (the measured
+    # driver-fatal class), and 'balanced' bounded by its own cap
+    with pytest.raises(ValueError, match="unrolled"):
+        vi._cosine_col(dim, "unrolled")
+    with pytest.raises(ValueError, match="balanced"):
+        vi._cosine_col(vi._BALANCED_MAX_DIM + 1, "balanced")
+    # auto at a wide dim resolves to the fold even under the serve conf
+    prev = spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535")
+    try:
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+        assert "aggregate(" in str(vi._cosine_col(dim, "auto"))
+    finally:
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", prev)

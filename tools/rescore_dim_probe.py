@@ -55,6 +55,7 @@ def run_one_dim(n_pairs: int, dim: int) -> None:
     huge = "spark.sql.codegen.hugeMethodLimit"
     default_huge = spark.conf.get(huge, "65535")
     vi._UNROLL_MAX_DIM = max(vi._UNROLL_MAX_DIM, dim)  # probe above the cap
+    vi._BALANCED_MAX_DIM = max(vi._BALANCED_MAX_DIM, dim)
 
     tmp = tempfile.mkdtemp(prefix=f"sdt_rescore_{dim}_")
     try:
@@ -90,6 +91,7 @@ def run_one_dim(n_pairs: int, dim: int) -> None:
         cell["scan_only"] = timed(base_col, default_huge)[1]
         plans = [("hof", default_huge, "default"), ("hof", "8000", "8000"),
                  ("unrolled", default_huge, "default"), ("unrolled", "8000", "8000"),
+                 ("balanced", default_huge, "default"), ("balanced", "8000", "8000"),
                  ("arrow", default_huge, "default")]
         for mode, conf_value, tag in plans:
             key = f"{mode}@{tag}"
@@ -140,6 +142,7 @@ def run_serve_dim(n_queries: int, dim: int) -> None:
     huge = "spark.sql.codegen.hugeMethodLimit"
     default_huge = spark.conf.get(huge, "65535")
     vi._UNROLL_MAX_DIM = max(vi._UNROLL_MAX_DIM, dim)
+    vi._BALANCED_MAX_DIM = max(vi._BALANCED_MAX_DIM, dim)
 
     def synth(n: int, offset: int = 0):
         dims_sql = ", ".join(
@@ -183,6 +186,8 @@ def run_serve_dim(n_queries: int, dim: int) -> None:
             ("hof@default", "hof", default_huge),
             ("hof@8000", "hof", "8000"),
             ("unrolled@8000", "unrolled", "8000"),
+            ("balanced@8000", "balanced", "8000"),
+            ("balanced@default", "balanced", default_huge),
         ):
             try:
                 cell[key] = timed(mode, conf)
