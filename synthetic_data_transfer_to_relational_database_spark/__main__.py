@@ -319,11 +319,31 @@ def cmd_index(args) -> int:
                 prev_huge = spark.conf.get(huge_key, "65535")
                 spark.conf.set(huge_key, "8000")
             try:
+                # rescorer default 'auto' stays PREDICTABLE and in-JVM:
+                # under a vanilla session it resolves to the proven
+                # fold; with hugeMethodLimit <= 8000 it takes the
+                # unrolled tree (bit-identical, 3x faster at batch
+                # volume — SCALE.md r15/r16). VOLUME GATE (r16, from
+                # the hugelimit A/B): the unrolled tree's win is
+                # per-pair but its plan-analysis cost is per-invocation
+                # (~1-2.5 s), so a small serve under a session that set
+                # the conf globally REGRESSES (sim_search_index 5.8 ->
+                # 10.8 s, attributed by direct A/B to exactly this
+                # flip). The CLI knows the query count, so auto keeps
+                # the fold below the measured payoff volume; the
+                # library's auto stays conf-only (it cannot count a
+                # lazy frame), and an explicit --rescorer always wins.
+                rescorer = args.rescorer
+                if rescorer == "auto" and n_queries < 1000:
+                    rescorer = "hof"
                 if n_queries >= args.df_serve_threshold:
                     # big query batches ride the DataFrame-native serve:
                     # the probe ranking stays distributed instead of a
                     # driver loop; row-identical to the list path
-                    # (test-pinned)
+                    # (test-pinned). The Arrow pandas_udf path is
+                    # DEPRECATED (dominated by 'unrolled'/'balanced',
+                    # heavy tail + one observed indefinite stall —
+                    # SCALE.md r14/r16)
                     res = search_vector_index_df(
                         spark,
                         args.path,
@@ -333,20 +353,7 @@ def cmd_index(args) -> int:
                         ),
                         top_k=args.top_k,
                         n_probe=args.n_probe,
-                        # rescorer default 'auto' stays PREDICTABLE and
-                        # in-JVM: under a vanilla session it resolves to
-                        # the proven fold; with hugeMethodLimit <= 8000
-                        # it takes the unrolled tree (bit-identical,
-                        # 3.1x faster — SCALE.md r15). The Arrow
-                        # pandas_udf path wins ~2x at median (16-59 s
-                        # vs 28-137 s across 10k-50k queries) but its
-                        # tail is heavy — a 5x degradation (305 s at
-                        # 50k) and one indefinite pipe stall were both
-                        # observed on the same code (SCALE.md, r14) —
-                        # the wrong trade for an unattended CLI
-                        # default; --rescorer unrolled is the fast
-                        # SAFE opt-in, --rescorer arrow the legacy one
-                        rescorer=args.rescorer,
+                        rescorer=rescorer,
                     )
                 else:
                     queries = [(int(r.vec_id), list(r.embedding)) for r in qdf.collect()]
@@ -656,7 +663,9 @@ def main(argv: list[str] | None = None) -> int:
         help="cosine rescorer for the DataFrame serve: 'auto' (default — the "
         "in-JVM fold under a vanilla session; resolves to the unrolled "
         "dot-product tree when the index dim is known <= 256 AND the session "
-        "sets spark.sql.codegen.hugeMethodLimit <= 8000), 'unrolled' (the "
+        "sets spark.sql.codegen.hugeMethodLimit <= 8000 AND the batch has "
+        ">= 1000 queries — below that the unrolled tree's per-invocation "
+        "plan cost outweighs its per-pair win, measured), 'unrolled' (the "
         "fast SAFE opt-in: scopes that conf for this invocation and serves "
         "~3x faster than the fold, bit-identical, no Python pipe), "
         "'balanced' (the WIDE-dim opt-in for dims 256-1536 where the "
