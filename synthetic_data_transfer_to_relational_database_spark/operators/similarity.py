@@ -615,6 +615,92 @@ def _ivf_serve(e: DataFrame, cvs: list[list[float]]) -> DataFrame:
 QUERIES["sim_search_ivf_lloyd"] = sim_search_ivf_lloyd
 
 
+# one per-process index dir, the _SIM_IDX_DIR recipe (r12 advice)
+_SIM_BAL_DIR: dict = {"path": None}
+
+# The KEY's width: 384 is the first width STRICTLY past the unrolled
+# left-spine cliff (StackOverflowError at 384, measured — SCALE.md r16),
+# which is exactly what this key evidences; the production-width (768/
+# 1536) performance story lives in the SCALE.md serve probes. Driver-
+# side plan processing of the balanced tree is superlinear in width
+# (0.35 s fixed at dim 64 -> ~60 s at 768 on a vanilla session), so the
+# sweep key stays at the narrowest width that proves the path.
+_BAL_DIM = 384
+
+
+@q("sim_search_balanced")
+def sim_search_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE-dim persisted-index serve through the r16 BALANCED rescorer
+    — driver evidence for the production-width path. The testdata's
+    embeddings are 64-dim, so each vec_id is deterministically expanded
+    to a _BAL_DIM-wide vector in-plan (xxhash64 per dimension — pure
+    expressions, no Python), the IVF index is built over the wide
+    vectors (by_label centroids: deterministic, no k-means iteration
+    order in the loop), and the standard query set is served
+    DataFrame-native with ``rescorer="balanced"`` — the pairwise-tree
+    cosine that is the only in-JVM fast path at widths the unrolled
+    left spine cannot build (Catalyst recursion is O(dim), measured
+    fatal at 384; SCALE.md r16).
+
+    Rows-only BY DESIGN (operators/_registry.py discipline): pairwise
+    summation is a different IEEE order than the sequential fold, so
+    cosine bits are not oracle-pinnable. The invariants are test-pinned
+    instead: neighbor sets equal to the fold serve on the same index
+    except genuine ties, cosines within 1e-9, and run-to-run
+    determinism (tests/test_vector_index.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .vector_index import build_vector_index, search_vector_index_df
+
+    e = table(spark, sf_dir, "embeddings")
+    # ONE HOF expression, not a 768-element array literal: the literal
+    # form generates ~768 statements in a single method and janino's
+    # per-statement recursion (buildLocalVariableMap) can overflow the
+    # compile thread's stack on a VANILLA driver session (observed on
+    # local[8]/1g while the tuned session survived — a stack-depth
+    # coin flip this key must not take; the transform is CodegenFallback
+    # but runs once over 500 rows)
+    wide = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(sequence(0, {_BAL_DIM - 1}), d -> "
+            "cast(pmod(xxhash64(vec_id, d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    if _SIM_BAL_DIR["path"] is None:
+        _SIM_BAL_DIR["path"] = tempfile.mkdtemp(prefix="sdt_simsearchbal_")
+        atexit.register(shutil.rmtree, _SIM_BAL_DIR["path"], ignore_errors=True)
+    path = _SIM_BAL_DIR["path"]
+    qdf = wide.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # Scope shuffle.partitions to the 500-row corpus (restored below —
+    # the bench.py smallInputBytes / eager-serve hugeMethodLimit
+    # precedent): a vanilla session's 200 default partitions made every
+    # serve stage pay 200 × the PER-TASK instantiation of the ~7k-node
+    # interpreted wide-dim tree (measured 75 s serve + 17 s collect at
+    # 510 rows, local[8]; 16 partitions collapse it to seconds), and the
+    # serve's eager persist pins the plan so AQE cannot coalesce it
+    # away. At real scale partition counts size to DATA, amortizing the
+    # per-task tree init — this key's corpus is fixed-tiny by contract.
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "16")
+    try:
+        build_vector_index(spark, wide, path, centroids="by_label")
+        # full probe (n_probe clamps to the cell count): the serve is
+        # exact modulo summation order, so the rn ordering is the
+        # brute-force one
+        return search_vector_index_df(
+            spark, path, qdf, top_k=_TOP_K, n_probe=64, rescorer="balanced"
+        )
+    finally:
+        spark.conf.set(shuffle_key, prev_shuffle)
+
+
 def _lloyd_refine(e: DataFrame, cvs: list[list[float]], iters: int = 3) -> list[list[float]]:
     """Lloyd refinement of the IVF coarse quantizer, expressed as Spark
     aggregations: assign every vector to its best cell map-side (broadcast

@@ -41,28 +41,35 @@ _MODULES = [
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
 # new/changed queries first, then oldest-evidence first. Round-16 window
-# (56 candidates for 50 slots — the r15-verdict window math plus the two
-# keys whose machinery changed this round):
-#   1) the two keys riding operators/vector_index.py, which r16 changed
+# (57 candidates for 50 slots — the r15-verdict window math plus the two
+# keys whose machinery changed this round and one newly registered key):
+#   1) sim_search_balanced, newly REGISTERED this round (the wide-dim
+#      balanced-rescorer serve — rows-only by the summation-order rule,
+#      invariant-pinned in tests/test_vector_index.py), plus the two
+#      keys riding operators/vector_index.py, which r16 changed
 #      (commit_epoch ABA-fence term, guarded mismatch release, locked
-#      eager-serve conf scope): sim_search_index,
-#      embedding_index_refresh. Changed machinery leads the window even
-#      on fresh (r15) evidence — the r7 corollary.
+#      eager-serve conf scope, the balanced rescorer itself):
+#      sim_search_index, embedding_index_refresh. New/changed machinery
+#      leads the window even on fresh (r15) evidence — the r7
+#      corollary.
 #   2) the four r12-evidence spills owed from the r15 trade:
 #      sample_hash, corpus_split, window_first_last, agg_mode (each
-#      pre-verified strict-green twice in r15, builder + judge).
-#   3) 44 of the 50 keys whose newest driver evidence is r13 — the
+#      pre-verified strict-green twice in r15, builder + judge, and
+#      again via driver_sim in r16 before this window landed).
+#   3) 43 of the 50 keys whose newest driver evidence is r13 — the
 #      oldest tier after r15 closed the r12 basket (bar the spills
-#      above). Six r13-evidence keys spill one round to r17 (same
+#      above). Seven r13-evidence keys spill one round to r17 (same
 #      documented trade as r7/r12/r13/r14/r15): scalar_math,
 #      scalar_string, scalar_date, scalar_null, pivot_wide,
-#      unpivot_long — chosen because they are the simplest
-#      deterministic scalar-function / single-reshape keys in the
-#      tier, untouched since registration, each re-verified
-#      strict-green locally via driver_sim this round (r16) before
-#      the window landed.
+#      unpivot_long, window_frame — chosen because they are the
+#      simplest deterministic scalar-function / single-reshape /
+#      single-window keys in the tier, untouched since registration,
+#      each re-verified strict-green locally via driver_sim this round
+#      (r16) before the window landed (and all 136 oracle-paired keys
+#      swept strict-green this round regardless).
 _SWEEP_FIRST = [
-    # -- 1) machinery changed this round (vector_index.py) --------------
+    # -- 1) newly registered + machinery changed this round -------------
+    "sim_search_balanced",
     "sim_search_index",
     "embedding_index_refresh",
     # -- 2) the r15 spill (r12 evidence) ---------------------------------
@@ -70,7 +77,7 @@ _SWEEP_FIRST = [
     "corpus_split",
     "window_first_last",
     "agg_mode",
-    # -- 3) the r13-evidence tier (44 of 50 keys; spill documented above)
+    # -- 3) the r13-evidence tier (43 of 50 keys; spill documented above)
     "above_order_avg",
     "agg_cube",
     "agg_gsets",
@@ -114,7 +121,6 @@ _SWEEP_FIRST = [
     "text_token_bpe",
     "udf_surface",
     "user_erasure_audit",
-    "window_frame",
 ]
 
 

@@ -1514,3 +1514,49 @@ def test_balanced_rescorer_wide_dim_neighbor_parity(spark, tmp_path):
         assert "aggregate(" in str(vi._cosine_col(dim, "auto"))
     finally:
         spark.conf.set("spark.sql.codegen.hugeMethodLimit", prev)
+
+
+def test_sim_search_balanced_key_parity_and_determinism(spark, sf_dir):
+    """The registered ``sim_search_balanced`` key (rows-only by the
+    summation-order rule) carries its invariants here instead of an
+    oracle: (a) run-to-run determinism — same rows, bit for bit;
+    (b) neighbor parity against the FOLD serve over the same persisted
+    wide index — sets equal, cosines within 1e-9; (c) the contract
+    shape (10 queries x top-5, rn dense within query)."""
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        similarity as sim,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    out1 = sim.sim_search_balanced(spark, sf_dir)
+    rows1 = sorted(map(tuple, out1.collect()))
+    out1.unpersist()
+    out2 = sim.sim_search_balanced(spark, sf_dir)
+    rows2 = sorted(map(tuple, out2.collect()))
+    out2.unpersist()
+    assert rows1 == rows2  # deterministic, bit for bit
+    assert len(rows1) == 10 * 5
+    per_q = {}
+    for qid, _vid, _cos, rn in rows1:
+        per_q.setdefault(qid, []).append(rn)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    # fold serve over the SAME index dir the key just built
+    path = sim._SIM_BAL_DIR["path"]
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dims_sql = ", ".join(
+        f"cast(pmod(xxhash64(vec_id, {d}), 1000) as float) / 1000.0 - 0.5"
+        for d in range(sim._BAL_DIM)
+    )
+    qdf = (
+        e.select("vec_id", F.expr(f"array({dims_sql})").alias("embedding"))
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    hof = vi.search_vector_index_df(spark, path, qdf, top_k=5, n_probe=64)
+    hof_map = {(r.query_id, r.vec_id): r.cosine for r in hof.collect()}
+    hof.unpersist()
+    bal_map = {(q, v): c for q, v, c, _ in rows1}
+    assert set(hof_map) == set(bal_map)
+    assert all(abs(hof_map[k] - bal_map[k]) < 1e-9 for k in hof_map)
