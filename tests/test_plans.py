@@ -76,11 +76,12 @@ def test_no_accidental_cartesian_products(spark):
     for name, fn in qs.items():
         if name.startswith("stream_") or name in (
             "gen_synthetic_orders",
-            # builds + writes the persisted index eagerly at construction
-            # (that's the operator under test); its serve join is the
-            # sim_search BNLJ shape, exactness-pinned in
-            # tests/test_vector_index.py
+            # these build + write the persisted index eagerly at
+            # construction (that's the operator under test); their serve
+            # join is the sim_search BNLJ shape, exactness/parity-pinned
+            # in tests/test_vector_index.py
             "sim_search_index",
+            "sim_search_balanced",
         ):
             continue  # these execute eagerly to plan
         plan = _plan(fn(spark, SF_DIR))
