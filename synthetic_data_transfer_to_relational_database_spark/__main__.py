@@ -336,7 +336,14 @@ def cmd_index(args) -> int:
                 rescorer = args.rescorer
                 if rescorer == "auto" and n_queries < 1000:
                     rescorer = "hof"
-                if n_queries >= args.df_serve_threshold:
+                # (r16 advice) an EXPLICIT non-auto rescorer always
+                # rides the DataFrame serve — the list path has no
+                # rescorer at all, so honoring the threshold there
+                # would silently ignore what the user asked for (while
+                # the conf block above had already lowered
+                # hugeMethodLimit for nothing). 'auto' keeps the
+                # volume-gated threshold split.
+                if args.rescorer != "auto" or n_queries >= args.df_serve_threshold:
                     # big query batches ride the DataFrame-native serve:
                     # the probe ranking stays distributed instead of a
                     # driver loop; row-identical to the list path

@@ -1532,26 +1532,38 @@ def search_vector_index_df(
             # evicted and recomputed, the recompute runs under the
             # restored conf (interpreted fold speed, identical bits).
             huge_key = "spark.sql.codegen.hugeMethodLimit"
-            scope_conf = (
-                rescorer in ("unrolled", "balanced")
-                and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT
-            )
-            if scope_conf:
+            locked = rescorer in ("unrolled", "balanced")
+            if locked:
+                # (r16 advice, both items) acquire FIRST and decide
+                # under the lock: deciding from a pre-lock conf read
+                # races a concurrent holder whose temporarily-lowered
+                # 8000 would make this serve skip the scope entirely —
+                # and then materialize AFTER the holder restores 65535,
+                # running the forced tree interpreted (the 2.4×-slower
+                # case the scope exists to prevent). And everything
+                # from acquire onward sits inside try/finally so a
+                # raising conf.get/set (stopped session) cannot leave
+                # the lock held forever, deadlocking every later
+                # forced-rescorer eager serve in the process.
                 _HUGE_LIMIT_LOCK.acquire()
-                # re-read under the lock: a just-finished holder restored
-                # the true previous value only after releasing
-                prev_huge = spark.conf.get(huge_key, "65535")
-                spark.conf.set(huge_key, str(_JIT_METHOD_LIMIT))
-            out = out.persist()
+            prev_huge = None
             try:
-                out.count()
-            except Exception:
-                out.unpersist()  # nothing returned — release the mark
-                raise
+                if locked and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT:
+                    prev_huge = spark.conf.get(huge_key, "65535")
+                    spark.conf.set(huge_key, str(_JIT_METHOD_LIMIT))
+                out = out.persist()
+                try:
+                    out.count()
+                except Exception:
+                    out.unpersist()  # nothing returned — release the mark
+                    raise
             finally:
-                if scope_conf:
-                    spark.conf.set(huge_key, prev_huge)
-                    _HUGE_LIMIT_LOCK.release()
+                try:
+                    if prev_huge is not None:
+                        spark.conf.set(huge_key, prev_huge)
+                finally:
+                    if locked:
+                        _HUGE_LIMIT_LOCK.release()
         returned = True
         return out
     finally:

@@ -423,6 +423,27 @@ def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
     assert all(
         ar[k][0] == want[k][0] and abs(ar[k][1] - want[k][1]) < 1e-9 for k in ar
     )
+    # (r16 advice) an EXPLICIT rescorer below the df-serve threshold
+    # must still ride the DataFrame serve — the list path would ignore
+    # it silently. Pin the routing by making the list path unreachable,
+    # and the result bit-identical (unrolled's contract) to the fold.
+    from synthetic_data_transfer_to_relational_database_spark.operators import vector_index as _vi
+
+    res_out_forced = str(tmp_path / "res_forced")
+    _orig_list_serve = _vi.search_vector_index
+    _vi.search_vector_index = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("explicit --rescorer must not take the list path")
+    )
+    try:
+        assert main([
+            "index", "search", "--path", idx, "--queries-src", str(qsrc),
+            "--top-k", "3", "--n-probe", "8", "--out", res_out_forced,
+            "--rescorer", "unrolled",
+        ]) == 0
+    finally:
+        _vi.search_vector_index = _orig_list_serve
+    got_forced = sorted(map(tuple, spark.read.parquet(res_out_forced).collect()))
+    assert got_forced == sorted(map(tuple, res.collect()))
     # compact: two committed scopes (r1 + a second refresh) fold into c1
     assert main(["index", "refresh", "--path", idx, "--src", str(qsrc)]) == 0
     capsys.readouterr()
