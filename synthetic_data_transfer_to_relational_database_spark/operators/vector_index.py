@@ -1212,11 +1212,21 @@ def _unrolled_dot(x: str, y: str, dim: int):
     ``spark.sql.codegen.hugeMethodLimit=8000`` Spark rejects that
     method, falls back per-stage, per-expression codegen splits this
     tree into JIT-able submethods, and the serve reads 5.6 s vs the
-    fold's 17.0 s (3.1×). Hence the ``auto`` gate in ``_cosine_col``."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.col(x)[i].cast("double") * F.col(y)[i].cast("double")
-    return acc
+    fold's 17.0 s (3.1×). Hence the ``auto`` gate in ``_cosine_col``.
+
+    BUILT AS ONE SQL STRING, not Column arithmetic (r17): the
+    Column-API form issued ~4 py4j round-trips per element and
+    measured 25.6 s to BUILD at dim 768 (the r16 "~60 s/invocation"
+    driver cost, mis-attributed then to Catalyst — the measured
+    Catalyst share is 0.5 s; tools/warm_serve_probe.py). SQL's
+    left-associative ``+`` parses iteratively to the IDENTICAL left
+    spine in ~3 ms, and the parsed tree is the same
+    GetArrayItem/Cast/Multiply/Add nodes — bit-identity re-pinned
+    against the Column form in tests."""
+    terms = " + ".join(
+        f"cast({x}[{i}] as double) * cast({y}[{i}] as double)" for i in range(dim)
+    )
+    return F.expr(f"0.0D + {terms}")
 
 
 # The balanced tree's own cap, measured two-sided like the unrolled
@@ -1247,18 +1257,27 @@ def _balanced_dot(x: str, y: str, dim: int):
     sequential fold). Oracle-pinned callers and ``auto`` therefore
     never pick it; it is the explicit wide-dim opt-in with the
     neighbor-parity guarantee (test-pinned: same neighbor sets as the
-    fold except on genuine cosine ties, cosines within ulps)."""
+    fold except on genuine cosine ties, cosines within ulps).
+
+    BUILT AS ONE SQL STRING like ``_unrolled_dot`` (r17): the pairwise
+    grouping is emitted as parenthesized text — nesting depth
+    ``ceil(log2 dim)``, trivial for the parser — and parsed JVM-side
+    in ~5 ms at dim 1536 vs ~26 s of py4j Column building at 768
+    (tools/warm_serve_probe.py). The parsed tree is node-for-node the
+    Column-API tree (bit-identity between the two forms re-pinned in
+    tests; the CONTRACT vs the fold is unchanged — pairwise, not
+    sequential)."""
     terms = [
-        F.col(x)[i].cast("double") * F.col(y)[i].cast("double") for i in range(dim)
+        f"cast({x}[{i}] as double) * cast({y}[{i}] as double)" for i in range(dim)
     ]
     while len(terms) > 1:
         paired = [
-            terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)
+            f"({terms[i]} + {terms[i + 1]})" for i in range(0, len(terms) - 1, 2)
         ]
         if len(terms) % 2:
             paired.append(terms[-1])
         terms = paired
-    return terms[0]
+    return F.expr(terms[0])
 
 
 # The JVM JIT refuses to compile methods over ~8000 bytecode bytes
@@ -1380,6 +1399,218 @@ def _arrow_cosine():
     return pandas_udf(_cos, "double")
 
 
+class VectorIndexServer:
+    """WARM serve handle (r16 verdict #1): reads the index model and
+    builds the rescore machinery ONCE at construction, then serves
+    successive query DataFrames against it — ``search_vector_index_df``
+    is a one-shot wrapper over this class, so the two are row-identical
+    by construction (one code path).
+
+    What construction amortizes, measured at dim 768
+    (tools/warm_serve_probe.py, SCALE.md r17): the model JSON read +
+    centroid validation, the broadcast centroid row, and the rescore
+    cosine column. With the r17 SQL-text tree builders the cosine build
+    itself is already ~3 ms (it was the r16 "~60 s/invocation" cost —
+    py4j Column round-trips, not Catalyst), so the remaining per-call
+    win is the model read + centroid frame; at production call rates
+    the handle also keeps 'auto' resolution and validation out of the
+    hot path entirely.
+
+    SNAPSHOT CONTRACT: the handle pins the model read at construction —
+    the same scope snapshot any single serve call takes. After a
+    ``refresh_vector_index``/``compact_vector_index`` on the same path,
+    construct a new handle (compaction DELETES merged scope files; a
+    stale handle's next search would read the old file set). ``auto``
+    also resolves its execution strategy once, against the session conf
+    AT CONSTRUCTION (the one-shot wrapper re-resolves per call because
+    it constructs per call).
+
+    Thread-safety: ``search`` is safe to call concurrently; the
+    forced-rescorer eager conf scope serializes behind the module lock
+    exactly as the one-shot path does."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        top_k: int = 5,
+        n_probe: int = 2,
+        rescorer: str = "auto",
+    ) -> None:
+        if rescorer not in ("auto", "unrolled", "balanced", "hof", "arrow"):
+            # validate BEFORE any distributed work: a typo must not pay
+            # the model read first (r14 review)
+            raise ValueError(
+                f"unknown rescorer {rescorer!r} (auto | unrolled | balanced | hof | arrow)"
+            )
+        self._spark = spark
+        self._path = _norm_path(path)
+        self._meta = read_meta(self._path, spark)
+        _require_layout(self._meta, self._path)  # live-scope filter needs ingest_batch
+        self._cents = sorted(
+            (int(c["cell_id"]), [float(x) for x in c["cv"]])
+            for c in self._meta["centroids"]
+        )
+        if not self._cents:
+            raise ValueError(f"index at {self._path} has no centroids — rebuild it")
+        self._dim = int(self._meta.get("dim") or 0)
+        self._top_k = top_k
+        self._n_probe = n_probe
+        self._rescorer = rescorer
+        # built HERE so a forced rescorer without a usable dim fails at
+        # construction, before any serve pays the ranking fold; 'auto'
+        # resolves against the session conf once, now
+        self._cosine = _cosine_col(self._dim, rescorer)
+        self._cents_row = spark.createDataFrame(
+            [([(cid, cv) for cid, cv in self._cents],)],
+            "__cents array<struct<cell_id:int,cv:array<double>>>",
+        )
+
+    def search(
+        self,
+        queries_df: DataFrame,
+        top_k: int | None = None,
+        n_probe: int | None = None,
+        eager: bool = True,
+    ) -> DataFrame:
+        """One serve over the warm model — semantics, caching contract
+        and eager/lazy behavior identical to ``search_vector_index_df``
+        (see its docstring; it delegates here)."""
+        spark = self._spark
+        top_k = self._top_k if top_k is None else top_k
+        n_probe = self._n_probe if n_probe is None else n_probe
+        n_probe = max(1, min(n_probe, len(self._cents)))
+        dim = self._dim
+        rescorer = self._rescorer
+        cosine = self._cosine
+        qv_ok = queries_df.select(
+            F.col("query_id").cast("bigint").alias("query_id"), F.col("qv")
+        )
+        # textually the _argmin_assign distance fold (qv for embedding),
+        # so every d2 bit matches the list path's sequential Python sum
+        ranked = F.expr(
+            "transform(slice(array_sort(transform(__cents, c -> struct("
+            "aggregate(zip_with(qv, c.cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
+            " cast(0.0 as double), (acc, x) -> acc + x) AS d2,"
+            " c.cell_id AS cell_id))), 1, {n}), x -> x.cell_id)".format(n=n_probe)
+        )
+        # persist (r13 review): the frame feeds THREE consumers — the dim
+        # check, the probed-set collect, and the serve join. Uncached,
+        # each re-evaluates queries_df from scratch: the O(|q|×k×dim)
+        # ranking fold runs multiple times, and a NONDETERMINISTIC
+        # source (sample, limit without total order) could rank one
+        # query set and serve another, silently dropping candidates
+        # outside the pruned cells. The cached frame is (id, qv,
+        # n_probe ints) per query — memory-and-disk at large |q|.
+        probed = (
+            qv_ok.crossJoin(F.broadcast(self._cents_row))
+            .select("query_id", "qv", ranked.alias("probed"))
+            .persist()
+        )
+        returned = False
+        try:
+            if dim:
+                bad = probed.filter(
+                    F.col("qv").isNull() | (F.size("qv") != dim)
+                ).limit(1).collect()  # bounded probe — the _check_vectors recipe
+                if bad:
+                    got = bad[0].qv
+                    raise ValueError(
+                        "query vector is NULL"
+                        if got is None
+                        else f"query dim {len(got)} does not match the index's {dim}"
+                    )
+            # one bounded collect (≤ n_cells rows) → isin partition filter
+            wanted = sorted(
+                int(r.c)
+                for r in probed.select(F.explode("probed").alias("c")).distinct().collect()
+            )
+            # the cells scan is (re)read per call, NOT cached on the
+            # handle: a parquet read snapshots its file listing at read
+            # time, and a listing held across an out-of-band
+            # refresh/compact would serve deleted files. The listing is
+            # cheap; the expensive pieces (model, centroid row, rescore
+            # tree) are the warm ones.
+            cells = spark.read.parquet(_join(self._path, _CELLS)).filter(
+                F.col("cell_id").isin(wanted) & _live_scope_filter(self._meta)
+            )
+            pq = probed.select("query_id", "qv", F.explode("probed").alias("cell_id"))
+            scored = (
+                pq.join(cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")), "cell_id")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id", cosine)
+            )
+            w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+            out = scored.select(
+                "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
+            ).filter(F.col("rn") <= top_k)
+            if eager:
+                # materialize the (small) serve result BEFORE the finally
+                # block releases the ranked-queries cache: later actions on
+                # the returned frame read the cached result, never re-walk
+                # the lineage into the released frame. An EXPLICITLY forced
+                # unrolled/balanced rescorer also gets its enabling conf
+                # scoped around this one materialization (the CLI's
+                # courtesy, here for library callers): without
+                # hugeMethodLimit at or under the JIT limit the unrolled
+                # tree measures 2.4× SLOWER than the fold — a silent
+                # foot-gun for an eager caller who asked for the fast
+                # path. 'auto' never lands here with an unset conf (it
+                # resolves against the conf), and eager=False can't be
+                # helped (the caller owns execution time), so this covers
+                # exactly the surprising case. Perf-only caveats (both
+                # documented rather than fixed): an UNRELATED query on
+                # another thread of the same session that runs inside this
+                # window sees the lowered limit (stage fallback for
+                # 8000–65535-byte generated methods — never wrong
+                # results); and if the persisted result is later evicted
+                # and recomputed, the recompute runs under the restored
+                # conf (interpreted fold speed, identical bits).
+                huge_key = "spark.sql.codegen.hugeMethodLimit"
+                locked = rescorer in ("unrolled", "balanced")
+                if locked:
+                    # (r16 advice, both items) acquire FIRST and decide
+                    # under the lock: deciding from a pre-lock conf read
+                    # races a concurrent holder whose temporarily-lowered
+                    # 8000 would make this serve skip the scope entirely —
+                    # and then materialize AFTER the holder restores 65535,
+                    # running the forced tree interpreted (the 2.4×-slower
+                    # case the scope exists to prevent). And everything
+                    # from acquire onward sits inside try/finally so a
+                    # raising conf.get/set (stopped session) cannot leave
+                    # the lock held forever, deadlocking every later
+                    # forced-rescorer eager serve in the process.
+                    _HUGE_LIMIT_LOCK.acquire()
+                prev_huge = None
+                try:
+                    if locked and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT:
+                        prev_huge = spark.conf.get(huge_key, "65535")
+                        spark.conf.set(huge_key, str(_JIT_METHOD_LIMIT))
+                    out = out.persist()
+                    try:
+                        out.count()
+                    except Exception:
+                        out.unpersist()  # nothing returned — release the mark
+                        raise
+                finally:
+                    try:
+                        if prev_huge is not None:
+                            spark.conf.set(huge_key, prev_huge)
+                    finally:
+                        if locked:
+                            _HUGE_LIMIT_LOCK.release()
+            returned = True
+            return out
+        finally:
+            # release the internal frame when the result no longer needs
+            # it: always in eager mode (the result is materialized), and
+            # on EVERY exception path regardless of mode — an error
+            # returns no handle, so an eager=False leak here would be
+            # unreleasable (r14 review)
+            if eager or not returned:
+                probed.unpersist()
+
+
 def search_vector_index_df(
     spark: SparkSession,
     path: str,
@@ -1395,6 +1626,12 @@ def search_vector_index_df(
     list, so the probe-cell ranking is no longer a driver-side
     O(|queries| × n_cells) loop and a million-query batch serves as one
     distributed job.
+
+    ONE-SHOT wrapper over ``VectorIndexServer`` (r17): construction +
+    one ``search``. A caller serving the same index repeatedly should
+    hold a ``VectorIndexServer`` instead — it amortizes the model read,
+    centroid frame, validation and rescore-tree build across calls
+    (measured in SCALE.md r17).
 
     Probe ranking is the ``_argmin_assign`` pattern generalized to
     top-n: the whole centroid model rides as ONE broadcast
@@ -1429,147 +1666,6 @@ def search_vector_index_df(
     it); the caller owns the cache lifetime then. Caveat shared by both
     modes on a real cluster: a lost executor recomputes lost cached
     partitions from lineage, which re-evaluates the query source."""
-    if rescorer not in ("auto", "unrolled", "balanced", "hof", "arrow"):
-        # validate BEFORE any distributed work: a typo must not pay the
-        # full ranking fold + collects first (r14 review)
-        raise ValueError(
-            f"unknown rescorer {rescorer!r} (auto | unrolled | balanced | hof | arrow)"
-        )
-    path = _norm_path(path)
-    meta = read_meta(path, spark)
-    _require_layout(meta, path)  # the live-scope filter needs ingest_batch
-    cents = sorted((int(c["cell_id"]), [float(x) for x in c["cv"]]) for c in meta["centroids"])
-    if not cents:
-        raise ValueError(f"index at {path} has no centroids — rebuild it")
-    dim = int(meta.get("dim") or 0)
-    n_probe = max(1, min(n_probe, len(cents)))
-    # built HERE so a forced-unrolled serve without a usable dim fails
-    # before paying the ranking fold and the probed-set collect; 'auto'
-    # also resolves against the session conf once, at call time
-    cosine = _cosine_col(dim, rescorer)
-    qv_ok = queries_df.select(
-        F.col("query_id").cast("bigint").alias("query_id"), F.col("qv")
+    return VectorIndexServer(spark, path, rescorer=rescorer).search(
+        queries_df, top_k=top_k, n_probe=n_probe, eager=eager
     )
-    cents_row = spark.createDataFrame(
-        [([(cid, cv) for cid, cv in cents],)],
-        "__cents array<struct<cell_id:int,cv:array<double>>>",
-    )
-    # textually the _argmin_assign distance fold (qv for embedding), so
-    # every d2 bit matches the list path's sequential Python sum
-    ranked = F.expr(
-        "transform(slice(array_sort(transform(__cents, c -> struct("
-        "aggregate(zip_with(qv, c.cv, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
-        " cast(0.0 as double), (acc, x) -> acc + x) AS d2,"
-        " c.cell_id AS cell_id))), 1, {n}), x -> x.cell_id)".format(n=n_probe)
-    )
-    # persist (r13 review): the frame feeds THREE consumers — the dim
-    # check, the probed-set collect, and the serve join. Uncached, each
-    # re-evaluates queries_df from scratch: the O(|q|×k×dim) ranking
-    # fold runs multiple times, and a NONDETERMINISTIC source (sample,
-    # limit without total order) could rank one query set and serve
-    # another, silently dropping candidates outside the pruned cells.
-    # The cached frame is (id, qv, n_probe ints) per query —
-    # memory-and-disk at large |q|.
-    probed = (
-        qv_ok.crossJoin(F.broadcast(cents_row))
-        .select("query_id", "qv", ranked.alias("probed"))
-        .persist()
-    )
-    returned = False
-    try:
-        if dim:
-            bad = probed.filter(
-                F.col("qv").isNull() | (F.size("qv") != dim)
-            ).limit(1).collect()  # bounded probe — the _check_vectors recipe
-            if bad:
-                got = bad[0].qv
-                raise ValueError(
-                    "query vector is NULL"
-                    if got is None
-                    else f"query dim {len(got)} does not match the index's {dim}"
-                )
-        # one bounded collect (≤ n_cells rows) → isin partition filter
-        wanted = sorted(
-            int(r.c)
-            for r in probed.select(F.explode("probed").alias("c")).distinct().collect()
-        )
-        cells = spark.read.parquet(_join(path, _CELLS)).filter(
-            F.col("cell_id").isin(wanted) & _live_scope_filter(meta)
-        )
-        pq = probed.select("query_id", "qv", F.explode("probed").alias("cell_id"))
-        scored = (
-            pq.join(cells.select("cell_id", "vec_id", F.col("embedding").alias("cv")), "cell_id")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", cosine)
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-        out = scored.select(
-            "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
-        ).filter(F.col("rn") <= top_k)
-        if eager:
-            # materialize the (small) serve result BEFORE the finally
-            # block releases the ranked-queries cache: later actions on
-            # the returned frame read the cached result, never re-walk
-            # the lineage into the released frame. An EXPLICITLY forced
-            # unrolled rescorer also gets its enabling conf scoped
-            # around this one materialization (the CLI's courtesy, here
-            # for library callers): without hugeMethodLimit at or under
-            # the JIT limit the unrolled tree measures 2.4× SLOWER than
-            # the fold — a silent foot-gun for an eager caller who
-            # asked for the fast path. 'auto' never lands here with an
-            # unset conf (it resolves against the conf), and
-            # eager=False can't be helped (the caller owns execution
-            # time), so this covers exactly the surprising case.
-            # THREAD-SAFETY (r15 advice): the conf is session-global —
-            # the lock serializes concurrent forced-unrolled eager
-            # serves so a set/restore race cannot leave the lowered
-            # limit permanently applied. Two caveats remain, both
-            # perf-only and documented rather than fixed: an UNRELATED
-            # query on another thread of the same session that runs
-            # inside this window sees the lowered limit (stage
-            # fallback for 8000–65535-byte generated methods — never
-            # wrong results); and if the persisted result is later
-            # evicted and recomputed, the recompute runs under the
-            # restored conf (interpreted fold speed, identical bits).
-            huge_key = "spark.sql.codegen.hugeMethodLimit"
-            locked = rescorer in ("unrolled", "balanced")
-            if locked:
-                # (r16 advice, both items) acquire FIRST and decide
-                # under the lock: deciding from a pre-lock conf read
-                # races a concurrent holder whose temporarily-lowered
-                # 8000 would make this serve skip the scope entirely —
-                # and then materialize AFTER the holder restores 65535,
-                # running the forced tree interpreted (the 2.4×-slower
-                # case the scope exists to prevent). And everything
-                # from acquire onward sits inside try/finally so a
-                # raising conf.get/set (stopped session) cannot leave
-                # the lock held forever, deadlocking every later
-                # forced-rescorer eager serve in the process.
-                _HUGE_LIMIT_LOCK.acquire()
-            prev_huge = None
-            try:
-                if locked and _session_huge_method_limit(spark) > _JIT_METHOD_LIMIT:
-                    prev_huge = spark.conf.get(huge_key, "65535")
-                    spark.conf.set(huge_key, str(_JIT_METHOD_LIMIT))
-                out = out.persist()
-                try:
-                    out.count()
-                except Exception:
-                    out.unpersist()  # nothing returned — release the mark
-                    raise
-            finally:
-                try:
-                    if prev_huge is not None:
-                        spark.conf.set(huge_key, prev_huge)
-                finally:
-                    if locked:
-                        _HUGE_LIMIT_LOCK.release()
-        returned = True
-        return out
-    finally:
-        # release the internal frame when the result no longer needs it:
-        # always in eager mode (the result is materialized), and on EVERY
-        # exception path regardless of mode — an error returns no handle,
-        # so an eager=False leak here would be unreleasable (r14 review)
-        if eager or not returned:
-            probed.unpersist()

@@ -1516,6 +1516,102 @@ def test_balanced_rescorer_wide_dim_neighbor_parity(spark, tmp_path):
         spark.conf.set("spark.sql.codegen.hugeMethodLimit", prev)
 
 
+def test_vector_index_server_warm_handle(spark, tmp_path):
+    """r17 warm-serve API (r16 verdict #1): ONE ``VectorIndexServer``
+    serves successive query batches row-identically to the per-call
+    wrapper (which delegates through it — one code path), is
+    deterministic across repeated searches of the same batch, honors
+    per-call top_k overrides, and restores the forced-rescorer conf
+    around every eager search. Also pins the r17 SQL-TEXT tree builders
+    bit-identical to the Column-API form they replaced (the form whose
+    py4j build cost was the r16 "~60 s/invocation" — measured 25.6 s at
+    dim 768, tools/warm_serve_probe.py / SCALE.md r17)."""
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    dim = 96
+    vecs = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.expr("cast(pmod(xxhash64(id, 'lbl'), 4) as int)").alias("label"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            "cast(pmod(xxhash64(id, d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    idx = str(tmp_path / "vidx_server")
+    build_vector_index(spark, vecs, idx, centroids="by_label")
+    q1 = vecs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    q2 = vecs.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 12)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    conf_before = spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535")
+
+    def rows(df):
+        got = sorted(map(tuple, df.collect()))
+        df.unpersist()
+        return got
+
+    # forced-rescorer handle: two successive batches, each row-identical
+    # to the one-shot wrapper, conf restored after every eager search
+    srv = vi.VectorIndexServer(spark, idx, top_k=5, n_probe=4, rescorer="balanced")
+    for q in (q1, q2):
+        warm = rows(srv.search(q))
+        assert spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == conf_before
+        assert not vi._HUGE_LIMIT_LOCK.locked()
+        one_shot = rows(
+            vi.search_vector_index_df(spark, idx, q, top_k=5, n_probe=4, rescorer="balanced")
+        )
+        assert warm == one_shot and len(warm) == 6 * 5
+    # determinism on the reused handle
+    assert rows(srv.search(q1)) == rows(srv.search(q1))
+    # per-call override narrows the result without rebuilding the handle
+    assert all(r[3] <= 3 for r in rows(srv.search(q1, top_k=3)))
+    # a default-rescorer handle matches the wrapper's default serve
+    srv_auto = vi.VectorIndexServer(spark, idx, top_k=5, n_probe=4)
+    assert rows(srv_auto.search(q1)) == rows(
+        vi.search_vector_index_df(spark, idx, q1, top_k=5, n_probe=4)
+    )
+    # a bad rescorer fails at CONSTRUCTION, before any distributed work
+    with pytest.raises(ValueError, match="unknown rescorer"):
+        vi.VectorIndexServer(spark, idx, rescorer="typo")
+    # SQL-text builders are bit-identical to the Column-API trees they
+    # replaced (same GetArrayItem/Cast/Multiply/Add nodes, parsed not
+    # py4j-built) — the refactor's contract
+    pairs = vecs.select(
+        F.col("embedding").alias("qv"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            "cast(pmod(xxhash64(vec_id + 7, d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("cv"),
+    )
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.col("qv")[i].cast("double") * F.col("cv")[i].cast("double")
+    col_terms = [
+        F.col("qv")[i].cast("double") * F.col("cv")[i].cast("double")
+        for i in range(dim)
+    ]
+    while len(col_terms) > 1:
+        nxt = [col_terms[i] + col_terms[i + 1] for i in range(0, len(col_terms) - 1, 2)]
+        if len(col_terms) % 2:
+            nxt.append(col_terms[-1])
+        col_terms = nxt
+    diffs = pairs.select(
+        vi._unrolled_dot("qv", "cv", dim).alias("u_sql"),
+        acc.alias("u_col"),
+        vi._balanced_dot("qv", "cv", dim).alias("b_sql"),
+        col_terms[0].alias("b_col"),
+    ).filter(
+        F.expr("u_sql IS DISTINCT FROM u_col OR b_sql IS DISTINCT FROM b_col")
+    ).count()
+    assert diffs == 0
+
+
 def test_sim_search_balanced_key_parity_and_determinism(spark, sf_dir):
     """The registered ``sim_search_balanced`` key (rows-only by the
     summation-order rule) carries its invariants here instead of an
