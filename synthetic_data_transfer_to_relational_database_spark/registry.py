@@ -40,87 +40,86 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-16 window
-# (57 candidates for 50 slots — the r15-verdict window math plus the two
-# keys whose machinery changed this round and one newly registered key):
-#   1) sim_search_balanced, newly REGISTERED this round (the wide-dim
-#      balanced-rescorer serve — rows-only by the summation-order rule,
-#      invariant-pinned in tests/test_vector_index.py), plus the two
-#      keys riding operators/vector_index.py, which r16 changed
-#      (commit_epoch ABA-fence term, guarded mismatch release, locked
-#      eager-serve conf scope, the balanced rescorer itself):
-#      sim_search_index, embedding_index_refresh. New/changed machinery
-#      leads the window even on fresh (r15) evidence — the r7
-#      corollary.
-#   2) the four r12-evidence spills owed from the r15 trade:
-#      sample_hash, corpus_split, window_first_last, agg_mode (each
-#      pre-verified strict-green twice in r15, builder + judge, and
-#      again via driver_sim in r16 before this window landed).
-#   3) 43 of the 50 keys whose newest driver evidence is r13 — the
-#      oldest tier after r15 closed the r12 basket (bar the spills
-#      above). Seven r13-evidence keys spill one round to r17 (same
-#      documented trade as r7/r12/r13/r14/r15): scalar_math,
-#      scalar_string, scalar_date, scalar_null, pivot_wide,
-#      unpivot_long, window_frame — chosen because they are the
-#      simplest deterministic scalar-function / single-reshape /
+# new/changed queries first, then oldest-evidence first. Round-17 window
+# (60 candidates for 50 slots — the r16-verdict window math, 7 r13-spills
+# + 50 r14-tier keys, PLUS the three keys riding this round's
+# vector_index.py changes):
+#   1) the three keys riding operators/vector_index.py, which r17
+#      changed (SQL-text rescore-tree builders replacing the Column-API
+#      forms — bit-identity re-pinned; the VectorIndexServer warm
+#      handle, with search_vector_index_df now delegating through it;
+#      the lock-first forced-rescorer conf scope): sim_search_index,
+#      embedding_index_refresh, sim_search_balanced. Changed machinery
+#      leads the window even on fresh (r16) evidence — the r7 corollary.
+#   2) the seven r13-evidence spills owed from the r16 trade:
+#      scalar_math, scalar_string, scalar_date, scalar_null,
+#      pivot_wide, unpivot_long, window_frame (each re-verified
+#      strict-green via driver_sim in r16 by both builder and judge,
+#      and again in r17 before this window landed).
+#   3) 40 of the 50 keys whose newest driver evidence is r14 — the
+#      oldest tier after r16 closed the r13 basket (bar the spills
+#      above). Ten r14-evidence keys spill one round to r18 (same
+#      documented trade as r7/r12/r13/r14/r15/r16): set_union,
+#      set_intersect, set_except, join_inner, join_left, join_semi,
+#      join_anti, sort_limit, window_lag, window_ntile — chosen because
+#      they are the simplest deterministic single-join / set-op /
 #      single-window keys in the tier, untouched since registration,
 #      each re-verified strict-green locally via driver_sim this round
-#      (r16) before the window landed (and all 136 oracle-paired keys
-#      swept strict-green this round regardless).
+#      (r17) before the window landed.
 _SWEEP_FIRST = [
-    # -- 1) newly registered + machinery changed this round -------------
-    "sim_search_balanced",
+    # -- 1) machinery changed this round (vector_index.py) ---------------
     "sim_search_index",
     "embedding_index_refresh",
-    # -- 2) the r15 spill (r12 evidence) ---------------------------------
-    "sample_hash",
-    "corpus_split",
-    "window_first_last",
-    "agg_mode",
-    # -- 3) the r13-evidence tier (43 of 50 keys; spill documented above)
-    "above_order_avg",
-    "agg_cube",
-    "agg_gsets",
-    "agg_median",
-    "agg_string",
-    "basket_rules",
-    "corpus_curation_pipeline",
-    "corpus_mixture",
-    "corpus_quality_resample",
-    "customer_idle_rich",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "events_ab_test",
-    "graph_pagerank",
-    "graph_triangles",
-    "join_full_outer",
-    "join_salted",
-    "lineitem_pricing_summary",
-    "lineitem_priority_mix",
-    "multimodal_frame_sample",
-    "part_promo_revenue_share",
-    "sample_stratified",
-    "sim_centroid_by_label",
-    "sim_centroid_scalable",
-    "sim_classifier_udf",
-    "sim_search_ivf_lloyd",
-    "stream_dedup",
-    "stream_jdbc_exactly_once",
-    "stream_session",
-    "stream_sliding",
-    "stream_user_profile",
-    "text_bpe_train",
-    "text_lang_id",
-    "text_oov_rate",
-    "text_quality",
-    "text_repetition",
-    "text_stats",
-    "text_term_freq",
-    "text_token_bpe",
-    "udf_surface",
-    "user_erasure_audit",
+    "sim_search_balanced",
+    # -- 2) the r16 spill (r13 evidence) ---------------------------------
+    "scalar_math",
+    "scalar_string",
+    "scalar_date",
+    "scalar_null",
+    "pivot_wide",
+    "unpivot_long",
+    "window_frame",
+    # -- 3) the r14-evidence tier (40 of 50 keys; spill documented above)
+    "agg_approx_distinct",
+    "agg_distinct",
+    "agg_hash",
+    "agg_rollup",
+    "corpus_pack_sequences",
+    "corpus_token_budget_scalable",
+    "customer_distribution",
+    "dedup_incremental",
+    "dedup_key_norm",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_funnel",
+    "events_session",
+    "events_sliding",
+    "events_tumbling",
+    "fk_sample_join",
+    "gen_synthetic_orders",
+    "join_broadcast",
+    "join_range",
+    "market_share",
+    "multimodal_bytes",
+    "multimodal_features",
+    "nation_volume_shipping",
+    "orders_big_volume",
+    "orders_late_priority",
+    "orders_shipping_priority",
+    "rag_retrieve",
+    "revenue_by_nation",
+    "scalar_array",
+    "scalar_json",
+    "sim_centroid_pandas",
+    "sim_search",
+    "sim_search_lsh",
+    "small_qty_revenue",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_tfidf_top",
+    "topk_per_group",
+    "vector_norms",
 ]
 
 
