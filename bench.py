@@ -415,6 +415,95 @@ def run_sample(sf_dir: str) -> dict:
     }
 
 
+def _hardware_yardsticks() -> dict:
+    """Machine-state yardsticks appended to every official bench line
+    (r16 verdict #3): the r15/r16 drift waves were adjudicated only
+    after HAND-RUN probes — the host's 5.4 ms fsync closed the
+    ingest_corpus re-baseline, a CPU-scaling probe plus steal%%
+    separated host co-tenancy from guest load, and the 15-min loadavg
+    (not the 1-min) turned out to be the signal that predicts drift.
+    Recording them with each run makes the classification mechanical.
+    Total cost ~2.5 s per call. Yardsticks:
+
+    - fsync_ms_median/p90: 25 × (4 KB write + fsync) on the repo
+      filesystem — the latency class behind every streaming-trigger
+      commit. The r16 re-baseline mechanism was exactly this number.
+    - steal_pct / busy_pct: /proc/stat deltas over 0.5 s — steal is the
+      only DIRECT host-co-tenancy signal the guest can see.
+    - cpu_scale_32: wall-clock RATIO of 32 concurrent fixed spins vs 1
+      (each ~0.25 s of pure Python spin in its own process). ~1.0–1.4
+      on an idle 32-cpu box (interpreter startup); >2 means the 32
+      "cpus" are not actually available — the r16 signature where the
+      1-min loadavg read quiet but officials drifted anyway."""
+    hw: dict = {"loadavg_1_5_15": [round(x, 2) for x in os.getloadavg()]}
+    try:
+        import statistics
+        import tempfile
+
+        d = os.path.dirname(os.path.abspath(__file__))
+        fd, p = tempfile.mkstemp(dir=d, prefix=".fsync_probe_")
+        lat = []
+        try:
+            buf = b"x" * 4096
+            for _ in range(25):
+                t0 = time.perf_counter()
+                os.write(fd, buf)
+                os.fsync(fd)
+                lat.append((time.perf_counter() - t0) * 1000)
+        finally:
+            os.close(fd)
+            os.unlink(p)
+        lat.sort()
+        hw["fsync_ms_median"] = round(statistics.median(lat), 2)
+        hw["fsync_ms_p90"] = round(lat[int(len(lat) * 0.9)], 2)
+    except Exception as e:  # noqa: BLE001 - telemetry must never fail the bench
+        hw["fsync_err"] = str(e)[:80]
+    try:
+        def cpu_fields() -> list[int]:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:]]
+
+        a = cpu_fields()
+        time.sleep(0.5)
+        b = cpu_fields()
+        delta = [y - x for x, y in zip(a, b)]
+        tot = sum(delta) or 1
+        # fields: user nice system idle iowait irq softirq steal ...
+        hw["steal_pct"] = round(100.0 * delta[7] / tot, 2) if len(delta) > 7 else None
+        hw["busy_pct"] = round(100.0 * (tot - delta[3] - delta[4]) / tot, 2)
+    except Exception as e:  # noqa: BLE001
+        hw["proc_stat_err"] = str(e)[:80]
+    try:
+        spin = (
+            "import time\n"
+            "s = time.perf_counter()\n"
+            "n = 0\n"
+            "while time.perf_counter() - s < 0.25:\n"
+            "    n += 1\n"
+        )
+
+        def run_n(k: int) -> float:
+            t0 = time.perf_counter()
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, "-c", spin],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+                for _ in range(k)
+            ]
+            for pr in procs:
+                pr.wait()
+            return time.perf_counter() - t0
+
+        t1 = run_n(1)
+        t32 = run_n(32)
+        hw["cpu_scale_32"] = round(t32 / t1, 2)
+    except Exception as e:  # noqa: BLE001
+        hw["cpu_scale_err"] = str(e)[:80]
+    return hw
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -423,6 +512,10 @@ def main() -> None:
         print(json.dumps(run_sample(sf_dir)))
         return
 
+    # yardsticks bracket the run: drift adjudication needs the machine
+    # state at START and END, not a single point (a co-tenant arriving
+    # mid-run shows as a before/after disagreement)
+    hw_before = _hardware_yardsticks()
     samples: list[dict] = []
     for i in range(2):
         # machine-state telemetry rides with each sample (r11 verdict #4):
@@ -505,6 +598,10 @@ def main() -> None:
                         "sf": sf,
                         "n_cpus": os.cpu_count(),
                         "loadavg_at_write": [round(x, 2) for x in os.getloadavg()],
+                        # r16 verdict #3: the hand-run drift yardsticks,
+                        # recorded mechanically with every official line
+                        "hardware_before": hw_before,
+                        "hardware_after": _hardware_yardsticks(),
                         "samples": samples,
                     }
                 )

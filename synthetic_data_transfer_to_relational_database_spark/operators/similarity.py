@@ -135,6 +135,51 @@ def sim_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_vector_index(spark, path, queries, top_k=_TOP_K, n_probe=_N_CELLS)
 
 
+# one per-process index dir for the warm-handle key (the _SIM_IDX_DIR
+# recipe — r12 advice)
+_SIM_WARM_DIR: dict = {"path": None}
+
+
+@q("sim_search_warm", sql=_BRUTE_KNN_SQL)
+def sim_search_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r17 WARM-HANDLE serve under the driver's hash (r16 verdict
+    #1): build the IVF index, construct ONE
+    ``operators.vector_index.VectorIndexServer``, and serve the standard
+    query set as TWO SUCCESSIVE BATCHES through the same handle — the
+    production call pattern the handle exists for (model read, centroid
+    frame and rescore tree built once, amortized across calls). Full
+    probe plus the default rescorer keep every serve EXACT — identical
+    fold expressions and tiebreak as the in-plan brute force — so the
+    UNION of the two batches pairs with the same DuckDB oracle as
+    ``sim_search``/``sim_search_index``: oracle-hash evidence that
+    handle reuse changes nothing about the answer."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .vector_index import VectorIndexServer, build_vector_index
+
+    e = table(spark, sf_dir, "embeddings")
+    if _SIM_WARM_DIR["path"] is None:
+        _SIM_WARM_DIR["path"] = tempfile.mkdtemp(prefix="sdt_simsearchwarm_")
+        atexit.register(shutil.rmtree, _SIM_WARM_DIR["path"], ignore_errors=True)
+    path = _SIM_WARM_DIR["path"]
+    build_vector_index(spark, e, path, n_cells=_N_CELLS, centroids="kmeans")
+    srv = VectorIndexServer(spark, path, top_k=_TOP_K, n_probe=_N_CELLS)
+    half = _N_QUERIES // 2
+    batches = [
+        e.filter(F.col("vec_id") < half),
+        e.filter((F.col("vec_id") >= half) & (F.col("vec_id") < _N_QUERIES)),
+    ]
+    served = [
+        srv.search(
+            b.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        )
+        for b in batches
+    ]
+    return served[0].unionAll(served[1])
+
+
 @q(
     "vector_norms",
     sql="""
