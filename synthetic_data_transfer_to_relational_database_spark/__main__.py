@@ -323,26 +323,25 @@ def cmd_index(args) -> int:
                 # under a vanilla session it resolves to the proven
                 # fold; with hugeMethodLimit <= 8000 it takes the
                 # unrolled tree (bit-identical, 3x faster at batch
-                # volume — SCALE.md r15/r16). VOLUME GATE (r16, from
-                # the hugelimit A/B): the unrolled tree's win is
-                # per-pair but its plan-analysis cost is per-invocation
-                # (~1-2.5 s), so a small serve under a session that set
-                # the conf globally REGRESSES (sim_search_index 5.8 ->
-                # 10.8 s, attributed by direct A/B to exactly this
-                # flip). The CLI knows the query count, so auto keeps
-                # the fold below the measured payoff volume; the
-                # library's auto stays conf-only (it cannot count a
-                # lazy frame), and an explicit --rescorer always wins.
+                # volume — SCALE.md r15/r16). The r16 VOLUME GATE
+                # (auto -> fold below 1000 queries) is REMOVED in r17:
+                # its rationale was the unrolled tree's ~1-2.5 s
+                # per-invocation plan cost (sim_search_index regressed
+                # 5.8 -> 10.8 s under a global 8000 via the
+                # auto->unrolled flip), and that cost was MEASURED to
+                # be the py4j Column build the SQL-text builders
+                # eliminated — the same A/B re-run after the fix reads
+                # 0.91 (4.05 vs 4.45 s, BENCH_samples_history.jsonl
+                # r17). auto is now conf-only here exactly as in the
+                # library; an explicit --rescorer always wins.
                 rescorer = args.rescorer
-                if rescorer == "auto" and n_queries < 1000:
-                    rescorer = "hof"
                 # (r16 advice) an EXPLICIT non-auto rescorer always
                 # rides the DataFrame serve — the list path has no
                 # rescorer at all, so honoring the threshold there
                 # would silently ignore what the user asked for (while
                 # the conf block above had already lowered
                 # hugeMethodLimit for nothing). 'auto' keeps the
-                # volume-gated threshold split.
+                # threshold split.
                 if args.rescorer != "auto" or n_queries >= args.df_serve_threshold:
                     # big query batches ride the DataFrame-native serve:
                     # the probe ranking stays distributed instead of a
@@ -670,9 +669,7 @@ def main(argv: list[str] | None = None) -> int:
         help="cosine rescorer for the DataFrame serve: 'auto' (default — the "
         "in-JVM fold under a vanilla session; resolves to the unrolled "
         "dot-product tree when the index dim is known <= 256 AND the session "
-        "sets spark.sql.codegen.hugeMethodLimit <= 8000 AND the batch has "
-        ">= 1000 queries — below that the unrolled tree's per-invocation "
-        "plan cost outweighs its per-pair win, measured), 'unrolled' (the "
+        "sets spark.sql.codegen.hugeMethodLimit <= 8000), 'unrolled' (the "
         "fast SAFE opt-in: scopes that conf for this invocation and serves "
         "~3x faster than the fold, bit-identical, no Python pipe), "
         "'balanced' (the WIDE-dim opt-in for dims 256-1536 where the "
