@@ -663,14 +663,15 @@ QUERIES["sim_search_ivf_lloyd"] = sim_search_ivf_lloyd
 # one per-process index dir, the _SIM_IDX_DIR recipe (r12 advice)
 _SIM_BAL_DIR: dict = {"path": None}
 
-# The KEY's width: 384 is the first width STRICTLY past the unrolled
-# left-spine cliff (StackOverflowError at 384, measured — SCALE.md r16),
-# which is exactly what this key evidences; the production-width (768/
-# 1536) performance story lives in the SCALE.md serve probes. Driver-
-# side plan processing of the balanced tree is superlinear in width
-# (0.35 s fixed at dim 64 -> ~60 s at 768 on a vanilla session), so the
-# sweep key stays at the narrowest width that proves the path.
-_BAL_DIM = 384
+# The KEY's width: 768 — TRUE production embedding width, strictly past
+# the unrolled left-spine cliff (StackOverflowError at 384, measured —
+# SCALE.md r16). r16 pinned this key at 384 because driver-side plan
+# processing of the Column-API tree cost ~60 s/invocation at 768; the
+# r17 SQL-text builders collapsed that to ~13 ms (SCALE.md r17,
+# tools/warm_serve_probe.py), so the key now evidences the width the
+# balanced path exists for (key measured 17–28 s/invocation at sf0.01,
+# in the heavy-key band of the sweep).
+_BAL_DIM = 768
 
 
 @q("sim_search_balanced")
