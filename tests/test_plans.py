@@ -82,6 +82,7 @@ def test_no_accidental_cartesian_products(spark):
             # in tests/test_vector_index.py
             "sim_search_index",
             "sim_search_balanced",
+            "sim_search_warm",
         ):
             continue  # these execute eagerly to plan
         plan = _plan(fn(spark, SF_DIR))
