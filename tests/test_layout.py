@@ -250,3 +250,26 @@ def test_readme_catalog_counts_match_registry():
     assert int(m2.group(1)) == n_o, (
         f"README says {m2.group(1)} oracle-paired, registry has {n_o}"
     )
+
+
+def test_bench_hardware_yardsticks_shape():
+    """The drift-adjudication method reads these fields from every
+    official bench line (SCALE.md bench-method, r16 verdict #3) — a
+    silent shape change would strand the next drift wave without
+    recorded machine state. No Spark needed; the probe is pure OS."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    hw = bench._hardware_yardsticks()
+    assert isinstance(hw["loadavg_1_5_15"], list) and len(hw["loadavg_1_5_15"]) == 3
+    # each yardstick either measured or reported failed — never absent
+    assert "fsync_ms_median" in hw or "fsync_err" in hw
+    assert "steal_pct" in hw or "proc_stat_err" in hw
+    assert "cpu_scale_32" in hw or "cpu_scale_err" in hw
+    if "fsync_ms_median" in hw:
+        assert 0 < hw["fsync_ms_median"] < 10_000
+        assert hw["fsync_ms_p90"] >= hw["fsync_ms_median"]
+    if "cpu_scale_32" in hw:
+        assert hw["cpu_scale_32"] > 0
