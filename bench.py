@@ -419,7 +419,7 @@ def _hardware_yardsticks() -> dict:
     """Machine-state yardsticks appended to every official bench line
     (r16 verdict #3): the r15/r16 drift waves were adjudicated only
     after HAND-RUN probes — the host's 5.4 ms fsync closed the
-    ingest_corpus re-baseline, a CPU-scaling probe plus steal%%
+    ingest_corpus re-baseline, a CPU-scaling probe plus steal%
     separated host co-tenancy from guest load, and the 15-min loadavg
     (not the 1-min) turned out to be the signal that predicts drift.
     Recording them with each run makes the classification mechanical.
@@ -454,8 +454,8 @@ def _hardware_yardsticks() -> dict:
             os.close(fd)
             os.unlink(p)
         lat.sort()
-        hw["fsync_ms_median"] = round(statistics.median(lat), 2)
-        hw["fsync_ms_p90"] = round(lat[int(len(lat) * 0.9)], 2)
+        hw["fsync_ms_median"] = round(statistics.median(lat), 3)
+        hw["fsync_ms_p90"] = round(lat[int(len(lat) * 0.9)], 3)
     except Exception as e:  # noqa: BLE001 - telemetry must never fail the bench
         hw["fsync_err"] = str(e)[:80]
     try:

@@ -177,7 +177,17 @@ def sim_search_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in batches
     ]
-    return served[0].unionAll(served[1])
+    # materialize the UNION and release the per-batch serve caches
+    # before returning (r17 review): the caller can only unpersist the
+    # frame it receives, and unpersisting a union is a no-op for its
+    # cached children — without this, every invocation would leak two
+    # persisted frames for the process lifetime (the r13 accumulation
+    # class the CLI's serve discipline exists to prevent)
+    out = served[0].unionAll(served[1]).persist()
+    out.count()
+    for s in served:
+        s.unpersist()
+    return out
 
 
 @q(

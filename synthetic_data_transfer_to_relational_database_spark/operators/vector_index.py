@@ -1303,27 +1303,34 @@ def _session_huge_method_limit(spark: SparkSession | None = None) -> int:
         return 65535
 
 
+def _resolve_rescorer(dim: int, rescorer: str) -> str:
+    """``auto`` resolves to the unrolled in-JVM tree when (a) the model
+    knows a dim within ``_UNROLL_MAX_DIM`` AND (b) the active session's
+    ``spark.sql.codegen.hugeMethodLimit`` is at or under the JIT's
+    method-size limit — the conf that makes the unrolled tree fast
+    (3.1× over the fold, measured; see ``_JIT_METHOD_LIMIT`` above for
+    the mechanism) is the same one gating its selection, so a vanilla
+    session keeps the proven fold and never regresses. Both are
+    bit-identical, so the dispatch is an execution-strategy choice,
+    never a semantics one. Exposed separately from ``_cosine_col`` so
+    the warm handle can know WHICH tree it cached (its eager conf scope
+    keys off the resolved mode — r17 review)."""
+    if rescorer != "auto":
+        return rescorer
+    return (
+        "unrolled"
+        if 0 < dim <= _UNROLL_MAX_DIM
+        and _session_huge_method_limit() <= _JIT_METHOD_LIMIT
+        else "hof"
+    )
+
+
 def _cosine_col(dim: int, rescorer: str):
-    """The serve paths' cosine column over joined (qv, cv) pairs.
-    ``auto`` (the default everywhere) resolves to the unrolled in-JVM
-    tree when (a) the model knows a dim within ``_UNROLL_MAX_DIM`` AND
-    (b) the active session's ``spark.sql.codegen.hugeMethodLimit`` is
-    at or under the JIT's method-size limit — the conf that makes the
-    unrolled tree fast (3.1× over the fold, measured; see
-    ``_JIT_METHOD_LIMIT`` above for the mechanism) is the same one
-    gating its selection, so a vanilla session keeps the proven fold
-    and never regresses. Both are bit-identical, so the dispatch is an
-    execution-strategy choice, never a semantics one. ``arrow`` stays
+    """The serve paths' cosine column over joined (qv, cv) pairs —
+    ``rescorer`` resolution per ``_resolve_rescorer``. ``arrow`` stays
     the explicit opt-in (median ~2× at 10k+ queries, heavy tail —
     SCALE.md r14)."""
-    mode = rescorer
-    if mode == "auto":
-        mode = (
-            "unrolled"
-            if 0 < dim <= _UNROLL_MAX_DIM
-            and _session_huge_method_limit() <= _JIT_METHOD_LIMIT
-            else "hof"
-        )
+    mode = _resolve_rescorer(dim, rescorer)
     if mode == "arrow":
         return _arrow_cosine()(F.col("qv"), F.col("cv")).alias("cosine")
     if mode == "unrolled":
@@ -1416,14 +1423,20 @@ class VectorIndexServer:
     the handle also keeps 'auto' resolution and validation out of the
     hot path entirely.
 
-    SNAPSHOT CONTRACT: the handle pins the model read at construction —
-    the same scope snapshot any single serve call takes. After a
-    ``refresh_vector_index``/``compact_vector_index`` on the same path,
-    construct a new handle (compaction DELETES merged scope files; a
-    stale handle's next search would read the old file set). ``auto``
-    also resolves its execution strategy once, against the session conf
-    AT CONSTRUCTION (the one-shot wrapper re-resolves per call because
-    it constructs per call).
+    SNAPSHOT CONTRACT, epoch-fenced: the handle pins the model read at
+    construction — the same scope snapshot any single serve call takes —
+    and every ``search`` re-reads ONLY the tiny meta JSON to compare
+    ``commit_epoch`` (bumped by every refresh/stream/compaction commit).
+    A handle that outlived its snapshot raises ``ValueError`` instead of
+    silently serving stale scope names (after a compaction the old
+    snapshot's scope list matches nothing but the build partition —
+    silent wrong results, the r17 review's finding); construct a new
+    handle over the refreshed index. ``auto`` resolves its execution
+    strategy once, against the session conf AT CONSTRUCTION (the
+    one-shot wrapper re-resolves per call because it constructs per
+    call), and the eager conf scope keys off the RESOLVED mode so a
+    cached auto-resolved unrolled tree keeps its enabling conf even if
+    the session conf changed after construction.
 
     Thread-safety: ``search`` is safe to call concurrently; the
     forced-rescorer eager conf scope serializes behind the module lock
@@ -1457,9 +1470,21 @@ class VectorIndexServer:
         self._top_k = top_k
         self._n_probe = n_probe
         self._rescorer = rescorer
+        # the staleness fence (r17 review): every COMMIT meta write
+        # (refresh, stream batch, compaction) bumps commit_epoch, so a
+        # per-search compare detects any out-of-band change. Without it
+        # a stale handle after a compaction would SILENTLY serve the
+        # build partition only (_live_scope_filter selects scope names
+        # that no longer exist).
+        self._epoch = int(self._meta.get("commit_epoch", -1))
         # built HERE so a forced rescorer without a usable dim fails at
         # construction, before any serve pays the ranking fold; 'auto'
-        # resolves against the session conf once, now
+        # resolves against the session conf once, now — and the RESOLVED
+        # mode is kept because the eager conf scope must key off which
+        # tree was actually cached, not what was requested (an
+        # auto-resolved unrolled tree materializing after the session
+        # conf was restored would run interpreted, the 2.4×-slower case)
+        self._resolved = _resolve_rescorer(self._dim, rescorer)
         self._cosine = _cosine_col(self._dim, rescorer)
         self._cents_row = spark.createDataFrame(
             [([(cid, cv) for cid, cv in self._cents],)],
@@ -1477,11 +1502,23 @@ class VectorIndexServer:
         and eager/lazy behavior identical to ``search_vector_index_df``
         (see its docstring; it delegates here)."""
         spark = self._spark
+        # staleness fence: ONE tiny JSON read per search (milliseconds
+        # against the serve's seconds — the expensive warm pieces stay
+        # cached). commit_epoch moves on every refresh/stream/compact
+        # commit, so a handle that outlived its snapshot fails loudly
+        # instead of silently serving pre-compaction scope names.
+        fresh_epoch = int(read_meta(self._path, spark).get("commit_epoch", -1))
+        if fresh_epoch != self._epoch:
+            raise ValueError(
+                f"index at {self._path} changed since this VectorIndexServer "
+                f"was constructed (commit_epoch {self._epoch} -> {fresh_epoch}"
+                ") — construct a new handle over the refreshed index"
+            )
         top_k = self._top_k if top_k is None else top_k
         n_probe = self._n_probe if n_probe is None else n_probe
         n_probe = max(1, min(n_probe, len(self._cents)))
         dim = self._dim
-        rescorer = self._rescorer
+        rescorer = self._resolved
         cosine = self._cosine
         qv_ok = queries_df.select(
             F.col("query_id").cast("bigint").alias("query_id"), F.col("qv")

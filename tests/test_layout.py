@@ -269,7 +269,8 @@ def test_bench_hardware_yardsticks_shape():
     assert "steal_pct" in hw or "proc_stat_err" in hw
     assert "cpu_scale_32" in hw or "cpu_scale_err" in hw
     if "fsync_ms_median" in hw:
-        assert 0 < hw["fsync_ms_median"] < 10_000
+        # >= 0: on tmpfs-class filesystems a ~us fsync rounds to 0.0
+        assert 0 <= hw["fsync_ms_median"] < 10_000
         assert hw["fsync_ms_p90"] >= hw["fsync_ms_median"]
     if "cpu_scale_32" in hw:
         assert hw["cpu_scale_32"] > 0

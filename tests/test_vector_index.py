@@ -1579,6 +1579,28 @@ def test_vector_index_server_warm_handle(spark, tmp_path):
     # a bad rescorer fails at CONSTRUCTION, before any distributed work
     with pytest.raises(ValueError, match="unknown rescorer"):
         vi.VectorIndexServer(spark, idx, rescorer="typo")
+    # STALENESS FENCE (r17 review): an out-of-band commit (refresh here;
+    # compaction is the dangerous one — it deletes the old scope dirs,
+    # so a stale handle would silently serve the build partition only)
+    # bumps commit_epoch, and the handle's next search must fail loudly
+    batch2 = spark.range(600, 610).select(
+        F.col("id").alias("vec_id"),
+        F.expr("cast(pmod(xxhash64(id, 'lbl'), 4) as int)").alias("label"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            "cast(pmod(xxhash64(id, d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    from synthetic_data_transfer_to_relational_database_spark.operators.vector_index import (
+        refresh_vector_index,
+    )
+
+    refresh_vector_index(spark, batch2, idx)
+    with pytest.raises(ValueError, match="commit_epoch"):
+        srv.search(q1)
+    # a NEW handle over the refreshed index serves fine
+    fresh = rows(vi.VectorIndexServer(spark, idx, top_k=5, n_probe=4).search(q1))
+    assert len(fresh) == 6 * 5
     # SQL-text builders are bit-identical to the Column-API trees they
     # replaced (same GetArrayItem/Cast/Multiply/Add nodes, parsed not
     # py4j-built) — the refactor's contract
