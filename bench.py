@@ -504,6 +504,35 @@ def _hardware_yardsticks() -> dict:
     return hw
 
 
+# Quiet-rig bands for the launch settledness gate (r17 verdict #2). The
+# r17 driver official launched at 15-min loadavg 7.29 and carried a
+# 1.2–1.3× drift wave across untouched entries that cost a full
+# adjudication pass a round later; the yardsticks RECORDED the state but
+# nothing acted on it. Bands from the recorded quiet officials
+# (BENCH_samples_history.jsonl): settled launches read 15-min loadavg
+# ~1.3, fsync p90 0.2–0.5 ms, cpu_scale_32 1.0–1.4, steal ~0; the
+# known-bad states read 7.29 / 5.4 ms / >2 respectively.
+_SETTLED_BANDS = {
+    "loadavg_15": 4.0,
+    "fsync_ms_p90": 3.0,
+    "cpu_scale_32": 2.0,
+    "steal_pct": 5.0,
+}
+
+
+def _unsettled_reasons(hw: dict) -> list[str]:
+    """Which launch yardsticks sit outside the quiet-rig bands."""
+    reasons = []
+    la = hw.get("loadavg_1_5_15") or []
+    if len(la) == 3 and la[2] > _SETTLED_BANDS["loadavg_15"]:
+        reasons.append(f"loadavg_15={la[2]}>{_SETTLED_BANDS['loadavg_15']}")
+    for key in ("fsync_ms_p90", "cpu_scale_32", "steal_pct"):
+        v = hw.get(key)
+        if isinstance(v, (int, float)) and v > _SETTLED_BANDS[key]:
+            reasons.append(f"{key}={v}>{_SETTLED_BANDS[key]}")
+    return reasons
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -516,6 +545,19 @@ def main() -> None:
     # state at START and END, not a single point (a co-tenant arriving
     # mid-run shows as a before/after disagreement)
     hw_before = _hardware_yardsticks()
+    # launch gate (r17 verdict #2): a drifted official must SELF-IDENTIFY
+    # at launch instead of being diagnosed a round later. The run still
+    # proceeds (the driver owns the schedule), but the warning is loud
+    # and the history line carries settled:false for mechanical triage.
+    unsettled = _unsettled_reasons(hw_before)
+    if unsettled:
+        print(
+            "WARNING: bench launched on an UNSETTLED rig — "
+            + ", ".join(unsettled)
+            + " — numbers will read high; prefer a re-run after the "
+            "15-min loadavg settles (SCALE.md 'Bench method')",
+            file=sys.stderr,
+        )
     samples: list[dict] = []
     for i in range(2):
         # machine-state telemetry rides with each sample (r11 verdict #4):
@@ -599,7 +641,11 @@ def main() -> None:
                         "n_cpus": os.cpu_count(),
                         "loadavg_at_write": [round(x, 2) for x in os.getloadavg()],
                         # r16 verdict #3: the hand-run drift yardsticks,
-                        # recorded mechanically with every official line
+                        # recorded mechanically with every official line;
+                        # r17 verdict #2: the launch gate's verdict rides
+                        # with them so a drifted official self-identifies
+                        "settled": not unsettled,
+                        "unsettled_reasons": unsettled,
                         "hardware_before": hw_before,
                         "hardware_after": _hardware_yardsticks(),
                         "samples": samples,
@@ -623,6 +669,9 @@ def main() -> None:
                     sum(v for n, v in queries.items() if n not in R4_EXCLUDED), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                # r17 verdict #2: the launch-settledness verdict rides on
+                # the official line too (extra key — harmless to parsers)
+                "settled": not unsettled,
             }
         )
     )

@@ -195,12 +195,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customers with NO high-value order. The unfiltered form ("no order
+    # at all") is EMPTY on this data — every customer has orders — so its
+    # driver hash-match was vacuous (empty == empty, r17 verdict #3); the
+    # totalprice predicate yields a real, non-total subset (30 rows at
+    # sf0.01) while keeping the left_anti shape test_plans.py pins.
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select("c_custkey", "c_name")
 
 
@@ -585,12 +591,19 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "set_except",
     sql="""
-    SELECT c_nationkey AS nk FROM customer
+    SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 0
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s)
+    # high-value-order custkeys minus good-standing customers. The old
+    # nationkey form was EMPTY on this data (customer and supplier cover
+    # the same nation keys), so its driver hash-match proved nothing
+    # (r17 verdict #3); this pair has a real difference (121 rows at
+    # sf0.01) and keeps the subtract (EXCEPT DISTINCT) shape.
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return o.select(F.col("o_custkey").alias("ck")).subtract(
+        c.select(F.col("c_custkey").alias("ck"))
+    )

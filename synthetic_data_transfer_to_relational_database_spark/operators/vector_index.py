@@ -92,6 +92,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import warnings
 from concurrent.futures import ThreadPoolExecutor
@@ -534,12 +535,12 @@ def _write_meta(path: str, meta: dict, spark: SparkSession | None = None) -> Non
     fc.rename(jtmp, jfinal, overwrite)
 
 
-def read_meta(path: str, spark: SparkSession | None = None) -> dict:
+def _read_meta_bytes(path: str, spark: SparkSession | None = None) -> bytes:
     path = _norm_path(path)
     final = _join(path, _META)
     if "://" not in path:
-        with open(final) as f:
-            return json.load(f)
+        with open(final, "rb") as f:
+            return f.read()
     spark = _require_session(path, spark)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -547,10 +548,36 @@ def read_meta(path: str, spark: SparkSession | None = None) -> dict:
     fs = jfinal.getFileSystem(conf)
     ins = fs.open(jfinal)
     try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(ins))
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(ins))
     finally:
         ins.close()
-    return json.loads(raw.decode("utf-8"))
+
+
+def read_meta(path: str, spark: SparkSession | None = None) -> dict:
+    return json.loads(_read_meta_bytes(path, spark).decode("utf-8"))
+
+
+# the meta serializer is OUR json.dump (no other writer exists), so the
+# key appears exactly once and never inside a string value — a raw-bytes
+# scan is a faithful read of the one occurrence
+_EPOCH_RE = re.compile(rb'"commit_epoch":\s*(-?\d+)')
+
+
+def read_commit_epoch(path: str, spark: SparkSession | None = None) -> int:
+    """Fence-grade read of ONLY ``commit_epoch``. ``read_meta`` parses
+    the full model — the k×dim centroid array is multi-MB of JSON floats
+    at dim 768–1536 with 64 cells, far too heavy to pay on EVERY warm
+    ``search`` just to compare one integer (r17 advice #4). This reads
+    the same file but skips the JSON/float parse (a regex scan over the
+    raw bytes; the OS page cache makes the re-read itself cheap), falling
+    back to the full parse only if the scan misses (meta written by an
+    older layout). Returns -1 for a pre-epoch meta, propagates IO errors
+    (no meta file = no index) — same contract the full-read fence had."""
+    raw = _read_meta_bytes(path, spark)
+    m = _EPOCH_RE.search(raw)
+    if m:
+        return int(m.group(1))
+    return int(json.loads(raw.decode("utf-8")).get("commit_epoch", -1))
 
 
 def build_vector_index(
@@ -575,6 +602,19 @@ def build_vector_index(
             "is a driver-held JSON artifact (one entry per cell) — IVF at that "
             "cell count needs a distributed model store, not this index"
         )
+    # (r17 advice #1, ABA fence hole) an in-place REBUILD over an existing
+    # index must NOT reset commit_epoch: a VectorIndexServer handle pinned
+    # on a never-refreshed index (epoch 0) would compare equal against a
+    # fresh rebuild's 0 and silently serve the OLD centroids/dim against
+    # the NEW cells — exactly the silent-staleness class the per-search
+    # fence exists to close. Carry any prior epoch forward +1 (read BEFORE
+    # the cells write below clobbers anything) so every rebuild, like
+    # every refresh/stream/compact commit, moves the fence term. A fresh
+    # path has no meta → epoch starts at 0 as before.
+    try:
+        prior_epoch = read_commit_epoch(path, spark)
+    except Exception:  # noqa: BLE001 - no readable prior meta = fresh build
+        prior_epoch = -1
     if centroids == "by_label":
         cents = _label_centroids(vectors)
         if len(cents) > _MAX_CELLS:
@@ -653,8 +693,10 @@ def build_vector_index(
         # monotonic commit counter, bumped by EVERY commit meta write
         # (refresh, stream batch, compaction) and never by reservation
         # writes — the ABA-fence term that moves even when the sequences
-        # were already bumped at reservation (r15 advice; _fence_held_meta)
-        "commit_epoch": 0,
+        # were already bumped at reservation (r15 advice; _fence_held_meta).
+        # In-place rebuilds carry the prior index's epoch forward (+1, see
+        # above) so warm handles pinned pre-rebuild fail loudly.
+        "commit_epoch": prior_epoch + 1,
     }
     _write_meta(path, meta, spark)
     return meta
@@ -1303,7 +1345,7 @@ def _session_huge_method_limit(spark: SparkSession | None = None) -> int:
         return 65535
 
 
-def _resolve_rescorer(dim: int, rescorer: str) -> str:
+def _resolve_rescorer(dim: int, rescorer: str, spark: SparkSession | None = None) -> str:
     """``auto`` resolves to the unrolled in-JVM tree when (a) the model
     knows a dim within ``_UNROLL_MAX_DIM`` AND (b) the active session's
     ``spark.sql.codegen.hugeMethodLimit`` is at or under the JIT's
@@ -1314,23 +1356,27 @@ def _resolve_rescorer(dim: int, rescorer: str) -> str:
     bit-identical, so the dispatch is an execution-strategy choice,
     never a semantics one. Exposed separately from ``_cosine_col`` so
     the warm handle can know WHICH tree it cached (its eager conf scope
-    keys off the resolved mode — r17 review)."""
+    keys off the resolved mode — r17 review). ``spark`` threads the
+    CALLER'S session into the conf read (r17 advice #3): in a
+    multi-session process ``getActiveSession()`` can belong to a
+    different session than the one this resolution will serve and
+    conf-scope, and the two must agree."""
     if rescorer != "auto":
         return rescorer
     return (
         "unrolled"
         if 0 < dim <= _UNROLL_MAX_DIM
-        and _session_huge_method_limit() <= _JIT_METHOD_LIMIT
+        and _session_huge_method_limit(spark) <= _JIT_METHOD_LIMIT
         else "hof"
     )
 
 
-def _cosine_col(dim: int, rescorer: str):
+def _cosine_col(dim: int, rescorer: str, spark: SparkSession | None = None):
     """The serve paths' cosine column over joined (qv, cv) pairs —
     ``rescorer`` resolution per ``_resolve_rescorer``. ``arrow`` stays
     the explicit opt-in (median ~2× at 10k+ queries, heavy tail —
     SCALE.md r14)."""
-    mode = _resolve_rescorer(dim, rescorer)
+    mode = _resolve_rescorer(dim, rescorer, spark)
     if mode == "arrow":
         return _arrow_cosine()(F.col("qv"), F.col("cv")).alias("cosine")
     if mode == "unrolled":
@@ -1425,13 +1471,15 @@ class VectorIndexServer:
 
     SNAPSHOT CONTRACT, epoch-fenced: the handle pins the model read at
     construction — the same scope snapshot any single serve call takes —
-    and every ``search`` re-reads ONLY the tiny meta JSON to compare
-    ``commit_epoch`` (bumped by every refresh/stream/compaction commit).
+    and every ``search`` re-reads ONLY ``commit_epoch`` from the meta
+    (``read_commit_epoch`` — an epoch-scan, not the multi-MB centroid
+    parse; bumped by every refresh/stream/compaction commit and by
+    in-place rebuilds, which carry the prior epoch forward).
     A handle that outlived its snapshot raises ``ValueError`` instead of
     silently serving stale scope names (after a compaction the old
     snapshot's scope list matches nothing but the build partition —
-    silent wrong results, the r17 review's finding); construct a new
-    handle over the refreshed index. ``auto`` resolves its execution
+    silent wrong results, the r17 review's finding); ``repin()`` the
+    handle or construct a new one. ``auto`` resolves its execution
     strategy once, against the session conf AT CONSTRUCTION (the
     one-shot wrapper re-resolves per call because it constructs per
     call), and the eager conf scope keys off the RESOLVED mode so a
@@ -1479,17 +1527,62 @@ class VectorIndexServer:
         self._epoch = int(self._meta.get("commit_epoch", -1))
         # built HERE so a forced rescorer without a usable dim fails at
         # construction, before any serve pays the ranking fold; 'auto'
-        # resolves against the session conf once, now — and the RESOLVED
-        # mode is kept because the eager conf scope must key off which
-        # tree was actually cached, not what was requested (an
-        # auto-resolved unrolled tree materializing after the session
-        # conf was restored would run interpreted, the 2.4×-slower case)
-        self._resolved = _resolve_rescorer(self._dim, rescorer)
-        self._cosine = _cosine_col(self._dim, rescorer)
+        # resolves against THIS handle's session conf (r17 advice #3)
+        # once, now — and the RESOLVED mode is kept because the eager
+        # conf scope must key off which tree was actually cached, not
+        # what was requested (an auto-resolved unrolled tree
+        # materializing after the session conf was restored would run
+        # interpreted, the 2.4×-slower case). The cached column is built
+        # FROM the resolved mode (r17 advice #2): a second independent
+        # 'auto' resolution inside _cosine_col could race a concurrent
+        # conf change and cache a tree that disagrees with the mode the
+        # conf scope keys off.
+        self._resolved = _resolve_rescorer(self._dim, rescorer, spark)
+        self._cosine = _cosine_col(self._dim, self._resolved, spark)
         self._cents_row = spark.createDataFrame(
             [([(cid, cv) for cid, cv in self._cents],)],
             "__cents array<struct<cell_id:int,cv:array<double>>>",
         )
+
+    def repin(self) -> "VectorIndexServer":
+        """Re-pin this handle to the index's CURRENT committed snapshot
+        (r17 verdict #5) and return it. Long-lived serving processes no
+        longer need a fresh handle after every refresh/stream/compact
+        commit: ``repin`` re-reads the model and rebuilds only the
+        invalidated warm pieces — the meta snapshot, the centroid
+        broadcast row, and the fence epoch; the rescore tree (and the
+        'auto' execution-strategy resolution) are rebuilt only when the
+        model's dim changed, since they depend on nothing else in the
+        model. Fence semantics are exactly the snapshot contract's: a
+        ``search`` between an out-of-band commit and the ``repin`` still
+        raises; nothing here weakens the staleness guarantee — it just
+        makes recovery a method call instead of a reconstruction.
+
+        NOT safe to call concurrently with in-flight ``search`` calls on
+        the same handle (a search could read half-swapped state): either
+        serialize externally or construct a new handle and swap the
+        reference atomically."""
+        meta = read_meta(self._path, self._spark)
+        _require_layout(meta, self._path)
+        cents = sorted(
+            (int(c["cell_id"]), [float(x) for x in c["cv"]])
+            for c in meta["centroids"]
+        )
+        if not cents:
+            raise ValueError(f"index at {self._path} has no centroids — rebuild it")
+        new_dim = int(meta.get("dim") or 0)
+        if new_dim != self._dim:
+            self._resolved = _resolve_rescorer(new_dim, self._rescorer, self._spark)
+            self._cosine = _cosine_col(new_dim, self._resolved, self._spark)
+            self._dim = new_dim
+        self._meta = meta
+        self._cents = cents
+        self._epoch = int(meta.get("commit_epoch", -1))
+        self._cents_row = self._spark.createDataFrame(
+            [([(cid, cv) for cid, cv in cents],)],
+            "__cents array<struct<cell_id:int,cv:array<double>>>",
+        )
+        return self
 
     def search(
         self,
@@ -1497,23 +1590,33 @@ class VectorIndexServer:
         top_k: int | None = None,
         n_probe: int | None = None,
         eager: bool = True,
+        *,
+        _fence: bool = True,
     ) -> DataFrame:
         """One serve over the warm model — semantics, caching contract
         and eager/lazy behavior identical to ``search_vector_index_df``
-        (see its docstring; it delegates here)."""
+        (see its docstring; it delegates here). ``_fence`` is module-
+        private: the one-shot wrapper just paid the full model read in
+        construction, microseconds ago, so its single search skips the
+        re-read a fence that cannot meaningfully trip would pay twice
+        (r17 advice #4)."""
         spark = self._spark
-        # staleness fence: ONE tiny JSON read per search (milliseconds
-        # against the serve's seconds — the expensive warm pieces stay
-        # cached). commit_epoch moves on every refresh/stream/compact
-        # commit, so a handle that outlived its snapshot fails loudly
-        # instead of silently serving pre-compaction scope names.
-        fresh_epoch = int(read_meta(self._path, spark).get("commit_epoch", -1))
-        if fresh_epoch != self._epoch:
-            raise ValueError(
-                f"index at {self._path} changed since this VectorIndexServer "
-                f"was constructed (commit_epoch {self._epoch} -> {fresh_epoch}"
-                ") — construct a new handle over the refreshed index"
-            )
+        # staleness fence: one epoch-only meta read per search
+        # (read_commit_epoch skips the multi-MB centroid parse — r17
+        # advice #4; the expensive warm pieces stay cached).
+        # commit_epoch moves on every refresh/stream/compact commit AND
+        # every in-place rebuild, so a handle that outlived its snapshot
+        # fails loudly instead of silently serving stale scope names —
+        # then repin() re-pins it.
+        if _fence:
+            fresh_epoch = read_commit_epoch(self._path, spark)
+            if fresh_epoch != self._epoch:
+                raise ValueError(
+                    f"index at {self._path} changed since this VectorIndexServer "
+                    f"was constructed (commit_epoch {self._epoch} -> {fresh_epoch}"
+                    ") — repin() this handle (or construct a new one) over the "
+                    "refreshed index"
+                )
         top_k = self._top_k if top_k is None else top_k
         n_probe = self._n_probe if n_probe is None else n_probe
         n_probe = max(1, min(n_probe, len(self._cents)))
@@ -1703,6 +1806,9 @@ def search_vector_index_df(
     it); the caller owns the cache lifetime then. Caveat shared by both
     modes on a real cluster: a lost executor recomputes lost cached
     partitions from lineage, which re-evaluates the query source."""
+    # _fence=False: construction read the full model microseconds ago —
+    # a second read for the one-shot's single search proves nothing and
+    # costs a meta I/O per call (r17 advice #4)
     return VectorIndexServer(spark, path, rescorer=rescorer).search(
-        queries_df, top_k=top_k, n_probe=n_probe, eager=eager
+        queries_df, top_k=top_k, n_probe=n_probe, eager=eager, _fence=False
     )

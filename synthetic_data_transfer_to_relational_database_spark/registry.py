@@ -40,89 +40,93 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-17 window
-# (61 candidates for 50 slots — the r16-verdict window math, 7 r13-spills
-# + 50 r14-tier keys, PLUS the three keys riding this round's
-# vector_index.py changes and one newly registered key):
-#   1) sim_search_warm, newly REGISTERED this round (two successive
-#      query batches through ONE VectorIndexServer handle, oracle-paired
-#      with the brute-force KNN SQL — driver evidence that handle reuse
-#      is exact), plus the three keys riding operators/vector_index.py,
-#      which r17 changed (SQL-text rescore-tree builders replacing the
-#      Column-API forms — bit-identity re-pinned; the VectorIndexServer
-#      warm handle, with search_vector_index_df now delegating through
-#      it; the lock-first forced-rescorer conf scope): sim_search_index,
-#      embedding_index_refresh, sim_search_balanced. Changed machinery
-#      leads the window even on fresh (r16) evidence — the r7 corollary.
-#   2) the seven r13-evidence spills owed from the r16 trade:
-#      scalar_math, scalar_string, scalar_date, scalar_null,
-#      pivot_wide, unpivot_long, window_frame (each re-verified
-#      strict-green via driver_sim in r16 by both builder and judge,
-#      and again in r17 before this window landed).
-#   3) 39 of the 50 keys whose newest driver evidence is r14 — the
-#      oldest tier after r16 closed the r13 basket (bar the spills
-#      above). Eleven r14-evidence keys spill one round to r18 (same
-#      documented trade as r7/r12/r13/r14/r15/r16): set_union,
-#      set_intersect, set_except, join_inner, join_left, join_semi,
-#      join_anti, sort_limit, window_lag, window_ntile, scalar_array —
-#      chosen because they are the simplest deterministic single-join /
-#      set-op / single-window / scalar-function keys in the tier,
-#      untouched since registration, each re-verified strict-green
-#      locally via driver_sim this round (r17) before the window landed.
+# new/changed queries first, then oldest-evidence first. Round-18 window
+# (per the r17 verdict #1: the 11 r14-spills lead, then r15-tier fill):
+#   1) keys whose CODE changed this round: join_anti and set_except were
+#      de-vacuized (r17 verdict #3 — both used to hash-match on EMPTY
+#      results at sf0.01, so their oracle evidence was trivial; the new
+#      predicates return 30 / 121 rows while keeping the left_anti /
+#      subtract shapes), and the four vector_index-riding keys
+#      (sim_search_warm, sim_search_index, embedding_index_refresh,
+#      sim_search_balanced) ride this round's vector_index.py changes
+#      (all four r17-ADVICE fixes: in-place rebuilds carry commit_epoch
+#      forward — the ABA fence hole; the warm handle's cached tree is
+#      built from the RESOLVED mode; 'auto' resolution threads the
+#      handle's own session; the per-search fence reads only the epoch,
+#      and the one-shot wrapper skips its first fence — plus the new
+#      repin()). Changed machinery leads the window even on fresh
+#      evidence — the r7 corollary.
+#   2) the remaining nine r14-evidence spills owed from the r17 trade:
+#      join_inner, join_left, join_semi, set_union, set_intersect,
+#      sort_limit, window_lag, window_ntile, scalar_array (each
+#      re-verified strict-green via driver_sim in r17 by both builder
+#      and judge, and again in r18 before this window landed).
+#   3) 35 of the 48 keys whose newest driver evidence is r15 — the
+#      oldest tier once the r14 basket closes above. Thirteen
+#      r15-evidence keys spill one round to r19 (same documented trade
+#      as r7/r12…r17): scan_project, filter_pred, window_rank,
+#      window_ranks_pct, bracket_revenue, lineitem_discount_revenue,
+#      lineitem_yoy_growth, top_supplier_revenue, waiting_suppliers,
+#      returned_item_report, agg_approx_percentile, basket_pairs,
+#      corpus_length_histogram — chosen because they are the simplest
+#      deterministic scan / filter / single-window / report keys in the
+#      tier, untouched since their last green, each re-verified
+#      strict-green locally via driver_sim this round (r18) before the
+#      window landed.
 _SWEEP_FIRST = [
-    # -- 1) newly registered + machinery changed this round (vector_index.py)
+    # -- 1) machinery changed this round ---------------------------------
+    "join_anti",
+    "set_except",
     "sim_search_warm",
     "sim_search_index",
     "embedding_index_refresh",
     "sim_search_balanced",
-    # -- 2) the r16 spill (r13 evidence) ---------------------------------
-    "scalar_math",
-    "scalar_string",
-    "scalar_date",
-    "scalar_null",
-    "pivot_wide",
-    "unpivot_long",
-    "window_frame",
-    # -- 3) the r14-evidence tier (39 of 50 keys; spill documented above)
-    "agg_approx_distinct",
-    "agg_distinct",
-    "agg_hash",
-    "agg_rollup",
-    "corpus_pack_sequences",
-    "corpus_token_budget_scalable",
-    "customer_distribution",
-    "dedup_incremental",
-    "dedup_key_norm",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_funnel",
-    "events_session",
-    "events_sliding",
-    "events_tumbling",
-    "fk_sample_join",
-    "gen_synthetic_orders",
-    "join_broadcast",
-    "join_range",
-    "market_share",
-    "multimodal_bytes",
-    "multimodal_features",
-    "nation_volume_shipping",
-    "orders_big_volume",
-    "orders_late_priority",
-    "orders_shipping_priority",
-    "rag_retrieve",
-    "revenue_by_nation",
-    "scalar_json",
-    "sim_centroid_pandas",
-    "sim_search",
-    "sim_search_lsh",
-    "small_qty_revenue",
-    "stream_tumbling",
-    "text_fingerprint",
-    "text_tfidf_top",
-    "topk_per_group",
-    "vector_norms",
+    # -- 2) the r17 spill (r14 evidence) ---------------------------------
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "set_union",
+    "set_intersect",
+    "sort_limit",
+    "window_lag",
+    "window_ntile",
+    "scalar_array",
+    # -- 3) the r15-evidence tier (35 of 48 keys; spill documented above)
+    "agg_sketch_union",
+    "corpus_decontaminate",
+    "corpus_diff",
+    "corpus_dup_ngrams",
+    "corpus_quantile_filter",
+    "data_quality_profile",
+    "dedup_cluster",
+    "dedup_embedding",
+    "dedup_semantic",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_forecast_baseline",
+    "events_gap_islands",
+    "events_gapfill",
+    "events_retention_cohorts",
+    "events_rolling_active",
+    "events_rollup_hierarchy",
+    "events_user_paths",
+    "join_asof",
+    "multimodal_dyn_batch",
+    "multimodal_phash_dedup",
+    "orders_cohort_ltv",
+    "orders_rfm",
+    "sim_knn_graph",
+    "sim_search_ivfpq",
+    "sim_search_pq",
+    "skew_profile",
+    "snapshot_merge_upsert",
+    "stream_interval_join",
+    "text_containment",
+    "text_contamination",
+    "text_doc_pairs_jaccard",
+    "text_ngram_lm_backoff",
+    "text_ngram_lm_score",
+    "text_pii_scan",
 ]
 
 

@@ -1678,3 +1678,92 @@ def test_sim_search_balanced_key_parity_and_determinism(spark, sf_dir):
     bal_map = {(q, v): c for q, v, c, _ in rows1}
     assert set(hof_map) == set(bal_map)
     assert all(abs(hof_map[k] - bal_map[k]) < 1e-9 for k in hof_map)
+
+
+def _synthetic_vecs(spark, n, dim, salt="lbl"):
+    """The warm-handle test's deterministic corpus shape, parameterized."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"cast(pmod(xxhash64(id, '{salt}'), 4) as int)").alias("label"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            f"cast(pmod(xxhash64(id, d, '{salt}'), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+
+
+def test_rebuild_carries_epoch_forward_and_fences_stale_handle(spark, tmp_path):
+    """r17 advice #1 (the ABA fence hole): an in-place REBUILD over an
+    existing index used to reset commit_epoch to 0, so a handle pinned
+    on a never-refreshed index (epoch 0) passed the fence compare and
+    silently served the OLD centroids/dim against the NEW cells. Now
+    build_vector_index carries any prior epoch forward +1, the stale
+    handle fails loudly, and repin() re-pins it to the rebuilt model —
+    including a dim change (the rescore tree is rebuilt)."""
+    import pytest
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        vector_index as vi,
+    )
+
+    dim = 8
+    idx = str(tmp_path / "vidx_rebuild")
+    build_vector_index(spark, _synthetic_vecs(spark, 40, dim), idx, centroids="by_label")
+    assert read_meta(idx)["commit_epoch"] == 0  # fresh path starts at 0, as ever
+    # the epoch-only reader (r17 advice #4) agrees with the full parse
+    assert vi.read_commit_epoch(idx) == 0
+
+    srv = vi.VectorIndexServer(spark, idx, top_k=3, n_probe=4)
+    q = _synthetic_vecs(spark, 4, dim).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    first = sorted(map(tuple, srv.search(q).collect()))
+    assert len(first) == 4 * 3
+
+    # THE ABA DRILL: in-place rebuild over the same path, different
+    # corpus (salt), same dim — epoch must move to 1, not reset to 0
+    build_vector_index(
+        spark, _synthetic_vecs(spark, 40, dim, salt="v2"), idx, centroids="by_label"
+    )
+    assert read_meta(idx)["commit_epoch"] == 1
+    assert vi.read_commit_epoch(idx) == 1
+    with pytest.raises(ValueError, match="commit_epoch"):
+        srv.search(q)
+
+    # repin() recovers the SAME handle; its serve matches a fresh handle
+    assert srv.repin() is srv
+    warm = sorted(map(tuple, srv.search(q).collect()))
+    fresh = sorted(
+        map(tuple, vi.VectorIndexServer(spark, idx, top_k=3, n_probe=4).search(q).collect())
+    )
+    assert warm == fresh and len(warm) == 4 * 3
+    assert warm != first  # the rebuilt corpus actually changed the answer
+
+    # refresh bumps the carried-forward epoch further; repin follows it
+    refresh_vector_index(spark, _synthetic_vecs(spark, 8, dim, salt="v3"), idx)
+    assert vi.read_commit_epoch(idx) == 2
+    with pytest.raises(ValueError, match="commit_epoch"):
+        srv.search(q)
+    srv.repin()
+    assert len(srv.search(q).collect()) == 4 * 3
+
+    # DIM-CHANGE rebuild: repin must rebuild the rescore tree, not just
+    # the snapshot — old-dim queries are rejected, new-dim ones serve
+    dim2 = 12
+    build_vector_index(
+        spark, _synthetic_vecs(spark, 40, dim2, salt="v4"), idx, centroids="by_label"
+    )
+    assert vi.read_commit_epoch(idx) == 3  # carried across the refresh too
+    with pytest.raises(ValueError, match="commit_epoch"):
+        srv.search(q)
+    srv.repin()
+    with pytest.raises(ValueError, match="does not match the index"):
+        srv.search(q)  # dim-8 queries against the dim-12 model
+    q2 = _synthetic_vecs(spark, 4, dim2, salt="v4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    warm2 = sorted(map(tuple, srv.search(q2).collect()))
+    one_shot2 = sorted(
+        map(tuple, vi.search_vector_index_df(spark, idx, q2, top_k=3, n_probe=4).collect())
+    )
+    assert warm2 == one_shot2 and len(warm2) == 4 * 3
