@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 from ..sources.tables import table
@@ -601,6 +602,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_simhash"] = dedup_simhash
 
 
+def _cc_driver_unionfind(e: DataFrame) -> DataFrame:
+    """Driver-side exact connected components over a BOUNDED canonical
+    edge set (caller dispatches under ``spark.sdt.cc.collectMaxEdges``):
+    union-find with path compression, then one pass mapping every node to
+    its component MINIMUM — the same (node, label) rows the distributed
+    star contraction converges to, component roots excluded (a root never
+    appears as a star edge's src; callers coalesce absent nodes to
+    themselves)."""
+    rows = e.collect()  # bounded by the dispatch cap
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = find(row[0]), find(row[1])
+        if a != b:
+            parent[a] = b
+    comp_min: dict = {}
+    nodes = {v for row in rows for v in (row[0], row[1])}
+    for v in nodes:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    out = [(v, comp_min[find(v)]) for v in nodes if v != comp_min[find(v)]]
+    node_t = e.schema["src"].dataType
+    schema = StructType(
+        [StructField("node", node_t, False), StructField("label", node_t, False)]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -613,6 +651,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     ``edges`` is any (src, dst) pair frame (direction ignored). Returns
     (node, label) with label = the component's minimum node id; isolated
     nodes don't appear (callers left-join and coalesce to the node id).
+
+    Physical dispatch (r18): canonical edge sets at or under
+    ``spark.sdt.cc.collectMaxEdges`` (default 50 000; 0 disables) run
+    exact union-find on the driver — identical labels, no shuffle
+    rounds, no ``max_rounds`` involvement (union-find cannot return
+    partial labels). Larger sets run the distributed star contraction
+    below. Path equality is test-pinned
+    (tests/test_llm_ops.py::test_connected_components_dispatch_parity).
 
     Scale shape: each round is two self-contained groupBy+join passes over
     the CURRENT edge set (which only shrinks toward node count); lineage
@@ -633,14 +679,37 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .distinct()
     )
     e = checkpoint_pinned(e, eager=True)
-    if e.isEmpty():
+    # ONE count job seeds both the empty short-circuit and the fixpoint
+    # test's left side: every round's test used to re-count the PREVIOUS
+    # round's checkpointed set (a job whose answer was already known) and
+    # the entry paid a separate isEmpty — the r18 ingest phase probe
+    # (tools/ingest_phase_probe.py) put cc_rounds at ~1.5-1.9 s/batch of
+    # pure fixed cost on 24-32-edge batches, so every job matters here.
+    n_e = e.count()
+    if n_e == 0:
         # no edges ⇒ no non-trivial components (isolated nodes never
         # appear; callers coalesce them to themselves). Skip the
         # star-contraction round entirely — a round is ~6 shuffle jobs,
         # and the CLEAN batch (zero near-dup pairs) is the common case
-        # in streaming ingest; isEmpty on the just-checkpointed set
-        # reads one partition.
+        # in streaming ingest.
         return e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    # cost-based dispatch (the window_rank / FK-sampling / percentile
+    # pattern): a SMALL edge set runs exact union-find on the driver —
+    # identical labels (component minimum), zero shuffle rounds. The r18
+    # ingest phase probe measured the distributed rounds at ~1.5-2 s of
+    # pure fixed cost per micro-batch on 24-32-edge batches (each round
+    # is ~6 exchanges + an eager checkpoint + fixpoint-test jobs, all
+    # latency at that size); union-find over a bounded collect is
+    # milliseconds. The bound is edges ALREADY counted for the empty
+    # short-circuit, so the dispatch costs no extra job; memory is
+    # broadcast-side class (50k edges ≈ a few MB of Row objects).
+    # Production tuning: spark.sdt.cc.collectMaxEdges (0 disables).
+    try:
+        cap = int(edges.sparkSession.conf.get("spark.sdt.cc.collectMaxEdges", "50000"))
+    except ValueError:
+        cap = 50000
+    if n_e <= cap:
+        return _cc_driver_unionfind(e)
 
     def large_star(e: DataFrame) -> DataFrame:
         # per node u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
@@ -677,12 +746,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         # its connectedComponents every couple of iterations.
         e2 = checkpoint_pinned(small_star(large_star(e)), eager=True)
         # exact fixpoint test: both sides are distinct sets, so equal
-        # count + empty anti-join ⇔ identical edge sets
+        # count + empty anti-join ⇔ identical edge sets. n_e carries the
+        # previous round's count — one count job per round, not two.
+        n_e2 = e2.count()
         converged = (
-            e.count() == e2.count()
+            n_e == n_e2
             and e2.join(e, ["src", "dst"], "left_anti").limit(1).count() == 0
         )
-        e = e2
+        e, n_e = e2, n_e2
         if converged:
             break
     if not converged:

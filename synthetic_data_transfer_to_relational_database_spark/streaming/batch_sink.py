@@ -5,18 +5,30 @@ The production pattern for sinks Structured Streaming lacks natively
 (JDBC upserts, partitioned parquet with custom layout): each micro-batch
 arrives as a plain DataFrame plus a monotonically increasing batch_id.
 Spark guarantees at-least-once delivery per batch_id after recovery, so
-idempotence = skip batch_ids already recorded. We persist the ledger as a
-single-row parquet per batch under ``<path>/_batch_ledger/`` — the same
-recipe works on any cluster filesystem.
+idempotence = skip batch_ids already recorded. The ledger is a directory
+of zero-byte marker files ``<path>/_batch_ledger/<id>.committed`` —
+existence IS the commit, written and listed through the Hadoop
+FileSystem API (works on any cluster filesystem; a 0-byte create+close
+is visible-atomically on local/HDFS, and a single PUT on object stores).
+
+The r18 ingest phase probe (tools/ingest_phase_probe.py) measured the
+original single-row-parquet-per-batch ledger at ~0.5-0.9 s per commit
+(one Spark job + the FileOutputCommitter's temporary-dir/rename dance
+for FOUR BYTES of payload) plus ~0.15 s per replay-guard read (a
+parquet scan job per micro-batch) — pure per-trigger fixed cost, the
+term that never amortizes no matter the batch size (guide §1.2/§2: the
+fix is removing passes, and these two were whole Spark jobs carrying no
+data). Driver-side FS calls are ~ms. Ledgers written by earlier
+versions (parquet rows) are still honored: the reader unions legacy
+parquet content with the marker files, so a resumed corpus never
+re-ingests.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -24,13 +36,38 @@ def _ledger_path(path: str) -> str:
     return os.path.join(path, "_batch_ledger")
 
 
+def _ledger_fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for the ledger dir. py4j handles —
+    driver-side metadata calls only, never data movement."""
+    jvm = spark._sc._jvm  # noqa: SLF001 — Hadoop FS API lives JVM-side
+    hpath = jvm.org.apache.hadoop.fs.Path(_ledger_path(path))
+    fs = hpath.getFileSystem(spark._sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, hpath, jvm
+
+
 def committed_batch_ids(spark: SparkSession, path: str) -> set[int]:
-    try:
-        return {r[0] for r in spark.read.parquet(_ledger_path(path)).select("batch_id").collect()}
-    except AnalysisException:  # first run: ledger doesn't exist yet.
-        # Deliberately narrow: a transient read failure must PROPAGATE —
-        # treating it as "no batches committed" would re-append everything.
+    """Set of committed batch ids: one FS listing (no Spark job).
+    Errors other than directory-absent PROPAGATE — treating a transient
+    read failure as "no batches committed" would re-append everything."""
+    fs, hpath, _ = _ledger_fs(spark, path)
+    if not fs.exists(hpath):  # first run: ledger doesn't exist yet
         return set()
+    ids: set[int] = set()
+    legacy = False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.endswith(".committed"):
+            ids.add(int(name[: -len(".committed")]))
+        elif name.endswith(".parquet"):
+            legacy = True
+    if legacy:  # ledger written by the pre-r18 single-row-parquet format
+        ids.update(
+            r[0]
+            for r in spark.read.parquet(_ledger_path(path))
+            .select("batch_id")
+            .collect()
+        )
+    return ids
 
 
 def drain_if_committed(spark: SparkSession, batch_df: DataFrame, path: str, batch_id: int) -> bool:
@@ -46,12 +83,19 @@ def drain_if_committed(spark: SparkSession, batch_df: DataFrame, path: str, batc
 
 
 def mark_batch_committed(spark: SparkSession, path: str, batch_id: int) -> None:
-    """Append ``batch_id`` to the sink ledger — the LAST step of a
+    """Record ``batch_id`` in the sink ledger — the LAST step of a
     ledgered batch commit (everything before it must be idempotent
-    under replay; everything after it is skipped by drain_if_committed)."""
-    spark.createDataFrame([(batch_id,)], "batch_id long").write.mode("append").parquet(
-        _ledger_path(path)
+    under replay; everything after it is skipped by drain_if_committed).
+    A zero-byte ``<id>.committed`` marker created through the Hadoop FS
+    API: no Spark job, no output-committer rename dance (see module
+    docstring for the measured cost this replaced)."""
+    fs, hpath, jvm = _ledger_fs(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(_ledger_path(path), f"{int(batch_id)}.committed")
     )
+    # overwrite=True: a replayed commit (crash between data write and a
+    # prior attempt's marker landing) is a no-op rewrite of 0 bytes
+    fs.create(marker, True).close()
 
 
 def write_stream_to_parquet(

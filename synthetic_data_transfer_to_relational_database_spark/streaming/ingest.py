@@ -378,22 +378,50 @@ def verify_index(spark: SparkSession, index_table: str, out_path: str) -> dict:
     ``forget_documents``/``compact_index`` in a maintenance window, and
     rebuild with ``bootstrap_index`` when it reports drift.
 
-    Scale shape: one re-sign pass over the corpus (map-side, the same
-    cost as one ingest batch per unit of corpus) and one distinct
-    anti-join each way keyed by (doc_id, band) — linear, no quadratics.
+    Scale shape: ONE re-sign pass over the corpus (map-side, the same
+    cost as one ingest batch per unit of corpus) and ONE full-outer join
+    of the two per-key-grouped sides, keyed by (doc_id, band, band_sig)
+    — linear, no quadratics. (Pre-r18 this was two separate anti-join
+    count jobs sharing the uncached ``expected`` frame, so the corpus
+    re-sign — the expensive map work — ran TWICE; guide §1.2, don't
+    compute things twice. Counting semantics are unchanged:
+    ``expected`` is one row per (doc_id, band) by build_lsh_index
+    construction, so grouping it cannot collapse rows, and the stale
+    count sums the ACTUAL side's per-key multiplicity so un-compacted
+    replay twins of a genuinely-stale key still count each row, exactly
+    as the left_anti count did.)
 
     Returns {"ok", "missing_from_index", "stale_in_index"}.
     """
-    expected = build_lsh_index(
-        spark.read.parquet(os.path.join(out_path, "data")).drop("batch_id")
-    ).select("doc_id", "band", "band_sig")
-    actual = read_bucketed(spark, index_table).select("doc_id", "band", "band_sig")
-    missing = expected.join(
-        actual, ["doc_id", "band", "band_sig"], "left_anti"
-    ).count()
-    stale = actual.join(
-        expected, ["doc_id", "band", "band_sig"], "left_anti"
-    ).count()
+    keys = ["doc_id", "band", "band_sig"]
+    expected = (
+        build_lsh_index(
+            spark.read.parquet(os.path.join(out_path, "data")).drop("batch_id")
+        )
+        .select(*keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__e_cnt"))
+    )
+    actual = (
+        read_bucketed(spark, index_table)
+        .select(*keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__a_cnt"))
+    )
+    row = (
+        expected.join(actual, keys, "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("__a_cnt").isNull(), F.col("__e_cnt")).otherwise(F.lit(0))
+            ).alias("missing"),
+            F.sum(
+                F.when(F.col("__e_cnt").isNull(), F.col("__a_cnt")).otherwise(F.lit(0))
+            ).alias("stale"),
+        )
+        .first()
+    )
+    missing = int(row["missing"] or 0)
+    stale = int(row["stale"] or 0)
     return {
         "ok": missing == 0 and stale == 0,
         "missing_from_index": missing,

@@ -208,16 +208,54 @@ def test_connected_components_deep_chain(spark):
     """Star contraction must handle components whose diameter dwarfs the
     round budget that one-hop label propagation could afford: a 150-node
     chain (diameter 149) plus a triangle converge in O(log n) rounds,
-    every node labeled with its component minimum."""
+    every node labeled with its component minimum. Forces the
+    DISTRIBUTED path (collectMaxEdges=0) — the r18 small-edge-set driver
+    dispatch would otherwise swallow this star-contraction drill."""
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(149)] + [(500, 501), (501, 502), (500, 502)],
         "src long, dst long",
     )
-    labels = {r["node"]: r["label"] for r in dedup.connected_components(edges).collect()}
+    spark.conf.set("spark.sdt.cc.collectMaxEdges", "0")
+    try:
+        labels = {
+            r["node"]: r["label"] for r in dedup.connected_components(edges).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sdt.cc.collectMaxEdges")
     assert all(labels[i] == 0 for i in range(1, 150))
     assert labels[501] == 500 and labels[502] == 500
     # component roots carry no star edge — callers coalesce to self
     assert 0 not in labels and 500 not in labels
+
+
+def test_connected_components_dispatch_parity(spark):
+    """The r18 cost-based dispatch (small canonical edge sets run exact
+    union-find on the driver, the window_rank smallInputBytes pattern)
+    must be label-IDENTICAL to the distributed star contraction — same
+    (node, label) row set, component roots absent on both paths. A
+    seeded random graph with chains, triangles, duplicate/reversed
+    edges and self-loops exercises canonicalization too."""
+    import random
+
+    rng = random.Random(18)
+    raw = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    raw += [(i, i) for i in range(0, 20, 3)]  # self-loops
+    raw += [(b, a) for a, b in raw[:40]]  # reversed duplicates
+    edges = spark.createDataFrame(raw, "src long, dst long")
+
+    driver = {
+        (r["node"], r["label"])
+        for r in dedup.connected_components(edges).collect()  # default cap: driver path
+    }
+    spark.conf.set("spark.sdt.cc.collectMaxEdges", "0")
+    try:
+        dist = {
+            (r["node"], r["label"])
+            for r in dedup.connected_components(edges).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sdt.cc.collectMaxEdges")
+    assert driver == dist and len(driver) > 0
 
 
 def test_connected_components_empty_and_selfloop_fast_path(spark):
@@ -236,12 +274,19 @@ def test_connected_components_empty_and_selfloop_fast_path(spark):
 
 def test_connected_components_refuses_partial_labels(spark):
     """ADVICE r2: hitting the round cap without a fixpoint must raise —
-    partial labels are wrong labels, never returned silently."""
+    partial labels are wrong labels, never returned silently. Applies to
+    the DISTRIBUTED path only (forced via collectMaxEdges=0): the r18
+    driver union-find dispatch is exact by construction and has no
+    rounds to cap."""
     import pytest
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(99)], "src long, dst long")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_rounds=1)
+    spark.conf.set("spark.sdt.cc.collectMaxEdges", "0")
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(edges, max_rounds=1)
+    finally:
+        spark.conf.unset("spark.sdt.cc.collectMaxEdges")
 
 
 def test_dedup_cluster_matches_bruteforce_closure(spark, sf_dir):
