@@ -37,6 +37,70 @@ def _fold_sum(arr_expr: str) -> str:
     return f"aggregate({arr_expr}, cast(0.0 as double), (acc, x) -> acc + x)"
 
 
+def _dot_sql_lit(col_sql: str, c: list[float]) -> str:
+    """Unrolled dot product of an array column against a DRIVER-HELD
+    centroid, as ONE SQL string: ``((0.0 + (CAST(col[0] AS DOUBLE) *
+    c0)) + …)`` — the identical left-associated IEEE tree as
+    ``aggregate(zip_with(col, array(c), (a, b) -> cast(a as double) *
+    b), 0.0D, (acc, x) -> acc + x)``, so every bit matches the lambda
+    form it replaces (pinned by test_llm_ops.py::
+    test_unrolled_literal_dot_bitwise_matches_fold). The difference is
+    execution: aggregate/zip_with lambdas are CodegenFallback —
+    interpreted per row, the measured dominator of the vector serve
+    paths (SCALE.md r13-r15) — while this tree is plain
+    GetArrayItem/Cast/Multiply/Add that whole-stage codegen compiles.
+    SQL text, not Column arithmetic, for the r17 reason: the Column API
+    pays py4j round-trips per element. ``{v!r}D`` double literals
+    round-trip bit-exactly (probed: repr -> parse is the identity)."""
+    s = "CAST(0.0 AS DOUBLE)"
+    for i, v in enumerate(c):
+        s = f"({s} + (CAST({col_sql}[{i}] AS DOUBLE) * {float(v)!r}D))"
+    return s
+
+
+# Above this dimension the unrolled literal trees stop being obviously
+# cheap to analyze/compile and janino stack-depth territory begins (the
+# vector_index._UNROLL_MAX_DIM rationale; ~768 literal statements in one
+# method overflowed janino's per-statement recursion on a vanilla 1g
+# driver — see sim_search_balanced). Callers keep the bit-identical
+# lambda-fold form past it, so wide-dim paths are untouched.
+_LIT_UNROLL_MAX_DIM = 256
+
+
+def _d2_sql_lit(col_sql: str, c: list[float]) -> str:
+    """Unrolled squared-L2 distance against a driver-held centroid —
+    the ``_dot_sql_lit`` recipe for the d2 fold: bit-identical to
+    ``aggregate(zip_with(col, cv, (a, b) -> (cast(a as double) - b) *
+    (cast(a as double) - b)), 0.0D, (acc, x) -> acc + x)``."""
+    s = "CAST(0.0 AS DOUBLE)"
+    for i, v in enumerate(c):
+        t = f"(CAST({col_sql}[{i}] AS DOUBLE) - {float(v)!r}D)"
+        s = f"({s} + ({t} * {t}))"
+    return s
+
+
+def _argmin_assign_lit(
+    vectors: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str
+) -> DataFrame:
+    """Literal-model twin of ``_argmin_assign`` for DRIVER-HELD models
+    at dim <= _LIT_UNROLL_MAX_DIM: the same d2 bits (_d2_sql_lit) and
+    the same first-minimum tiebreak over the id-ordered array, but as a
+    PURE PROJECTION — no crossJoin, no broadcast, no interpreted lambda
+    per row (the zip_with/aggregate fold is CodegenFallback; at build
+    scale the whole corpus pays it per centroid). Row-identity to the
+    struct-row path is test-pinned (test_vector_index.py)."""
+    cents = sorted(centroids)
+    d2s = "array(" + ",".join(_d2_sql_lit("embedding", cv) for _, cv in cents) + ")"
+    ids = "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    scored = vectors.select("*", F.expr(d2s).alias("__d2s"))
+    idx = F.array_position(F.col("__d2s"), F.array_min("__d2s"))
+    return scored.select(
+        *vectors.columns,
+        F.element_at(F.expr(ids), idx.cast("int")).alias(id_col),
+        F.array_min("__d2s").alias("d2"),
+    )
+
+
 _DOT = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
 _NQ = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
 _NC = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
@@ -611,19 +675,28 @@ def sim_search_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_serve(e: DataFrame, cvs: list[list[float]]) -> DataFrame:
     """The IVF serving plan for a given centroid model (see callers)."""
-
-    def dot_with(c: list[float]):
-        arr = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if len(cvs[0]) <= _LIT_UNROLL_MAX_DIM:
+        # unrolled literal dots (r18, bit-identical — see _dot_sql_lit):
+        # the lambda form evaluated interpreted per row per centroid
+        cell_scores = F.expr(
+            "array(" + ",".join(_dot_sql_lit("embedding", c) for c in cvs) + ")"
         )
+    else:  # wide dims: the fold form, the sim_search_balanced budget rule
 
+        def dot_with(c: list[float]):
+            return F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), F.lit(c), lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        cell_scores = F.array(*[dot_with(c) for c in cvs])
     # named column first: array_position + array_max would otherwise
     # re-evaluate all _N_CELLS dot products twice
     scored = e.select(
-        "vec_id", "embedding", F.array(*[dot_with(c) for c in cvs]).alias("cell_scores")
+        "vec_id", "embedding", cell_scores.alias("cell_scores")
     )
     corpus = scored.select(
         "vec_id",
@@ -768,18 +841,27 @@ def _lloyd_refine(e: DataFrame, cvs: list[list[float]], iters: int = 3) -> list[
 
     n_dims = len(cvs[0])
     for _ in range(iters):
-
-        def dot_with(c: list[float]):
-            arr = F.lit(c)
-            return F.aggregate(
-                F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        if n_dims <= _LIT_UNROLL_MAX_DIM:
+            # unrolled literal dots (r18): the zip_with/aggregate lambda
+            # form was CodegenFallback — interpreted per row per centroid
+            # per iteration; the SQL-text tree is bit-identical
+            # (_dot_sql_lit) and whole-stage-codegen compiled
+            cs = F.expr(
+                "array(" + ",".join(_dot_sql_lit("embedding", c) for c in cvs) + ")"
             )
+        else:  # wide dims: the fold form, the sim_search_balanced budget rule
 
-        scored = e.select(
-            "embedding", F.array(*[dot_with(c) for c in cvs]).alias("cs")
-        )
+            def dot_with(c: list[float]):
+                return F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), F.lit(c), lambda a, b: a.cast("double") * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+
+            cs = F.array(*[dot_with(c) for c in cvs])
+        scored = e.select("embedding", cs.alias("cs"))
         assigned = scored.select(
             "embedding",
             (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int").alias("cell"),

@@ -101,7 +101,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window  # search top-k only; assignment is window-free
 
-from .similarity import _argmin_assign, _fold_sum, _lloyd_refine, _seed_centroids
+from .similarity import (
+    _LIT_UNROLL_MAX_DIM,
+    _argmin_assign,
+    _argmin_assign_lit,
+    _fold_sum,
+    _lloyd_refine,
+    _seed_centroids,
+)
 
 _META = "_centroids.json"
 _CELLS = "cells"
@@ -406,6 +413,14 @@ def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, 
     crossJoin+row_number form shuffled k copies of every 64-float
     embedding to pick rn=1, k × batch × payload bytes for a user-knob k).
     Plan-asserted shuffle-free in tests/test_plans.py."""
+    if centroids and len(centroids[0][1]) <= _LIT_UNROLL_MAX_DIM:
+        # r18: the model is driver-held here, so at codegen-safe dims the
+        # argmin is an unrolled-literal pure projection (no broadcast, no
+        # interpreted zip_with fold over the whole corpus per centroid) —
+        # d2 bits and tiebreak identical, pinned in test_vector_index.py
+        return _argmin_assign_lit(
+            vectors.select("vec_id", "label", "embedding"), centroids, "cell_id"
+        )
     cents_row = spark.createDataFrame(
         [([(cid, cv) for cid, cv in sorted(centroids)],)],
         "__cents array<struct<cell_id:int,cv:array<double>>>",

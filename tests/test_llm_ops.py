@@ -854,3 +854,36 @@ def test_text_ngram_lm_backoff_smooths_and_matches_staged_oracle(
         for r in back.values()
     )
     assert have == want
+
+
+def test_unrolled_literal_dot_bitwise_matches_fold(spark, sf_dir):
+    """_dot_sql_lit (r18): the unrolled literal-dot SQL tree that
+    replaced the interpreted zip_with/aggregate lambda in _lloyd_refine
+    and _ivf_serve must be BIT-identical to the lambda form — same
+    left-associated IEEE order, same casts — over real embeddings and an
+    adversarial centroid (negatives, tiny/huge magnitudes)."""
+    import struct
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        similarity as S,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import (
+        table,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    cent = [((i * 37) % 13 - 6) * (10.0 ** ((i % 7) - 3)) / 7.0 for i in range(dim)]
+    fold = F.aggregate(
+        F.zip_with(F.col("embedding"), F.lit(cent), lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = e.select(
+        "vec_id",
+        fold.alias("f"),
+        F.expr(S._dot_sql_lit("embedding", cent)).alias("u"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert struct.pack("<d", r["f"]) == struct.pack("<d", r["u"]), r["vec_id"]

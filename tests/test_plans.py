@@ -543,8 +543,27 @@ def test_nearest_centroid_assignment_is_map_side(spark):
         if re.search(r"\bExchange (hashpartitioning|SinglePartition|rangepartitioning)", ln)
     ]
     assert not shuffles, f"assignment stage shuffles:\n{shuffles}"
-    # the model rides a broadcast, the argmin is expression-only
-    assert "BroadcastNestedLoopJoin" in plan
+    # r18: at codegen-safe dims the driver-held model unrolls to literal
+    # expressions — a pure projection, not even a broadcast join
+    assert "Join" not in plan and "Exchange" not in plan
+
+    # wide dims keep the broadcast struct-row form (the janino budget
+    # rule): the model rides a broadcast, the argmin is expression-only
+    from pyspark.sql import functions as F
+
+    wide_e = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(sequence(0, 383), d -> cast(d as float))").alias("embedding"),
+    )
+    wide_cents = [(i, [float(i)] * 384) for i in range(4)]
+    wplan = (
+        vi._assign(spark, wide_e, wide_cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in wplan and "Window" not in wplan
 
     # the oracle-paired refresh query: its ONLY remaining window-free
     # batch path — aggregation exchanges (centroid build, per-cell counts)
