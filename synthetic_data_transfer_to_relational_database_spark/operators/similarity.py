@@ -101,9 +101,49 @@ def _argmin_assign_lit(
     )
 
 
-_DOT = _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))")
-_NQ = _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))")
-_NC = _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))")
+_EMB_DIM = 64  # the embeddings width every paired oracle hardcodes
+               # (generate_series(1, 64) in the DuckDB twins)
+
+
+def _dot_sql_cols(x: str, y: str, dim: int) -> str:
+    """Unrolled column×column dot product — the vector_index._unrolled_dot
+    shape (proven bit-identical to the zip_with/aggregate fold over 2.5M
+    real pairs, SCALE.md r15): plain GetArrayItem/Cast/Multiply/Add that
+    whole-stage codegen compiles, where the fold is CodegenFallback —
+    interpreted per row, the measured dominator of every pair-scoring
+    plan in this module."""
+    s = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        s = f"({s} + (CAST({x}[{i}] AS DOUBLE) * CAST({y}[{i}] AS DOUBLE)))"
+    return s
+
+
+def _dim_guarded(unrolled: str, fold: str, *cols: str) -> str:
+    """Unrolled fast path behind an EXACT width guard: on the contract
+    width (_EMB_DIM, the only width the paired oracles define) the
+    unrolled tree evaluates — bit-identical to the fold — and any other
+    width falls back to the width-agnostic fold instead of silently
+    NULL-poisoning out-of-range GetArrayItems."""
+    cond = " AND ".join(f"size({c}) = {_EMB_DIM}" for c in cols)
+    return f"(CASE WHEN {cond} THEN {unrolled} ELSE {fold} END)"
+
+
+_DOT = _dim_guarded(
+    _dot_sql_cols("qv", "cv", _EMB_DIM),
+    _fold_sum("zip_with(qv, cv, (a, b) -> cast(a as double) * cast(b as double))"),
+    "qv",
+    "cv",
+)
+_NQ = _dim_guarded(
+    _dot_sql_cols("qv", "qv", _EMB_DIM),
+    _fold_sum("transform(qv, a -> cast(a as double) * cast(a as double))"),
+    "qv",
+)
+_NC = _dim_guarded(
+    _dot_sql_cols("cv", "cv", _EMB_DIM),
+    _fold_sum("transform(cv, b -> cast(b as double) * cast(b as double))"),
+    "cv",
+)
 
 
 # exact brute-force top-k oracle — shared by sim_search (the in-plan
@@ -998,8 +1038,19 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 3
-_DOT_AB = _fold_sum("zip_with(av, bv, (a, b) -> cast(a as double) * cast(b as double))")
-_VNORM = _fold_sum("transform(embedding, x -> cast(x as double) * cast(x as double))")
+# unrolled-behind-width-guard (r18): the docstrings below call the
+# 64-dim dot fold "the whole cost" of the kNN graph — see _dim_guarded
+_DOT_AB = _dim_guarded(
+    _dot_sql_cols("av", "bv", _EMB_DIM),
+    _fold_sum("zip_with(av, bv, (a, b) -> cast(a as double) * cast(b as double))"),
+    "av",
+    "bv",
+)
+_VNORM = _dim_guarded(
+    _dot_sql_cols("embedding", "embedding", _EMB_DIM),
+    _fold_sum("transform(embedding, x -> cast(x as double) * cast(x as double))"),
+    "embedding",
+)
 
 
 def _norm_sides(e: DataFrame, src: str, dst: str):
