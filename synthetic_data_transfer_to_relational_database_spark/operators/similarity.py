@@ -37,25 +37,51 @@ def _fold_sum(arr_expr: str) -> str:
     return f"aggregate({arr_expr}, cast(0.0 as double), (acc, x) -> acc + x)"
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: ``{v!r}D`` round-trips bit-exactly for
+    finite values (probed: repr -> parse is the identity); non-finite
+    values — a NaN embedding component can make a Lloyd mean NaN, and
+    json round-trips it — render as the CAST form Spark's parser accepts
+    (``nanD`` would be an unresolved identifier = a plan-build crash)."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def _arr_lit(c: list[float]) -> str:
+    """SQL array literal of exact double literals."""
+    return "array(" + ", ".join(_dlit(v) for v in c) + ")"
+
+
 def _dot_sql_lit(col_sql: str, c: list[float]) -> str:
-    """Unrolled dot product of an array column against a DRIVER-HELD
-    centroid, as ONE SQL string: ``((0.0 + (CAST(col[0] AS DOUBLE) *
-    c0)) + …)`` — the identical left-associated IEEE tree as
-    ``aggregate(zip_with(col, array(c), (a, b) -> cast(a as double) *
-    b), 0.0D, (acc, x) -> acc + x)``, so every bit matches the lambda
-    form it replaces (pinned by test_llm_ops.py::
-    test_unrolled_literal_dot_bitwise_matches_fold). The difference is
-    execution: aggregate/zip_with lambdas are CodegenFallback —
-    interpreted per row, the measured dominator of the vector serve
-    paths (SCALE.md r13-r15) — while this tree is plain
-    GetArrayItem/Cast/Multiply/Add that whole-stage codegen compiles.
-    SQL text, not Column arithmetic, for the r17 reason: the Column API
-    pays py4j round-trips per element. ``{v!r}D`` double literals
-    round-trip bit-exactly (probed: repr -> parse is the identity)."""
+    """Dot product of an array column against a DRIVER-HELD centroid,
+    as ONE SQL string: on rows of exactly the model's width, the
+    unrolled tree ``((0.0 + (CAST(col[0] AS DOUBLE) * c0)) + …)`` — the
+    identical left-associated IEEE tree as ``aggregate(zip_with(col,
+    array(c), (a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc +
+    x)``, so every bit matches the lambda form it replaces (pinned by
+    test_llm_ops.py::test_unrolled_literal_dot_bitwise_matches_fold);
+    any OTHER width falls through a size() guard to that textual fold,
+    reproducing the old behavior exactly (zip_with NULL-pads, so a
+    mismatched row yields NULL — a visible corruption signal — instead
+    of a silently truncated finite dot). The unrolled branch is what
+    whole-stage codegen compiles where the lambda fold is
+    CodegenFallback — interpreted per row, the measured dominator of
+    the vector serve paths (SCALE.md r13-r15). SQL text, not Column
+    arithmetic, for the r17 reason: the Column API pays py4j
+    round-trips per element."""
     s = "CAST(0.0 AS DOUBLE)"
     for i, v in enumerate(c):
-        s = f"({s} + (CAST({col_sql}[{i}] AS DOUBLE) * {float(v)!r}D))"
-    return s
+        s = f"({s} + (CAST({col_sql}[{i}] AS DOUBLE) * {_dlit(v)}))"
+    fold = _fold_sum(
+        f"zip_with({col_sql}, {_arr_lit(c)}, (a, b) -> cast(a as double) * b)"
+    )
+    return f"(CASE WHEN size({col_sql}) = {len(c)} THEN {s} ELSE {fold} END)"
 
 
 # Above this dimension the unrolled literal trees stop being obviously
@@ -68,15 +94,21 @@ _LIT_UNROLL_MAX_DIM = 256
 
 
 def _d2_sql_lit(col_sql: str, c: list[float]) -> str:
-    """Unrolled squared-L2 distance against a driver-held centroid —
-    the ``_dot_sql_lit`` recipe for the d2 fold: bit-identical to
-    ``aggregate(zip_with(col, cv, (a, b) -> (cast(a as double) - b) *
-    (cast(a as double) - b)), 0.0D, (acc, x) -> acc + x)``."""
+    """Squared-L2 distance against a driver-held centroid — the
+    ``_dot_sql_lit`` recipe for the d2 fold: unrolled tree bit-identical
+    to ``aggregate(zip_with(col, cv, (a, b) -> (cast(a as double) - b) *
+    (cast(a as double) - b)), 0.0D, (acc, x) -> acc + x)`` on
+    exact-width rows, with the same textual fold as the size()-guarded
+    fallback on any other width (NULL, never a truncated distance)."""
     s = "CAST(0.0 AS DOUBLE)"
     for i, v in enumerate(c):
-        t = f"(CAST({col_sql}[{i}] AS DOUBLE) - {float(v)!r}D)"
+        t = f"(CAST({col_sql}[{i}] AS DOUBLE) - {_dlit(v)})"
         s = f"({s} + ({t} * {t}))"
-    return s
+    fold = _fold_sum(
+        f"zip_with({col_sql}, {_arr_lit(c)}, "
+        "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b))"
+    )
+    return f"(CASE WHEN size({col_sql}) = {len(c)} THEN {s} ELSE {fold} END)"
 
 
 def _argmin_assign_lit(

@@ -61,9 +61,14 @@ def committed_batch_ids(spark: SparkSession, path: str) -> set[int]:
         elif name.endswith(".parquet"):
             legacy = True
     if legacy:  # ledger written by the pre-r18 single-row-parquet format
+        # pathGlobFilter: the directory may ALSO hold new-format zero-byte
+        # .committed markers (a pre-r18 corpus resumed post-upgrade), and a
+        # bare parquet read over the mixed directory dies on them
+        # ("length is too low: 0") — which would wedge every later trigger
         ids.update(
             r[0]
-            for r in spark.read.parquet(_ledger_path(path))
+            for r in spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(_ledger_path(path))
             .select("batch_id")
             .collect()
         )

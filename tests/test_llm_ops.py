@@ -887,3 +887,33 @@ def test_unrolled_literal_dot_bitwise_matches_fold(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert struct.pack("<d", r["f"]) == struct.pack("<d", r["u"]), r["vec_id"]
+
+
+def test_literal_dot_nonfinite_and_width_mismatch_guards(spark):
+    """r18 review hardening: (a) non-finite centroid components must
+    render as parseable SQL (repr would emit 'nanD' — an unresolved
+    identifier crash); (b) rows NOT matching the model width must fall
+    back to the zip_with fold's behavior — NULL (visible corruption
+    signal), never a silently truncated finite dot/d2."""
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        similarity as S,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0, 4.0]), (3, [1.0, 2.0])],
+        "id long, v array<double>",
+    )
+    cent = [float("nan"), 2.0, float("inf")]
+    got = {
+        r["id"]: (r["d"], r["d2"])
+        for r in rows.select(
+            "id",
+            F.expr(S._dot_sql_lit("v", cent)).alias("d"),
+            F.expr(S._d2_sql_lit("v", cent)).alias("d2"),
+        ).collect()
+    }
+    # width match: evaluates (NaN propagates through the math, no crash)
+    assert got[1][0] != got[1][0] and got[1][1] != got[1][1]  # NaN
+    # width mismatch either direction: NULL, exactly like the fold
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)

@@ -1236,3 +1236,26 @@ def test_stream_vector_refresh_compact_every(spark, tmp_path):
     # replay of a merged batch still drains on the untouched ledger
     rep = refresh_vector_index(spark, batches[1], idx, stream_batch_id=1)
     assert rep["replayed"] and read_meta(idx)["n_vectors"] == meta["n_vectors"]
+
+
+def test_ledger_mixed_legacy_and_marker_formats(spark, tmp_path):
+    """r18 review: a pre-r18 corpus resumed after the marker-file ledger
+    landed holds BOTH single-row parquet ledger files and zero-byte
+    .committed markers in _batch_ledger/. The reader must union both
+    (the migration promise: a resumed corpus never re-ingests) — a bare
+    parquet read over the mixed dir dies on the 0-byte markers."""
+    import os
+
+    from synthetic_data_transfer_to_relational_database_spark.streaming.batch_sink import (
+        committed_batch_ids,
+        mark_batch_committed,
+    )
+
+    out = str(tmp_path / "corpus")
+    # legacy format: what pre-r18 mark_batch_committed wrote
+    spark.createDataFrame([(0,), (1,)], "batch_id long").write.mode(
+        "append"
+    ).parquet(os.path.join(out, "_batch_ledger"))
+    # new format on top
+    mark_batch_committed(spark, out, 2)
+    assert committed_batch_ids(spark, out) == {0, 1, 2}
