@@ -92,6 +92,49 @@ def _dot_sql_lit(col_sql: str, c: list[float]) -> str:
 # lambda-fold form past it, so wide-dim paths are untouched.
 _LIT_UNROLL_MAX_DIM = 256
 
+# r19 (ADVICE r18 #3): the dim cap bounds PER-CENTROID tree depth only;
+# a k-centroid projection emits k×dim terms in ONE generated method, so
+# the janino budget must also cap the TOTAL. 2048 = the widest shape the
+# r18 paths ever took (8 cells × 256 dims); past it the generated method
+# would silently fall back to interpreted compile-retry — the fold form
+# is the honest choice there.
+_LIT_UNROLL_MAX_TERMS = 2048
+
+
+def _lit_build_path(df: DataFrame, cvs: list[list[float]]) -> bool:
+    """BUILD-side literal-unroll dispatch (r19, bench-adjudicated): the
+    unrolled-literal centroid trees (`_dot_sql_lit`/`_d2_sql_lit`) carry
+    a per-INVOCATION driver fixed cost — each Lloyd iteration / assign
+    embeds that model's values as scalar literals, so the optimizer,
+    codegen source build and janino compile re-run on a unique ~k×dim-term
+    tree every time (~0.7-1.0 s per projection measured,
+    tools/lloyd_cost_probe.py, settled rig). The compiled row eval only
+    pays that back when the corpus is big enough: at the bench's 2000-row
+    corpus the fold arm ran the whole sim_search_index entry 4.3-4.6 s vs
+    6.7-7.4 s for the literal arm (3 reps each, paired), while the fold's
+    interpreted per-row×per-cell×per-dim eval overtakes ~1 s of fixed
+    cost per pass around ~8 MiB of embeddings (≈16k × dim-64 doubles:
+    8M lambda steps/pass). Dispatch on Catalyst's input-size estimate —
+    the repo's standing smallInputBytes pattern — under
+    ``spark.sdt.vector.litUnrollMinBytes`` (default 8 MiB; 0 forces the
+    literal path, the plan-shape tests use it). Both branches are
+    bit-identical (r18 pins), so the dispatch can never change results.
+
+    Also guards the empty-model IndexError (ADVICE r18 #2) and the k×dim
+    janino term budget (ADVICE r18 #3)."""
+    if not cvs or len(cvs[0]) > _LIT_UNROLL_MAX_DIM:
+        return False
+    if len(cvs) * len(cvs[0]) > _LIT_UNROLL_MAX_TERMS:
+        return False
+    min_bytes = int(
+        df.sparkSession.conf.get("spark.sdt.vector.litUnrollMinBytes", str(8 << 20))
+    )
+    if min_bytes <= 0:
+        return True
+    from .skew import estimated_plan_bytes
+
+    return estimated_plan_bytes(df) >= min_bytes
+
 
 def _d2_sql_lit(col_sql: str, c: list[float]) -> str:
     """Squared-L2 distance against a driver-held centroid — the
@@ -747,9 +790,11 @@ def sim_search_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_serve(e: DataFrame, cvs: list[list[float]]) -> DataFrame:
     """The IVF serving plan for a given centroid model (see callers)."""
-    if len(cvs[0]) <= _LIT_UNROLL_MAX_DIM:
-        # unrolled literal dots (r18, bit-identical — see _dot_sql_lit):
-        # the lambda form evaluated interpreted per row per centroid
+    if _lit_build_path(e, cvs):
+        # unrolled literal dots (r18, bit-identical — see _dot_sql_lit),
+        # behind the r19 corpus-size dispatch: the lambda form evaluates
+        # interpreted per row per centroid, but the literal tree pays
+        # plan-processing fixed cost per invocation (_lit_build_path)
         cell_scores = F.expr(
             "array(" + ",".join(_dot_sql_lit("embedding", c) for c in cvs) + ")"
         )
@@ -912,12 +957,19 @@ def _lloyd_refine(e: DataFrame, cvs: list[list[float]], iters: int = 3) -> list[
     import math
 
     n_dims = len(cvs[0])
+    # r19: ONE dispatch decision for all iterations — the corpus and the
+    # model shape are loop-invariant, and the size estimate is a ~0.1 s
+    # py4j round trip not worth paying per iteration
+    use_lit = _lit_build_path(e, cvs)
     for _ in range(iters):
-        if n_dims <= _LIT_UNROLL_MAX_DIM:
+        if use_lit:
             # unrolled literal dots (r18): the zip_with/aggregate lambda
             # form was CodegenFallback — interpreted per row per centroid
             # per iteration; the SQL-text tree is bit-identical
-            # (_dot_sql_lit) and whole-stage-codegen compiled
+            # (_dot_sql_lit) and whole-stage-codegen compiled. Each
+            # iteration's UNIQUE literals re-pay optimizer+codegen+janino
+            # (~1 s, tools/lloyd_cost_probe.py) — _lit_build_path only
+            # routes here when the corpus eval savings cover it.
             cs = F.expr(
                 "array(" + ",".join(_dot_sql_lit("embedding", c) for c in cvs) + ")"
             )

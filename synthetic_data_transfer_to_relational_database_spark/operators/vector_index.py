@@ -102,10 +102,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window  # search top-k only; assignment is window-free
 
 from .similarity import (
-    _LIT_UNROLL_MAX_DIM,
     _argmin_assign,
     _argmin_assign_lit,
     _fold_sum,
+    _lit_build_path,
     _lloyd_refine,
     _seed_centroids,
 )
@@ -413,11 +413,14 @@ def _assign(spark: SparkSession, vectors: DataFrame, centroids: list[tuple[int, 
     crossJoin+row_number form shuffled k copies of every 64-float
     embedding to pick rn=1, k × batch × payload bytes for a user-knob k).
     Plan-asserted shuffle-free in tests/test_plans.py."""
-    if centroids and len(centroids[0][1]) <= _LIT_UNROLL_MAX_DIM:
+    if _lit_build_path(vectors, [cv for _, cv in centroids]):
         # r18: the model is driver-held here, so at codegen-safe dims the
         # argmin is an unrolled-literal pure projection (no broadcast, no
         # interpreted zip_with fold over the whole corpus per centroid) —
-        # d2 bits and tiebreak identical, pinned in test_vector_index.py
+        # d2 bits and tiebreak identical, pinned in test_vector_index.py.
+        # r19: behind the corpus-size dispatch (similarity._lit_build_path)
+        # — the unique-literal tree costs ~1 s of per-invocation plan
+        # processing that a small batch never earns back.
         return _argmin_assign_lit(
             vectors.select("vec_id", "label", "embedding"), centroids, "cell_id"
         )

@@ -889,6 +889,42 @@ def test_unrolled_literal_dot_bitwise_matches_fold(spark, sf_dir):
         assert struct.pack("<d", r["f"]) == struct.pack("<d", r["u"]), r["vec_id"]
 
 
+def test_lit_build_path_dispatch_and_lloyd_parity(spark, sf_dir):
+    """r19: the build-side literal-unroll dispatch
+    (similarity._lit_build_path) must (a) route small corpora to the fold
+    form and honor the conf both ways, (b) refuse empty models and k×dim
+    budget violations (ADVICE r18 #2/#3), and (c) produce IDENTICAL Lloyd
+    centroids on both branches — the dispatch may change plan shape,
+    never a result."""
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        similarity as S,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import (
+        table,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    seeds = S._seed_centroids(e)
+    # (a) this test corpus is far below the 8 MiB default -> fold branch
+    assert S._lit_build_path(e, seeds) is False
+    spark.conf.set("spark.sdt.vector.litUnrollMinBytes", "0")
+    try:
+        assert S._lit_build_path(e, seeds) is True
+        # (b) guards still apply under a forced conf
+        assert S._lit_build_path(e, []) is False
+        assert S._lit_build_path(e, [[0.0] * 300] * 2) is False  # dim cap
+        assert S._lit_build_path(e, [[0.0] * 256] * 9) is False  # k*dim cap
+        lit_cvs = S._lloyd_refine(e, seeds, iters=2)
+    finally:
+        spark.conf.unset("spark.sdt.vector.litUnrollMinBytes")
+    fold_cvs = S._lloyd_refine(e, seeds, iters=2)
+    # (c) bit-identical centroids either way
+    import struct
+
+    pack = lambda cvs: [struct.pack(f"<{len(c)}d", *c) for c in cvs]  # noqa: E731
+    assert pack(lit_cvs) == pack(fold_cvs)
+
+
 def test_literal_dot_nonfinite_and_width_mismatch_guards(spark):
     """r18 review hardening: (a) non-finite centroid components must
     render as parseable SQL (repr would emit 'nanD' — an unresolved

@@ -535,17 +535,42 @@ def test_nearest_centroid_assignment_is_map_side(spark):
         "vec_id", "label", "embedding"
     )
     cents = [(i, [float(i)] * 64) for i in range(8)]
-    plan = vi._assign(spark, e, cents)._jdf.queryExecution().executedPlan().toString()
+
+    def _shuffles(p: str) -> list[str]:
+        return [
+            ln
+            for ln in p.splitlines()
+            if re.search(
+                r"\bExchange (hashpartitioning|SinglePartition|rangepartitioning)", ln
+            )
+        ]
+
+    # r19: the literal-unroll branch is size-dispatched (the unique-literal
+    # tree costs ~1 s of per-invocation plan processing — see
+    # similarity._lit_build_path); force it to pin its plan shape
+    spark.conf.set("spark.sdt.vector.litUnrollMinBytes", "0")
+    try:
+        plan = (
+            vi._assign(spark, e, cents)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.sdt.vector.litUnrollMinBytes")
     assert "Window" not in plan
-    shuffles = [
-        ln
-        for ln in plan.splitlines()
-        if re.search(r"\bExchange (hashpartitioning|SinglePartition|rangepartitioning)", ln)
-    ]
-    assert not shuffles, f"assignment stage shuffles:\n{shuffles}"
+    assert not _shuffles(plan), f"assignment stage shuffles:\n{_shuffles(plan)}"
     # r18: at codegen-safe dims the driver-held model unrolls to literal
     # expressions — a pure projection, not even a broadcast join
     assert "Join" not in plan and "Exchange" not in plan
+
+    # default dispatch at this test corpus (small): the struct-row
+    # broadcast form — still window-free and shuffle-free, the model
+    # rides a broadcast, and both outcomes are row-identical
+    # (test_vector_index.py::test_assign_literal_path_row_identical...)
+    dplan = (
+        vi._assign(spark, e, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in dplan
+    assert not _shuffles(dplan), f"assignment stage shuffles:\n{_shuffles(dplan)}"
+    assert "BroadcastNestedLoopJoin" in dplan
 
     # wide dims keep the broadcast struct-row form (the janino budget
     # rule): the model rides a broadcast, the argmin is expression-only
