@@ -380,13 +380,23 @@ def sim_search_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r19 (verdict item 4): this key's own local folds were never
+    # converted in the r18 fold sweep — the interpreted aggregate/
+    # transform lambdas are CodegenFallback per row per element; the
+    # width-guarded unrolled trees (same left-associated IEEE order,
+    # fold fallback off-contract widths) are whole-stage compiled.
+    # l2 reuses _VNORM (embedding·embedding, already proven); l1 gets
+    # the same construction over abs terms.
     e = table(spark, sf_dir, "embeddings")
-    sq = _fold_sum("transform(embedding, x -> cast(x as double) * cast(x as double))")
-    ab = _fold_sum("transform(embedding, x -> abs(cast(x as double)))")
+    ab_fold = _fold_sum("transform(embedding, x -> abs(cast(x as double)))")
+    ab_unrolled = "CAST(0.0 AS DOUBLE)"
+    for i in range(_EMB_DIM):
+        ab_unrolled = f"({ab_unrolled} + abs(CAST(embedding[{i}] AS DOUBLE)))"
+    ab = _dim_guarded(ab_unrolled, ab_fold, "embedding")
     return e.select(
         "vec_id",
         "label",
-        F.sqrt(F.expr(sq)).alias("l2_norm"),
+        F.sqrt(F.expr(_VNORM)).alias("l2_norm"),
         F.expr(ab).alias("l1_norm"),
         F.size("embedding").cast("long").alias("dim"),
     )

@@ -867,12 +867,28 @@ def _doc_pair_commons(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B| verification, returning (doc_a < doc_b, n_common, n_a, n_b).
     All scale discipline (the least(relative, absolute) df cap, keyed
     verification joins, the single cached tokenize pass) lives HERE so
-    the two consumers cannot drift."""
+    the two consumers cannot drift.
+
+    r19 (verdict item 3): verification is ARRAY-INTERSECT based — the
+    per-doc distinct token set is grouped ONCE into an array column and
+    each candidate pair computes ``size(array_intersect(ta, tb))`` after
+    two doc-keyed joins. vs the r18 explode form (join tok on doc_a,
+    join tok again on (doc_b, token), groupBy pair) this removes the
+    (doc_id, token)-keyed second verification Exchange AND the pair-keyed
+    count aggregation Exchange, and the sizes joins disappear entirely
+    (n_a/n_b are just size(toks)). Identity: ``tok`` is DISTINCT, so the
+    array is the exact token set, the intersect size is the exact
+    matched-token count the old COUNT(*) produced, and sizes are the set
+    sizes — same integers, same rows (oracle unchanged, hash re-verified).
+    Bytes shuffled are the same token sets, as one array row per doc per
+    pair side instead of one row per token."""
     d = table(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
     tok = d.select("doc_id", F.explode(_tokens()).alias("token")).distinct().cache()
     df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    n = sizes.agg(F.count(F.lit(1)).alias("n_docs"))
+    # one grouped pass yields the verification arrays AND the doc count;
+    # per-doc sizes come free as size(toks)
+    doc_toks = tok.groupBy("doc_id").agg(F.collect_list("token").alias("toks"))
+    n = doc_toks.agg(F.count(F.lit(1)).alias("n_docs"))
     abs_cap = int(spark.conf.get("spark.sdt.pairs.maxTokenDf", "10000"))
     # Every join below whose build side SCALES WITH THE CORPUS (the df
     # vocabulary, the token index, the per-doc sizes) is hinted
@@ -905,29 +921,22 @@ def _doc_pair_commons(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it scale with PAIR DENSITY, which is corpus-dependent and
     # explodes under adversarial dup mass — at the 10× probe corpus
     # the cand-side build OOMed while the index-side build ran in
-    # 41.5 s. Keep the hints on the index side.
-    ta, tb = tok.alias("ta").hint("shuffle_hash"), tok.alias("tb").hint("shuffle_hash")
-    common = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.token") == F.col("ta.token")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa").hint("shuffle_hash")
-    sb = sizes.alias("sb").hint("shuffle_hash")
+    # 41.5 s. Keep the hints on the index (doc_toks) side.
+    ta = doc_toks.alias("ta").hint("shuffle_hash")
+    tb = doc_toks.alias("tb").hint("shuffle_hash")
+    # casts to LONG: the r18 COUNT(*)-based columns were bigint, and the
+    # driver's value hash is representation-sensitive (size() is int)
     return (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            "n_common",
-            F.col("sa.n_tok").alias("n_a"),
-            F.col("sb.n_tok").alias("n_b"),
+            F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+            .cast("long")
+            .alias("n_common"),
+            F.size(F.col("ta.toks")).cast("long").alias("n_a"),
+            F.size(F.col("tb.toks")).cast("long").alias("n_b"),
         )
     )
 

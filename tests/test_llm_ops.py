@@ -889,6 +889,42 @@ def test_unrolled_literal_dot_bitwise_matches_fold(spark, sf_dir):
         assert struct.pack("<d", r["f"]) == struct.pack("<d", r["u"]), r["vec_id"]
 
 
+def test_vector_norms_unrolled_bitwise_matches_fold(spark, sf_dir):
+    """r19 (verdict item 4): vector_norms' own local folds are now the
+    width-guarded unrolled trees — l2 via _VNORM, l1 via an unrolled
+    abs-sum. Both must be BIT-identical to the interpreted folds they
+    replace over the real embeddings."""
+    import struct
+
+    from synthetic_data_transfer_to_relational_database_spark.operators import (
+        similarity as S,
+    )
+    from synthetic_data_transfer_to_relational_database_spark.sources.tables import (
+        table,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    sq_fold = S._fold_sum(
+        "transform(embedding, x -> cast(x as double) * cast(x as double))"
+    )
+    ab_fold = S._fold_sum("transform(embedding, x -> abs(cast(x as double)))")
+    new = {
+        r["vec_id"]: (r["l2_norm"], r["l1_norm"])
+        for r in S.vector_norms(spark, sf_dir).collect()
+    }
+    old = {
+        r["vec_id"]: (r["l2"], r["l1"])
+        for r in e.select(
+            "vec_id",
+            F.sqrt(F.expr(sq_fold)).alias("l2"),
+            F.expr(ab_fold).alias("l1"),
+        ).collect()
+    }
+    assert new.keys() == old.keys() and len(new) > 0
+    for k in new:
+        assert struct.pack("<2d", *new[k]) == struct.pack("<2d", *old[k]), k
+
+
 def test_lit_build_path_dispatch_and_lloyd_parity(spark, sf_dir):
     """r19: the build-side literal-unroll dispatch
     (similarity._lit_build_path) must (a) route small corpora to the fold
