@@ -309,14 +309,28 @@ NOUNS = ["Vida", "Kablo", "Panel", "Motor", "Filtre", "Rulman", "Sensor", "Vana"
 # call, but the join is pure-Python and worth skipping in wide builds.
 _ARR_CACHE: dict[tuple[str, ...], str] = {}
 
+# r19: banks at/above this length render as ONE string literal + split()
+# instead of an inline array(...) of element literals. The analyzer then
+# walks 3 nodes instead of one per element (a 256-fragment sentence bank
+# is ~257 Literal/CreateArray nodes PER COLUMN OCCURRENCE — the dominant
+# node count of the generator's per-table eager analysis), and the
+# optimizer constant-folds split-of-literal to the IDENTICAL ArrayData
+# before execution, so runtime plans and output bytes are unchanged
+# (value-identity probed elementwise in tools/gen_split_arr_ab.py and
+# pinned by the determinism goldens). Below the threshold the classic
+# form stays — nothing to save on a 5-word list.
+_SPLIT_ARR_MIN = 16
+
 
 def _arr(items: list[str]) -> str:
     key = tuple(items)
     c = _ARR_CACHE.get(key)
     if c is None:
-        c = _ARR_CACHE.setdefault(
-            key, "array(" + ",".join(_qs(w) for w in items) + ")"
-        )
+        if len(items) >= _SPLIT_ARR_MIN and all(w and ";" not in w for w in items):
+            c = f"split({_qs(';'.join(items))}, ';')"
+        else:
+            c = "array(" + ",".join(_qs(w) for w in items) + ")"
+        _ARR_CACHE[key] = c
     return c
 
 

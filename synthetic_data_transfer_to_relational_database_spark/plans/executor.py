@@ -78,6 +78,21 @@ def _array_literal(values: list) -> Column:
     import datetime
     import decimal
 
+    # r19: big STRING key arrays (the collected-FK path ships up to
+    # broadcast_key_bytes of rendered uuids — 22 calls × 10k keys ≈ 8 MB
+    # of array(...) text per full-schema build, measured) render as ONE
+    # string literal + split(): the parser scans one token and the
+    # analyzer walks 3 nodes instead of one per key; the optimizer
+    # constant-folds split-of-literal to the IDENTICAL ArrayData, so the
+    # executed plan, the task-binary footprint and the output bytes are
+    # unchanged (determinism goldens + tests/test_generator.py pin it).
+    # Strings only — every other key dtype keeps the exact typed-literal
+    # rendering below; ';' inside a key falls back likewise.
+    if len(values) >= 64 and all(
+        isinstance(v, str) and v and ";" not in v for v in values
+    ):
+        return F.expr(f"split({_qs(';'.join(values))}, ';')")
+
     def render(v) -> str | None:
         if isinstance(v, bool):
             return "true" if v else "false"
