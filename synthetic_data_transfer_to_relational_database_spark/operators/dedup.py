@@ -21,6 +21,8 @@ Scale notes (the whole point of these algorithms):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -704,9 +706,19 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     # short-circuit, so the dispatch costs no extra job; memory is
     # broadcast-side class (50k edges ≈ a few MB of Row objects).
     # Production tuning: spark.sdt.cc.collectMaxEdges (0 disables).
+    # ADVICE r18 #4: read the conf from the SAME session handle the
+    # collect path uses (e, the canonicalized frame), and WARN on an
+    # unparseable value instead of silently resetting the cap — a typo'd
+    # production knob should be visible, not absorbed.
+    raw_cap = e.sparkSession.conf.get("spark.sdt.cc.collectMaxEdges", "50000")
     try:
-        cap = int(edges.sparkSession.conf.get("spark.sdt.cc.collectMaxEdges", "50000"))
+        cap = int(raw_cap)
     except ValueError:
+        warnings.warn(
+            f"spark.sdt.cc.collectMaxEdges={raw_cap!r} is not an integer; "
+            "using the 50000 default",
+            stacklevel=2,
+        )
         cap = 50000
     if n_e <= cap:
         return _cc_driver_unionfind(e)

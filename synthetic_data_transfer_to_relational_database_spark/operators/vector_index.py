@@ -102,8 +102,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window  # search top-k only; assignment is window-free
 
 from .similarity import (
+    _LIT_UNROLL_MAX_DIM,
     _argmin_assign,
     _argmin_assign_lit,
+    _dot_sql_cols,
     _fold_sum,
     _lit_build_path,
     _lloyd_refine,
@@ -1242,9 +1244,11 @@ def search_vector_index(
 # Above this dimension the unrolled cosine's expression tree (3×dim
 # GetArrayItem·Cast·Multiply·Add nodes) stops being obviously cheap to
 # analyze/compile, and codegen method-splitting territory begins — the
-# fold is the proven fallback there. 256 covers every common embedding
-# width this engine targets (the testdata is 64-dim) with wide margin.
-_UNROLL_MAX_DIM = 256
+# fold is the proven fallback there. r19 (verdict item 7): ONE cap
+# shared with the literal-tree paths (similarity._LIT_UNROLL_MAX_DIM,
+# 256 — covers every common embedding width this engine targets, the
+# testdata is 64-dim) instead of two drift-prone 256 constants.
+_UNROLL_MAX_DIM = _LIT_UNROLL_MAX_DIM
 
 # Serializes the eager forced-unrolled serve's session-global
 # hugeMethodLimit set/restore (r15 advice): without it, two concurrent
@@ -1282,11 +1286,15 @@ def _unrolled_dot(x: str, y: str, dim: int):
     left-associative ``+`` parses iteratively to the IDENTICAL left
     spine in ~3 ms, and the parsed tree is the same
     GetArrayItem/Cast/Multiply/Add nodes — bit-identity re-pinned
-    against the Column form in tests."""
-    terms = " + ".join(
-        f"cast({x}[{i}] as double) * cast({y}[{i}] as double)" for i in range(dim)
-    )
-    return F.expr(f"0.0D + {terms}")
+    against the Column form in tests.
+
+    r19 (verdict item 7): delegates to ``similarity._dot_sql_cols`` —
+    ONE audited construction of the bit-identity-critical tree instead
+    of two drift-prone copies. The textual seed differs
+    (``CAST(0.0 AS DOUBLE)`` vs the old ``0.0D``) but both fold to the
+    same double Literal before execution; the left spine and every
+    operand are unchanged (bit-identity tests re-pinned)."""
+    return F.expr(_dot_sql_cols(x, y, dim))
 
 
 # The balanced tree's own cap, measured two-sided like the unrolled

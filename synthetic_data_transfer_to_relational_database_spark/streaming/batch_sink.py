@@ -57,7 +57,13 @@ def committed_batch_ids(spark: SparkSession, path: str) -> set[int]:
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name.endswith(".committed"):
-            ids.add(int(name[: -len(".committed")]))
+            # ADVICE r18 #1: only all-digit stems are ledger markers — a
+            # stray file or subdirectory named like "tmp.committed" must
+            # not ValueError-wedge every subsequent trigger. Genuine FS
+            # errors still propagate (the listStatus above).
+            stem = name[: -len(".committed")]
+            if stem.isdigit():
+                ids.add(int(stem))
         elif name.endswith(".parquet"):
             legacy = True
     if legacy:  # ledger written by the pre-r18 single-row-parquet format
