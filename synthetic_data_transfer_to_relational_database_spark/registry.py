@@ -40,93 +40,97 @@ _MODULES = [
 # per-round budget stops at 50 queries. The catalog is larger, so the
 # window is rotated each round to keep the UNION of CORRECTNESS_r* rows
 # complete. Rotation rule (documented in README "Catalog freshness"):
-# new/changed queries first, then oldest-evidence first. Round-18 window
-# (per the r17 verdict #1: the 11 r14-spills lead, then r15-tier fill):
-#   1) keys whose CODE changed this round: join_anti and set_except were
-#      de-vacuized (r17 verdict #3 — both used to hash-match on EMPTY
-#      results at sf0.01, so their oracle evidence was trivial; the new
-#      predicates return 30 / 121 rows while keeping the left_anti /
-#      subtract shapes), and the four vector_index-riding keys
-#      (sim_search_warm, sim_search_index, embedding_index_refresh,
-#      sim_search_balanced) ride this round's vector_index.py changes
-#      (all four r17-ADVICE fixes: in-place rebuilds carry commit_epoch
-#      forward — the ABA fence hole; the warm handle's cached tree is
-#      built from the RESOLVED mode; 'auto' resolution threads the
-#      handle's own session; the per-search fence reads only the epoch,
-#      and the one-shot wrapper skips its first fence — plus the new
-#      repin()). Changed machinery leads the window even on fresh
-#      evidence — the r7 corollary.
-#   2) the remaining nine r14-evidence spills owed from the r17 trade:
-#      join_inner, join_left, join_semi, set_union, set_intersect,
-#      sort_limit, window_lag, window_ntile, scalar_array (each
-#      re-verified strict-green via driver_sim in r17 by both builder
-#      and judge, and again in r18 before this window landed).
-#   3) 35 of the 48 keys whose newest driver evidence is r15 — the
-#      oldest tier once the r14 basket closes above. Thirteen
-#      r15-evidence keys spill one round to r19 (same documented trade
-#      as r7/r12…r17): scan_project, filter_pred, window_rank,
+# new/changed queries first, then oldest-evidence first. Round-19 window
+# (per the r18 verdict #8: freshness floor moves past r17):
+#   1) keys whose RESULT-BEARING CODE changed this round (the r7
+#      corollary — changed machinery leads even on fresh evidence):
+#      text_doc_pairs_jaccard / text_containment (verification rewritten
+#      to array_intersect over grouped token sets), vector_norms (local
+#      folds unrolled), the persisted-index serves sim_search_index /
+#      sim_search_warm / sim_search_balanced / embedding_index_refresh
+#      (ride the _lit_build_path size dispatch AND the _unrolled_dot
+#      delegation to similarity._dot_sql_cols), sim_search_ivf_lloyd /
+#      sim_search_ivfpq (ride _ivf_serve/_lloyd_refine dispatch,
+#      rows-only), and gen_synthetic_orders / fk_sample_join (ride the
+#      generator's split()-literal array rendering). The dedup keys'
+#      only r19 diff is a warn-on-misconfig branch — bookkeeping, not
+#      result-bearing — so they queue by evidence age instead.
+#   2) the 13 r15-evidence keys spilled r17→r18, owed first by
+#      oldest-evidence-first: scan_project, filter_pred, window_rank,
 #      window_ranks_pct, bracket_revenue, lineitem_discount_revenue,
 #      lineitem_yoy_growth, top_supplier_revenue, waiting_suppliers,
 #      returned_item_report, agg_approx_percentile, basket_pairs,
-#      corpus_length_histogram — chosen because they are the simplest
-#      deterministic scan / filter / single-window / report keys in the
-#      tier, untouched since their last green, each re-verified
-#      strict-green locally via driver_sim this round (r18) before the
+#      corpus_length_histogram.
+#   3) 26 of the 43 remaining r17-window keys (two rounds stale),
+#      leading with the families the r18 verdict named
+#      (agg_approx_distinct, events, scalars, topk/pivot/unpivot,
+#      sim_centroid_pandas, text_fingerprint). Seventeen spill one
+#      round (the documented r7/r12…r18 trade): corpus_pack_sequences,
+#      corpus_token_budget_scalable, customer_distribution,
+#      join_broadcast, join_range, market_share, multimodal_bytes,
+#      multimodal_features, nation_volume_shipping, orders_big_volume,
+#      orders_late_priority, orders_shipping_priority, rag_retrieve,
+#      revenue_by_nation, small_qty_revenue, stream_tumbling,
+#      text_tfidf_top — the simplest deterministic scan / join / report
+#      keys in the tier (plus the two bench-timed-every-round entries
+#      revenue_by_nation / stream_tumbling whose rows the bench itself
+#      exercises), untouched since their last green, each re-verified
+#      strict-green locally via driver_sim this round (r19) before the
 #      window landed.
 _SWEEP_FIRST = [
     # -- 1) machinery changed this round ---------------------------------
-    "join_anti",
-    "set_except",
-    "sim_search_warm",
-    "sim_search_index",
-    "embedding_index_refresh",
-    "sim_search_balanced",
-    # -- 2) the r17 spill (r14 evidence) ---------------------------------
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "set_union",
-    "set_intersect",
-    "sort_limit",
-    "window_lag",
-    "window_ntile",
-    "scalar_array",
-    # -- 3) the r15-evidence tier (35 of 48 keys; spill documented above)
-    "agg_sketch_union",
-    "corpus_decontaminate",
-    "corpus_diff",
-    "corpus_dup_ngrams",
-    "corpus_quantile_filter",
-    "data_quality_profile",
-    "dedup_cluster",
-    "dedup_embedding",
-    "dedup_semantic",
-    "events_anomaly_mad",
-    "events_attribution",
-    "events_forecast_baseline",
-    "events_gap_islands",
-    "events_gapfill",
-    "events_retention_cohorts",
-    "events_rolling_active",
-    "events_rollup_hierarchy",
-    "events_user_paths",
-    "join_asof",
-    "multimodal_dyn_batch",
-    "multimodal_phash_dedup",
-    "orders_cohort_ltv",
-    "orders_rfm",
-    "sim_knn_graph",
-    "sim_search_ivfpq",
-    "sim_search_pq",
-    "skew_profile",
-    "snapshot_merge_upsert",
-    "stream_interval_join",
-    "text_containment",
-    "text_contamination",
     "text_doc_pairs_jaccard",
-    "text_ngram_lm_backoff",
-    "text_ngram_lm_score",
-    "text_pii_scan",
+    "text_containment",
+    "vector_norms",
+    "sim_search_index",
+    "sim_search_warm",
+    "sim_search_balanced",
+    "embedding_index_refresh",
+    "sim_search_ivf_lloyd",
+    "sim_search_ivfpq",
+    "gen_synthetic_orders",
+    "fk_sample_join",
+    # -- 2) the owed r15-evidence spill (oldest tier) ---------------------
+    "scan_project",
+    "filter_pred",
+    "window_rank",
+    "window_ranks_pct",
+    "bracket_revenue",
+    "lineitem_discount_revenue",
+    "lineitem_yoy_growth",
+    "top_supplier_revenue",
+    "waiting_suppliers",
+    "returned_item_report",
+    "agg_approx_percentile",
+    "basket_pairs",
+    "corpus_length_histogram",
+    # -- 3) the r17-window tier (26 of 43; spill documented above) --------
+    "agg_approx_distinct",
+    "events_funnel",
+    "events_session",
+    "events_sliding",
+    "events_tumbling",
+    "scalar_date",
+    "scalar_json",
+    "scalar_math",
+    "scalar_null",
+    "scalar_string",
+    "topk_per_group",
+    "pivot_wide",
+    "unpivot_long",
+    "sim_centroid_pandas",
+    "text_fingerprint",
+    "agg_distinct",
+    "agg_hash",
+    "agg_rollup",
+    "dedup_incremental",
+    "dedup_key_norm",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_search",
+    "sim_search_lsh",
+    "window_frame",
 ]
 
 
