@@ -136,6 +136,21 @@ def _lit_build_path(df: DataFrame, cvs: list[list[float]]) -> bool:
     return estimated_plan_bytes(df) >= min_bytes
 
 
+def _dot_sql_fold(col_sql: str, c: list[float]) -> str:
+    """The zip_with/aggregate dot-product FOLD against a driver-held
+    centroid, built as ONE SQL string — the exact expression the
+    ``F.zip_with(col, F.lit(c), …)`` Column form produces, without its
+    construction cost: ``F.lit(list)`` + the lambda Columns pay py4j
+    round trips per element, measured at ~1.5 s per 3-iteration refine
+    at 8×64 (tools/lloyd_cost_probe.py, the fold arm's 'parse' phase)
+    where this text parses in milliseconds. Identical operands, casts
+    and left-fold order ⇒ bit-identical results (the r18 pins compare
+    the unrolled tree against exactly this fold text)."""
+    return _fold_sum(
+        f"zip_with({col_sql}, {_arr_lit(c)}, (a, b) -> cast(a as double) * b)"
+    )
+
+
 def _d2_sql_lit(col_sql: str, c: list[float]) -> str:
     """Squared-L2 distance against a driver-held centroid — the
     ``_dot_sql_lit`` recipe for the d2 fold: unrolled tree bit-identical
@@ -808,18 +823,13 @@ def _ivf_serve(e: DataFrame, cvs: list[list[float]]) -> DataFrame:
         cell_scores = F.expr(
             "array(" + ",".join(_dot_sql_lit("embedding", c) for c in cvs) + ")"
         )
-    else:  # wide dims: the fold form, the sim_search_balanced budget rule
-
-        def dot_with(c: list[float]):
-            return F.aggregate(
-                F.zip_with(
-                    F.col("embedding"), F.lit(c), lambda a, b: a.cast("double") * b
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-
-        cell_scores = F.array(*[dot_with(c) for c in cvs])
+    else:
+        # small corpora / wide dims: the fold form — as SQL TEXT
+        # (_dot_sql_fold): the old F.lit(c)+lambda Column construction
+        # paid py4j per element (r19; the r6/r17 lesson again)
+        cell_scores = F.expr(
+            "array(" + ",".join(_dot_sql_fold("embedding", c) for c in cvs) + ")"
+        )
     # named column first: array_position + array_max would otherwise
     # re-evaluate all _N_CELLS dot products twice
     scored = e.select(
@@ -983,18 +993,13 @@ def _lloyd_refine(e: DataFrame, cvs: list[list[float]], iters: int = 3) -> list[
             cs = F.expr(
                 "array(" + ",".join(_dot_sql_lit("embedding", c) for c in cvs) + ")"
             )
-        else:  # wide dims: the fold form, the sim_search_balanced budget rule
-
-            def dot_with(c: list[float]):
-                return F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"), F.lit(c), lambda a, b: a.cast("double") * b
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-
-            cs = F.array(*[dot_with(c) for c in cvs])
+        else:
+            # small corpora / wide dims: the fold form — as SQL TEXT
+            # (_dot_sql_fold): the old F.lit(c)+lambda Column form paid
+            # ~1.5 s of py4j per refine at 8×64 (lloyd_cost_probe 'parse')
+            cs = F.expr(
+                "array(" + ",".join(_dot_sql_fold("embedding", c) for c in cvs) + ")"
+            )
         scored = e.select("embedding", cs.alias("cs"))
         assigned = scored.select(
             "embedding",
