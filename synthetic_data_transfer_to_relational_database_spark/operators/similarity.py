@@ -112,13 +112,17 @@ def _lit_build_path(df: DataFrame, cvs: list[list[float]]) -> bool:
     pays that back when the corpus is big enough: at the bench's 2000-row
     corpus the fold arm ran the whole sim_search_index entry 4.3-4.6 s vs
     6.7-7.4 s for the literal arm (3 reps each, paired), while the fold's
-    interpreted per-row×per-cell×per-dim eval overtakes ~1 s of fixed
-    cost per pass around ~8 MiB of embeddings (≈16k × dim-64 doubles:
-    8M lambda steps/pass). Dispatch on Catalyst's input-size estimate —
-    the repo's standing smallInputBytes pattern — under
-    ``spark.sdt.vector.litUnrollMinBytes`` (default 8 MiB; 0 forces the
-    literal path, the plan-shape tests use it). Both branches are
-    bit-identical (r18 pins), so the dispatch can never change results.
+    interpreted per-row×per-cell×per-dim eval overtakes the fixed cost
+    between the bench's 2000 vectors and the sf1-replica's 20k (entry
+    A/B there: lit 4.76-5.17 s vs fold 5.45-6.33 s warm). Dispatch on
+    Catalyst's input-size estimate — the repo's standing
+    smallInputBytes pattern; NOTE it reports COMPRESSED parquet bytes
+    (~260 B per dim-64 vector on the testdata, not the 512 B raw) —
+    under ``spark.sdt.vector.litUnrollMinBytes`` (default 4 MiB ≈ 16k
+    dim-64 vectors compressed, between the two measured points; 0
+    forces the literal path, the plan-shape tests use it). Both
+    branches are bit-identical (r18 pins), so the dispatch can never
+    change results.
 
     Also guards the empty-model IndexError (ADVICE r18 #2) and the k×dim
     janino term budget (ADVICE r18 #3)."""
@@ -127,7 +131,7 @@ def _lit_build_path(df: DataFrame, cvs: list[list[float]]) -> bool:
     if len(cvs) * len(cvs[0]) > _LIT_UNROLL_MAX_TERMS:
         return False
     min_bytes = int(
-        df.sparkSession.conf.get("spark.sdt.vector.litUnrollMinBytes", str(8 << 20))
+        df.sparkSession.conf.get("spark.sdt.vector.litUnrollMinBytes", str(4 << 20))
     )
     if min_bytes <= 0:
         return True
